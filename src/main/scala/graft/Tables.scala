@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated fixtures (TESTDATA.md).
+  *
+  * All engine queries take `(SparkSession, sfDir)` and read through here so
+  * the scan path is uniform: plain `spark.read.parquet`, letting Catalyst
+  * push filters/projections into the Parquet scan. At cluster scale the same
+  * call reads a partitioned directory tree; nothing here assumes local mode.
+  */
+object Tables {
+  /** A query entry as registered in [[SparkEntry.queries]]. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a raw long (legacy nanosAsLong conf) and
+    * surface both a micros-precision `ts` timestamp (floor-truncated, the
+    * same truncation DuckDB's `epoch_us` applies) and the exact `ts_ns`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    // Integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa,
+    // so float division would be off by ±1 microsecond.
+    raw
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

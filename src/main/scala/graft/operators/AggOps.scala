@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2B "Aggregation").
+  *
+  * Generalizes the reference's count-by-key pipeline: the mapper's windowed
+  * per-key partial counts (reference mapper.go:64-86) plus the reducer's
+  * global vector-sum (reference reducer.go:146-153) are, in Spark, a single
+  * declarative `groupBy(...).agg(...)` — Catalyst plans the partial/final
+  * HashAggregate split automatically, so the map-side combiner the reference
+  * hand-wires with atomics comes for free and scales with partition count.
+  */
+object AggOps {
+
+  val queries: Map[String, Q] = Map(
+    // R10/R11: count per key. Partial agg on the scan side means the
+    // shuffle carries one row per (partition, key) — at 100 TB the shuffle
+    // volume is O(partitions × distinct keys), not O(rows).
+    "q_agg_count_by_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q1 shape: multi-aggregate per group. Doubles rounded for
+    // oracle hash-stability (SURVEY.md §7.4).
+    "q_agg_multi" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Exact count(distinct) per group — Catalyst plans Expand + two-phase
+    // agg; distinct keys are deduped map-side before the shuffle.
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Grouping-set family. grouping_id disambiguates NULL-as-subtotal from
+    // NULL-as-data, and gives the oracle a stable sort key.
+    "q_agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // R7 generalized: post-aggregation filter (HAVING). The reference
+    // suppresses empty windows (knobs.go:68-69, mapper.go:75); here any
+    // group predicate applies after the final agg.
+    "q_agg_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("cnt") > 500)
+        .orderBy("l_suppkey")
+    }),
+
+    // R5 batch twin: arg-max by event timestamp per key (reference
+    // knobs.go:101-102 keeps the newest record per knob, dropping
+    // out-of-order arrivals). max_by is a single-pass aggregate — no
+    // window/sort shuffle, and it partial-aggregates map-side.
+    "q_latest_per_key" -> ((s, d) => {
+      // Ordering key is (epoch micros, event_id): micros because that is
+      // the precision both engines share, event_id as the unique
+      // tie-breaker for events in the same microsecond.
+      val ord = struct(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_id"), ord).as("last_event_id"),
+          max_by(col("event_type"), ord).as("last_event_type"),
+          max(unix_micros(col("ts"))).as("last_ts_us"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_count_by_key" ->
+      """SELECT l_returnflag, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 2) AS avg_qty,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+                grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+                grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_agg_having" ->
+      """SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
+         ORDER BY l_suppkey""",
+    // DuckDB arg_max has no composite-key overload → window emulation
+    // with the identical (epoch_us(ts), event_id) ordering.
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id,
+                event_type AS last_event_type, epoch_us(ts) AS last_ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over the same sfDir parquet
+tables, and compares: schema (column names), row count, and values (columns
+sorted by name, rows in emitted order, doubles rounded to 6 places,
+timestamps normalized to epoch microseconds).
+
+Dev tool only — the Scala library does not depend on this.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 6)
+    if isinstance(v, pd.Timestamp):
+        return v.value // 1000  # epoch micros
+    if hasattr(v, "timestamp") and not isinstance(v, (int, str)):
+        try:
+            return int(v.timestamp() * 1_000_000)
+        except Exception:
+            pass
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_df(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append(tuple(norm_cell(v) for v in row))
+    return list(df.columns), rows
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        qdir = Path(out_dir) / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in sorted(qdir.glob("*.parquet"))],
+                ignore_index=True)
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        sc, sr = norm_df(spark_df)
+        dc, dr = norm_df(duck_df)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+        elif sr != dr:
+            bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+            print(f"FAIL {name}: first diff row {bad}:\n  spark={sr[bad]}\n  duck ={dr[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
