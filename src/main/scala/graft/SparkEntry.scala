@@ -13,7 +13,8 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
-    (AggOps.queries, AggOps.oracleSql)
+    (AggOps.queries, AggOps.oracleSql),
+    (JoinOps.queries, JoinOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

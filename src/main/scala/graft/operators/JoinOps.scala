@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2B "Joins").
+  *
+  * The reference has no joins at all (SURVEY.md §2A, "Absent from the
+  * reference entirely"); this is the declared extension surface. The one
+  * join-shaped behavior it does have — keep the latest record per key and
+  * merge it against a probe (reference knobs.go:101-102) — generalizes to
+  * the as-of join here.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - Equi-joins shuffle both sides on the join key → sort-merge join; AQE
+  *    converts to broadcast when a side fits under the threshold.
+  *  - Dimension joins use an explicit [[broadcast]] hint: nation/region are
+  *    O(100) rows at ANY scale factor, so shipping them to every executor
+  *    beats shuffling the fact side, always.
+  *  - The theta/range join keeps the tiny side (5 bands) broadcast, so the
+  *    physical plan is BroadcastNestedLoopJoin with the fact side streamed —
+  *    no shuffle of the big side at all.
+  *  - The as-of join deliberately avoids the quadratic
+  *    `probe ⋈ build ON ts <= ts` + argmax shape: we union both sides and
+  *    take a running `last(ignoreNulls)` over a single per-key sort. One
+  *    shuffle, O(n log n) per key, no blowup when a key has many build rows.
+  */
+object JoinOps {
+
+  /** High-value-order threshold shared by the semi/anti pair; chosen so both
+    * the matching and non-matching customer sets are non-empty at every sf.
+    */
+  private val HiValue = 400000.0
+
+  val queries: Map[String, Q] = Map(
+    // lineitem ⋈ orders ⋈ customer equi-chain. Shuffles on l_orderkey then
+    // o_custkey; both are the natural keys a 100 TB layout would bucket by.
+    "q_join_inner_equi" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(
+          col("o_orderkey"), col("l_linenumber"), col("c_custkey"),
+          col("c_mktsegment"), col("l_quantity"),
+          round(col("o_totalprice"), 2).as("o_price"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // Fact ⋈ small dims with explicit broadcast hints: nation (25 rows) and
+    // region (5 rows) are constant-size regardless of sf, so the plan is
+    // two BroadcastHashJoins — zero shuffle of the customer side before the
+    // final (tiny, 25-group) aggregation.
+    "q_join_broadcast" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // customer LEFT JOIN (high-value orders): customers with no such order
+    // surface with NULL order columns. NULLS FIRST is pinned explicitly —
+    // Spark's ASC default is nulls-first, DuckDB's is nulls-last.
+    "q_join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > HiValue)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_price"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    // EXISTS: customers having at least one high-value order. Left-semi
+    // shuffles only the key column of the build side and short-circuits on
+    // first match — no row multiplication.
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > HiValue)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // NOT EXISTS: the complement set (non-empty at every sf by construction).
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > HiValue)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Non-equi (theta) range join: orders banded by price. The band table is
+    // derived from region (5 rows) so it exists in both engines; Spark plans
+    // BroadcastNestedLoopJoin with the fact side streamed once — the correct
+    // physical shape when one side is O(1).
+    "q_join_theta_range" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bands = Tables.region(s, d).select(
+        col("r_regionkey").cast("long").as("band"),
+        (col("r_regionkey") * 100000.0).as("lo"),
+        ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+      o.join(broadcast(bands),
+          o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // AS-OF join (generalizes reference knobs.go:101-102, "latest record at
+    // or before the probe time"): for each purchase event, the latest click
+    // by the same user with click.ts <= purchase.ts. Implemented as the
+    // single-shuffle union + running last(ignoreNulls) — the plan that
+    // survives 100× scale (a per-key sort, never a per-key cross product).
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+          col("event_id"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+          col("event_id"), lit(null).cast("long").as("click_id"))
+      // side=0 sorts before side=1 at equal ts, so a click in the same
+      // microsecond as the purchase is visible to it (<= semantics).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us"), col("side"), col("event_id"))
+        .rowsBetween(Long.MinValue, 0)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts_us",
+          last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("event_id", "user_id", "ts_us", "last_click_id", "last_click_ts_us")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner_equi" ->
+      """SELECT o_orderkey, l_linenumber, c_custkey, c_mktsegment, l_quantity,
+                round(o_totalprice, 2) AS o_price
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey, l_linenumber""",
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+                round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q_join_left_outer" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey,
+                round(o_totalprice, 2) AS o_price
+         FROM customer
+         LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q_join_theta_range" ->
+      """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders
+         JOIN (SELECT CAST(r_regionkey AS BIGINT) AS band,
+                      r_regionkey * 100000.0 AS lo,
+                      (r_regionkey + 1) * 100000.0 AS hi
+               FROM region) bands
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band
+         ORDER BY band""",
+    "q_join_asof" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+         ), u AS (
+           SELECT user_id, ts_us, 0 AS side, event_id, event_id AS click_id
+           FROM ev WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts_us, 1 AS side, event_id, NULL AS click_id
+           FROM ev WHERE event_type = 'purchase'
+         ), w AS (
+           SELECT *,
+             last_value(click_id IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+             last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts_us
+           FROM u
+         )
+         SELECT event_id, user_id, ts_us, last_click_id, last_click_ts_us
+         FROM w WHERE side = 1 ORDER BY event_id"""
+  )
+}
