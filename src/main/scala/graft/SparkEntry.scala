@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (AggOps.queries, AggOps.oracleSql),
-    (JoinOps.queries, JoinOps.oracleSql)
+    (JoinOps.queries, JoinOps.oracleSql),
+    (DataflowOps.queries, DataflowOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
