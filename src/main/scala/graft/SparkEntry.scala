@@ -15,7 +15,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (AggOps.queries, AggOps.oracleSql),
     (JoinOps.queries, JoinOps.oracleSql),
-    (DataflowOps.queries, DataflowOps.oracleSql)
+    (DataflowOps.queries, DataflowOps.oracleSql),
+    (ScalarOps.queries, ScalarOps.oracleSql),
+    (WindowOps.queries, WindowOps.oracleSql),
+    (SetOps.queries, SetOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round2
+
+/** Window functions, global sort/limit, top-k per group (SURVEY.md §2B).
+  *
+  * The reference's only "window function" is its running total
+  * (reducer.go:79,87 — see DataflowOps.q_window_running_sum); ranking and
+  * analytic functions are extension surface.
+  *
+  * Scale notes: every window here partitions by a real key (nation, user,
+  * customer) — one hash shuffle + per-partition sort, no single-partition
+  * global window (`Window.orderBy` without partitionBy is the scale
+  * killer; deliberately absent). `orderBy(...).limit(k)` plans
+  * TakeOrderedAndProject: per-partition top-k heaps + driver merge of
+  * k×partitions rows, never a global sort of the table.
+  */
+object WindowOps {
+
+  val queries: Map[String, Q] = Map(
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          round(col("c_acctbal"), 2).as("bal"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 2).as("v"),
+          round(lag("value", 1).over(w), 2).as("prev_v"),
+          round(lead("value", 1).over(w), 2).as("next_v"),
+          round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    // Frame-bounded moving average: both engines sum the identical ≤3-row
+    // frame in the same order, so the double result matches bit-for-bit
+    // before the defensive round.
+    "q_window_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round2(avg("value").over(w)).as("mavg3"))
+        .orderBy("event_id")
+    }),
+
+    // Global sort + limit → TakeOrderedAndProject (no full sort at scale).
+    "q_sort_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Top-3 orders per customer: rank within partition then filter. The
+    // filter on row_number is applied streaming per partition — Spark's
+    // WindowGroupLimit pushes the k-limit into the sort at the exec level.
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+                round(c_acctbal, 2) AS bal,
+                CAST(rank() OVER w AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                CAST(row_number() OVER w AS BIGINT) AS rn
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_custkey""",
+    "q_window_lag_lead" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                round("value", 2) AS v,
+                round(lag("value", 1) OVER w, 2) AS prev_v,
+                round(lead("value", 1) OVER w, 2) AS next_v,
+                round("value" - lag("value", 1) OVER w, 2) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY event_id""",
+    "q_window_moving_avg" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                round(avg("value") OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100 AS mavg3
+         FROM events
+         ORDER BY event_id""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders
+         ORDER BY price DESC, o_orderkey
+         LIMIT 100""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+               FROM orders) t
+         WHERE rn <= 3
+         ORDER BY o_custkey, rn"""
+  )
+}
