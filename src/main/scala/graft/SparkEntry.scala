@@ -18,7 +18,9 @@ object SparkEntry {
     (DataflowOps.queries, DataflowOps.oracleSql),
     (ScalarOps.queries, ScalarOps.oracleSql),
     (WindowOps.queries, WindowOps.oracleSql),
-    (SetOps.queries, SetOps.oracleSql)
+    (SetOps.queries, SetOps.oracleSql),
+    (TextOps.queries, TextOps.oracleSql),
+    (SimilarityOps.queries, SimilarityOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search + near-duplicate detection (LLM-pipeline extension
+  * surface): brute-force cosine top-k (oracle-checked), MinHash/LSH and
+  * SimHash near-dup (approximate — no SQL oracle; property-tested in
+  * scalatest), and an LSH-bucketed ANN variant as the 100 TB scale path.
+  *
+  * Scale design (the part the small fixtures don't show):
+  *  - `q_similarity_topk` is probe-broadcast + `orderBy(...).limit(k)`,
+  *    which Spark plans as per-partition top-k heaps merged on the driver
+  *    (TakeOrderedAndProject) — each executor returns k rows, never the
+  *    full similarity column.
+  *  - MinHash runs shingle→signature→band→bucket-join: candidate pairs
+  *    come from equality joins on (band, band_hash) buckets, NEVER an
+  *    all-pairs cross product. Cost is O(Σ bucket²) which LSH keeps tiny.
+  *  - SimHash buckets by 8-bit chunks of the sketch (a pair within
+  *    hamming ≤ 3 of a 32-bit sketch must agree on ≥1 of 4 chunks —
+  *    pigeonhole), same equality-join shape.
+  */
+object SimilarityOps {
+
+  private val Dim = 64
+
+  /** embeddings as (vec_id, v: array<double>). Cast once: float32→double
+    * widening must happen before any arithmetic so both engines (and any
+    * future SIMD path) see identical operands. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  // ---- MinHash parameters: K = B×R signature, bands of R rows ----
+  private val K = 16
+  private val B = 4
+  private val R = 4
+
+  /** (doc_id, sig: array<long>[K]) MinHash signatures over 3-word shingles.
+    * One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
+    * pairs, and the K mins partial-aggregate map-side. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val shingle = concat_ws(" ",
+      element_at(col("w"), col("i")), element_at(col("w"), col("i") + 1),
+      element_at(col("w"), col("i") + 2))
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(0)))).as("i"))
+      .select(col("doc_id"), shingle.as("sh"))
+      .groupBy("doc_id")
+      .agg(array((0 until K).map(j => min(xxhash64(lit(j), col("sh")))): _*).as("sig"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k against a broadcast probe (vec_id 0): the
+    // exact baseline every ANN variant is measured against.
+    "q_similarity_topk" -> ((s, d) => {
+      val e = vecs(s, d)
+      val probe = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("p")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // MinHash/LSH near-duplicate pairs: signature agreement ≥ 0.5 among
+    // band-bucket candidates. Approximate (no oracle) but deterministic:
+    // xxhash64 is a fixed function, so the driver's rows-only check is
+    // stable across runs.
+    "q_minhash_neardup" -> ((s, d) => {
+      val sigs = minhashSigs(s, d)
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(B - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice(col("sig"), b * lit(R) + 1, lit(R))).as("bh")))).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        .distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            p => p)).cast("double") / K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-duplicate pairs: 64-bit sketch over 3-word SHINGLES
+    // (word-level sketches are useless here — the corpus vocabulary is
+    // ~31 words, so every document's word multiset looks alike; shingles
+    // restore discriminating power). Pairs within hamming ≤ 3, bucketed
+    // by 16-bit sketch chunks (pigeonhole: ≤3 flipped bits of 64 leave
+    // ≥1 of the 4 chunks untouched).
+    "q_simhash_neardup" -> ((s, d) => {
+      val bits = 64
+      val sums = (0 until bits).map { j =>
+        sum(when(shiftright(xxhash64(col("sh")), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$j")
+      }
+      val sketch = (0 until bits).map { j =>
+        when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce(_ + _)
+      val w = split(col("text"), " ")
+      val sk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(w) - 2, lit(1))),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2)))).as("sh"))
+        .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sketch.as("simhash"))
+      val chunks = sk.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .select(col("doc_id"), col("simhash"), col("chunk"),
+          expr("shiftright(simhash, chunk * 16)").bitwiseAND(65535).as("cv"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ANN scale path: sign-of-projection LSH sketch (8 deterministic
+    // pseudo-random hyperplanes); candidates = sketch hamming ≤ 3 from the
+    // probe (multi-probe LSH), exact cosine only on candidates. On real
+    // clustered embeddings (neighbor cos ≳ 0.8 → per-bit agreement ≳ 0.9)
+    // this prunes hard at high recall; on the fixture's RANDOM vectors any
+    // pruning necessarily costs recall — the recall property is tested on
+    // planted neighbors in scalatest, not on the fixture.
+    "q_ann_lsh_topk" -> ((s, d) => {
+      val planes = AnnPlanes.planes // Dim × 8, fixed seed
+      val e = vecs(s, d)
+      def sketchBit(m: Int): Column = {
+        val plane = array(planes(m).map(lit): _*)
+        when(dot(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+      }
+      val sketched = e.select(col("vec_id"), col("v"),
+        (0 until 8).map(sketchBit).reduce(_ + _).as("sketch"))
+      val probe = broadcast(
+        sketched.filter(col("vec_id") === 0)
+          .select(col("v").as("p"), col("sketch").as("psketch")))
+      sketched.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .filter(bit_count(col("sketch").bitwiseXOR(col("psketch"))) <= 3)
+        .select(col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Same arithmetic, same order: per-element double products summed left
+    // to right, then the scaled-integer round (see Num.round2 rationale).
+    "q_similarity_topk" ->
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, round(dot / (ne * np) * 1000000) / 1000000 AS cos
+         FROM (
+           SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> e.embedding[i]::DOUBLE * probe.p[i]::DOUBLE)) AS dot,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS ne,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> probe.p[i]::DOUBLE * probe.p[i]::DOUBLE))) AS np
+           FROM embeddings e, probe
+           WHERE e.vec_id <> 0)
+         ORDER BY cos DESC, vec_id LIMIT 20"""
+    // q_minhash_neardup / q_simhash_neardup / q_ann_lsh_topk: approximate
+    // operators, xxhash64-based — not expressible in DuckDB; scalatest
+    // property-tests them against exact Jaccard / brute-force cosine.
+  )
+}
+
+/** Deterministic pseudo-random hyperplanes for the ANN LSH sketch: fixed
+  * seed so every run (and every engine replica) buckets identically. */
+private[operators] object AnnPlanes {
+  val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-data-pipeline extension surface (SURVEY.md §2B, BASELINE north
+  * star). The reference has no text processing at all; these are the
+  * operators a 100 TB training-data pipeline actually runs.
+  *
+  * Scale notes:
+  *  - Exact dedup is ONE hash-shuffle on a 64-hex digest — never a window
+  *    over the full text, never a self-join.
+  *  - All tokenization happens inside codegen'd higher-order functions
+  *    (`split`/`transform`/`aggregate`): no UDF, no row-at-a-time JVM
+  *    boundary crossing, no driver collect.
+  *  - Word/ngram counts shuffle only (token, partial_count) pairs thanks to
+  *    map-side partial aggregation — shuffle volume is O(vocabulary), not
+  *    O(corpus).
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
+    // keep the smallest doc_id, count copies. The digest (64 bytes) is the
+    // only thing shuffled — at 100 TB the text never leaves the scan.
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // Classic wordcount: tokenize, explode, count. Partial agg collapses
+    // each partition to its local vocabulary before the shuffle.
+    "q_text_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    // Bigram counts: adjacent-word pairs via zip_with of the two shifted
+    // slices — pure codegen'd array ops, one explode, one agg.
+    "q_text_ngrams" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+    }),
+
+    // Token counting, BPE-ish: word runs plus single punctuation marks.
+    "q_text_tokens" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: word count, mean word length, stopword ratio — the
+    // cheap per-document features a corpus filter runs before training.
+    "q_text_quality" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val nWords = size(w).cast("double")
+      val sumLen = aggregate(transform(w, x => length(x).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double")
+      val nStop = size(filter(w, x => x.isInCollection(Stopwords))).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          (round(sumLen / nWords * 10000) / 10000).as("avg_word_len"),
+          (round(nStop / nWords * 10000) / 10000).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: lexicographic min of sha2 over all 3-word
+    // shingles — an order-invariant-ish locality fingerprint (the exact
+    // min-hash with one permutation). Computed entirely inside array HOFs.
+    "q_doc_fingerprint" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val shingleHashes = transform(
+        sequence(lit(1), size(w) - 2),
+        i => sha2(concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)), 256))
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_min(shingleHashes).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q_text_wordcount" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE length(word) > 0
+         GROUP BY word ORDER BY cnt DESC, word""",
+    "q_text_ngrams" ->
+      """SELECT bigram, count(*) AS cnt
+         FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+                              for i in generate_series(1, len(w)-1)]) AS bigram
+               FROM (SELECT string_split(text, ' ') AS w FROM documents))
+         GROUP BY bigram ORDER BY cnt DESC, bigram""",
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_words,
+                round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                      / len(w)::DOUBLE * 10000) / 10000 AS avg_word_len,
+                round(len(list_filter(w, x -> x IN
+                        ('the','a','of','to','and','in','is')))::DOUBLE
+                      / len(w)::DOUBLE * 10000) / 10000 AS stopword_ratio
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+                list_min([sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          for i in generate_series(1, len(w)-2)]) AS fingerprint
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id"""
+  )
+}
