@@ -195,7 +195,7 @@ object SimilarityOps {
 
 /** Deterministic pseudo-random hyperplanes for the ANN LSH sketch: fixed
   * seed so every run (and every engine replica) buckets identically. */
-private[operators] object AnnPlanes {
+object AnnPlanes {
   val planes: Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
     Array.fill(8)(Array.fill(64)(rng.nextGaussian()))

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.AnnPlanes
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the approximate operators that have no DuckDB oracle:
+  * MinHash estimates vs exact Jaccard, ANN recall on PLANTED neighbors
+  * (the fixture embeddings are random, so fixture-level recall is
+  * meaningless by construction — see SimilarityOps scaladoc), and
+  * approx_count_distinct error bounds vs exact.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def shingles(t: String): Set[String] = {
+    val w = t.split(" ")
+    (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  test("minhash est_jaccard tracks exact Jaccard on found pairs (±0.35)") {
+    val found = graft.operators.SimilarityOps
+      .queries("q_minhash_neardup")(spark, TestSpark.sf)
+      .collect()
+    assert(found.nonEmpty, "fixtures contain planted near-dups; none found")
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    found.foreach { r =>
+      val (a, b, est) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (sa, sb) = (shingles(docs(a)), shingles(docs(b)))
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(est - j) <= 0.35,
+        s"pair ($a,$b): est=$est exact=$j — estimator off")
+      assert(j >= 0.3, s"pair ($a,$b): exact J=$j — LSH surfaced a non-dup")
+    }
+  }
+
+  test("ANN LSH finds planted high-similarity neighbors (recall = 1)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian())
+    def jitter(eps: Double): Array[Double] = {
+      val v = base.zip(Array.fill(64)(rng.nextGaussian()))
+        .map { case (b, g) => b + eps * g }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // id 0 = probe; 1..5 planted neighbors (cos ≈ 0.98); 6..105 random
+    val vecs = (0L, jitter(0.0)) +:
+      (1L to 5L).map(i => i -> jitter(0.2)) ++:
+      (6L to 105L).map(i => i -> {
+        val v = Array.fill(64)(rng.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      })
+    val df = vecs.toDF("vec_id", "v")
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def sketchOf(vcol: org.apache.spark.sql.Column) =
+      (0 until 8).map { m =>
+        val plane = array(AnnPlanes.planes(m).map(lit): _*)
+        when(dotc(vcol, plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+      }.reduce(_ + _)
+    val sk = df.select(col("vec_id"), col("v"), sketchOf(col("v")).as("sketch"))
+    val probe = sk.filter(col("vec_id") === 0)
+      .select(col("v").as("p"), col("sketch").as("ps"))
+    val got = sk.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .filter(bit_count(col("sketch").bitwiseXOR(col("ps"))) <= 3)
+      .select(col("vec_id"), dotc(col("v"), col("p")).as("cos"))
+      .orderBy(col("cos").desc).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L),
+      s"planted neighbors not recovered: $got")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val exact = li.select(countDistinct("l_partkey")).first().getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey", 0.02))
+      .first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"approx=$approx exact=$exact")
+  }
+}
