@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's knob event (reference util/util.go:12-19,
+  * simulate-knobs.go:25-29): a keyed update with an event timestamp.
+  * `ts` is a proper timestamp — upgrading the reference's float epoch
+  * seconds (SURVEY.md §1 "Supported primitive types").
+  */
+case class KnobEvent(id: Long, n: Long, ts: Timestamp)
+
+/** Latest accepted state per knob (reference knobs.go:58). */
+case class KnobState(id: Long, n: Long, tsMicros: Long)
+
+/** Structured Streaming twins of the reference pipeline's stateful stages.
+  *
+  * Semantics upgrades vs the reference, deliberate (SURVEY.md §0.2/§7.3):
+  * exactly-once via checkpointed state instead of ack-always at-least-once;
+  * event-time windows + watermarks instead of wall-clock tickers. What is
+  * preserved exactly: the event-time guard that drops out-of-order/stale
+  * updates (knobs.go:101-102), zero-window suppression (knobs.go:68-69),
+  * and the bounded-retry external sink (reducer.go:24-25,118-126 — see
+  * [[RetrySink]]).
+  *
+  * Scale notes: every operator is keyed — state lives in the state store
+  * partitioned by the group key, so a 1000-executor cluster shards it; no
+  * operator here keeps driver-side state.
+  */
+object StreamOps {
+
+  /** R5 streaming form: keep the newest-by-event-time record per key,
+    * ignoring older arrivals — `state[id] = msg if msg.ts > state[id].ts`
+    * (reference knobs.go:92-103). Emits the key's current state on every
+    * update (OutputMode.Update downstream).
+    */
+  def latestPerKey(events: Dataset[KnobEvent]): Dataset[KnobState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[KnobState, KnobState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (id: Long, updates: Iterator[KnobEvent], state: GroupState[KnobState]) =>
+          val newest = updates.maxBy(e => (e.ts.getTime, e.n))
+          val newestUs = newest.ts.getTime * 1000L
+          if (state.getOption.forall(_.tsMicros < newestUs)) {
+            val next = KnobState(id, newest.n, newestUs)
+            state.update(next)
+            Iterator.single(next)
+          } else {
+            // Stale/out-of-order: state must not regress (knobs.go:101-102)
+            // AND unchanged state is not re-emitted — the reference's
+            // change-detection skip (reducer.go:96-98).
+            Iterator.empty
+          }
+      }
+  }
+
+  /** R10/R12: tumbling event-time window counts per key with a watermark —
+    * the mapper's 100 ms windows generalized to event time. Late data
+    * beyond the watermark is dropped (append mode) instead of silently
+    * double-counted as in the reference's at-least-once acking.
+    */
+  def windowedCounts(
+      events: Dataset[KnobEvent],
+      window: String = "10 seconds",
+      watermark: String = "30 seconds"): Dataset[(Timestamp, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("id"))
+      .agg(sum("n").as("total"))
+      .filter(col("total") > 0) // R7: suppress empty/zero windows
+      .select(col("window.start").as("w_start"), col("id"), col("total"))
+      .as[(Timestamp, Long, Long)]
+  }
+
+  /** Streaming dedup within the watermark horizon — the upgrade over the
+    * reference's double-count-on-redelivery (SURVEY.md §0.2). Key is the
+    * full logical identity of a message.
+    */
+  def dedup(events: Dataset[KnobEvent], watermark: String = "30 seconds"): Dataset[KnobEvent] =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("id", "n", "ts")
+
+  /** Session windows per key (SURVEY.md §2B streaming rows): counts per
+    * activity burst separated by `gap` of silence. */
+  def sessionCounts(
+      events: Dataset[KnobEvent],
+      gap: String = "5 seconds",
+      watermark: String = "30 seconds"): Dataset[(Timestamp, Timestamp, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("id"), col("cnt"))
+      .as[(Timestamp, Timestamp, Long, Long)]
+  }
+
+  /** The whole reference pipeline as ONE streaming job (SURVEY.md §5.4):
+    * latest-per-key (knobs) → fan-out n rows (flood) → windowed count per
+    * key (mapper/reducer). Returns the windowed counts; with constant
+    * input n per knob, steady-state counts equal n × windows — the
+    * reference's own operator invariant (README.md:4,24).
+    */
+  def pipeline(events: Dataset[KnobEvent], window: String = "10 seconds"): Dataset[(Timestamp, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.n > 0) // R7 before R8: sequence(1,0) would step -1
+      .flatMap(e => (1L to e.n).map(_ => e.copy(n = 1L))) // R8 fan-out
+      .withWatermark("ts", "30 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("id"), col("cnt"))
+      .as[(Timestamp, Long, Long)]
+  }
+}
+
+/** Bounded-retry push helper mirroring the reference's IoT sink loop
+  * (reducer.go:24-25,118-126: up to 10 tries, 100 ms wait, give up and log
+  * on exhaustion). Used from `foreachBatch`, where user code owns delivery.
+  */
+object RetrySink {
+  /** Run `push`, retrying up to `maxTries` with `backoffMs` sleeps.
+    * Returns the number of attempts made; throws the last error if all
+    * tries fail (streaming then fails the batch — exactly-once restart
+    * semantics — rather than the reference's silent drop).
+    */
+  def pushWithRetry(maxTries: Int = 10, backoffMs: Long = 100)(push: () => Unit): Int = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxTries) {
+      attempt += 1
+      try { push(); return attempt }
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          if (attempt < maxTries) Thread.sleep(backoffMs)
+      }
+    }
+    throw lastErr
+  }
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream scenarios from FIXTURES.md §B: out-of-order updates must
+  * not regress state (reference knobs.go:101-102), duplicate delivery is
+  * deduped, windows count correctly, zero windows are suppressed, and the
+  * retry sink honors the reference's ≤10×/100 ms policy
+  * (reducer.go:24-25,118-126).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  test("latestPerKey keeps newest by event time; out-of-order update is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.latestPerKey(input.toDS()).writeStream
+      .format("memory").queryName("latest_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(KnobEvent(1, 5, ts(100)), KnobEvent(2, 7, ts(100)))
+      q.processAllAvailable()
+      // batch 2: id 1 gets an OLDER event with a different n — must be ignored
+      input.addData(KnobEvent(1, 99, ts(50)))
+      q.processAllAvailable()
+      // batch 3: id 1 gets a genuinely newer event — must win
+      input.addData(KnobEvent(1, 11, ts(200)))
+      q.processAllAvailable()
+      val states = spark.table("latest_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lastPerKey = states.groupBy(_._1).map { case (k, vs) => k -> vs.last }
+      assert(lastPerKey(1L) == ((1L, 11L, 200L * 1000000L)),
+        s"id 1 final state wrong: ${lastPerKey(1L)}")
+      assert(lastPerKey(2L) == ((2L, 7L, 100L * 1000000L)))
+      // the out-of-order n=99 must never have been emitted as an update
+      assert(!states.contains((1L, 99L, 50L * 1000000L)),
+        "stale out-of-order update regressed the state")
+    } finally q.stop()
+  }
+
+  test("windowedCounts sums per tumbling window and suppresses zero windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.windowedCounts(input.toDS(), "10 seconds").writeStream
+      .format("memory").queryName("win_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        KnobEvent(1, 3, ts(100)), KnobEvent(1, 4, ts(105)), // window [100,110)
+        KnobEvent(1, 6, ts(112)),                           // window [110,120)
+        KnobEvent(2, 0, ts(100)))                           // zero → suppressed
+      q.processAllAvailable()
+      val rows = spark.table("win_sink")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set((100L, 1L, 7L), (110L, 1L, 6L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("dedup drops exact duplicate deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.dedup(input.toDS()).writeStream
+      .format("memory").queryName("dedup_sink").outputMode(OutputMode.Append()).start()
+    try {
+      val e = KnobEvent(1, 5, ts(100))
+      input.addData(e, e) // duplicate within one batch
+      q.processAllAvailable()
+      input.addData(e) // redelivery in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_sink").count() == 1)
+    } finally q.stop()
+  }
+
+  test("pipeline: constant knobs produce n-per-window counts (reference invariant)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.pipeline(input.toDS(), "10 seconds").writeStream
+      .format("memory").queryName("pipe_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // two knobs at constant n in one window, plus a zero knob
+      input.addData(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)),
+        KnobEvent(3, 0, ts(102)))
+      q.processAllAvailable()
+      val rows = spark.table("pipe_sink")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 5L), (2L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionCounts groups activity bursts split by the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    // session windows only support append mode: sessions emit once the
+    // watermark passes their end, so a late high-ts event flushes them.
+    val q = StreamOps.sessionCounts(input.toDS(), gap = "5 seconds").writeStream
+      .format("memory").queryName("sess_sink").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        KnobEvent(1, 1, ts(100)), KnobEvent(1, 1, ts(103)), // one session
+        KnobEvent(1, 1, ts(120)))                           // new session
+      q.processAllAvailable()
+      input.addData(KnobEvent(1, 1, ts(200))) // watermark → 170, flushes both
+      q.processAllAvailable()
+      val sessions = spark.table("sess_sink")
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toList.sorted
+      assert(sessions == List((1L, 1L), (1L, 2L)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("RetrySink: succeeds after transient failures, counts attempts") {
+    var failures = 3
+    var delivered = false
+    val attempts = RetrySink.pushWithRetry(maxTries = 10, backoffMs = 1) { () =>
+      if (failures > 0) { failures -= 1; sys.error("transient") }
+      delivered = true
+    }
+    assert(attempts == 4 && delivered)
+  }
+
+  test("RetrySink: exhausts maxTries then rethrows (no silent drop)") {
+    var attempts = 0
+    val e = intercept[RuntimeException] {
+      RetrySink.pushWithRetry(maxTries = 10, backoffMs = 1) { () =>
+        attempts += 1; sys.error("permanent")
+      }
+    }
+    assert(attempts == 10 && e.getMessage == "permanent")
+  }
+
+  test("RetrySink drives a foreachBatch external push exactly-once per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val pushed = scala.collection.mutable.ArrayBuffer[Long]()
+    var flaky = 2
+    val q = input.toDS().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KnobEvent], _: Long) =>
+        val rows = batch.collect() // small per-batch aggregate, as in reducer.go
+        RetrySink.pushWithRetry(maxTries = 10, backoffMs = 1) { () =>
+          if (flaky > 0) { flaky -= 1; sys.error("sink down") }
+          pushed ++= rows.map(_.id)
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)))
+      q.processAllAvailable()
+      assert(pushed.sorted == Seq(1L, 2L), s"got $pushed")
+    } finally q.stop()
+  }
+}
