@@ -20,7 +20,9 @@ object SparkEntry {
     (WindowOps.queries, WindowOps.oracleSql),
     (SetOps.queries, SetOps.oracleSql),
     (TextOps.queries, TextOps.oracleSql),
-    (SimilarityOps.queries, SimilarityOps.oracleSql)
+    (SimilarityOps.queries, SimilarityOps.oracleSql),
+    (VectorOps.queries, VectorOps.oracleSql),
+    (MediaOps.queries, MediaOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (LLM-pipeline extension surface): media
+  * payloads as opaque `BinaryType` columns with typed metadata, decode /
+  * feature-extract as partition-local batch transforms.
+  *
+  * There is no real media fixture (and no image/audio codec in this
+  * environment), so the payload is the document text's UTF-8 bytes and the
+  * DECODE STEP IS A DETERMINISTIC STUB — but everything Spark-side is the
+  * real shape a production pipeline needs: binary column + metadata schema,
+  * `mapPartitions` batch processing (the Scala analog of a Pandas-UDF
+  * batch: iterator in, iterator out, decode state amortized per partition,
+  * no per-row driver involvement), and a fixed-width feature vector out.
+  */
+object MediaOps {
+
+  /** A media row: opaque payload + kind tag. */
+  case class Media(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Decoded metadata + extracted features (fixed 8-dim). */
+  case class DecodedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, feature: Array[Double])
+
+  /** STUB decode: a real implementation would hand `bytes` to an image /
+    * audio / video codec here (e.g. JPEG dimensions from the SOF header,
+    * frame sampling for video). The stub derives deterministic fake
+    * dimensions from the payload so the downstream plumbing is testable.
+    */
+  def decodeStub(m: Media): DecodedMedia = {
+    val n = m.bytes.length
+    val h = java.util.Arrays.hashCode(m.bytes)
+    val width = 16 + math.abs(h % 1024)
+    val height = 16 + math.abs((h / 1024) % 1024)
+    val frames = m.kind match {
+      case "video" => 1 + n % 30
+      case "audio" => 1 + n % 100
+      case _ => 1
+    }
+    // "Features": 8 chunk checksums normalized to [0,1) — stands in for a
+    // model embedding; fixed width regardless of payload size.
+    val feature = Array.tabulate(8) { c =>
+      val from = c * n / 8
+      val until = (c + 1) * n / 8
+      var acc = 1125899906842597L
+      var i = from
+      while (i < until) { acc = 31 * acc + m.bytes(i); i += 1 }
+      (acc & 0xffffffffL).toDouble / 4294967296.0
+    }
+    DecodedMedia(m.media_id, m.kind, width, height, frames, feature)
+  }
+
+  /** The media table derived from documents: payload = UTF-8 bytes of the
+    * text, kind assigned round-robin. Binary stays opaque to Catalyst —
+    * only metadata columns participate in pruning/filtering.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[Media]
+  }
+
+  /** Partition-local batch decode: the Pandas-UDF-shaped hot path. */
+  def decodeFeatures(media: Dataset[Media]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-partition init would go here (codec handles, model session)
+      batch.map(decodeStub)
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Metadata over binary payloads — oracle-checked: byte length and
+    // content digest computed on the binary column in both engines.
+    "q_multimodal_meta" -> ((s, d) => {
+      mediaTable(s, d).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          sha2(col("bytes"), 256).as("content_hash"))
+        .orderBy("media_id")
+    }),
+
+    // Stubbed decode + feature extraction (no oracle — stub-specific
+    // values; deterministic, so the driver's rows-only check is stable).
+    "q_media_features" -> ((s, d) => {
+      decodeFeatures(mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"),
+          transform(col("feature"), x => round(x * 10000) / 10000).as("feature"))
+        .orderBy("media_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                sha256(text) AS content_hash
+         FROM documents ORDER BY media_id"""
+  )
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.VectorAgg
+import graft.operators.MediaOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("vectorSum aggregates element-wise across partitions") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => Array(i.toDouble, 2.0 * i, -i.toDouble))
+      .toDF("v").repartition(7)
+    val got = df.agg(VectorAgg.vectorSumUdaf(col("v"))).first()
+      .getSeq[Double](0)
+    assert(got == Seq(5050.0, 10100.0, -5050.0))
+  }
+
+  test("vectorSum of empty input is the empty vector (identity)") {
+    import spark.implicits._
+    val got = Seq.empty[Array[Double]].toDF("v")
+      .agg(VectorAgg.vectorSumUdaf(col("v"))).first().getSeq[Double](0)
+    assert(got.isEmpty)
+  }
+
+  test("media decode stub is deterministic with fixed-width features") {
+    val m = MediaOps.Media(7L, "video", "hello world".getBytes("UTF-8"))
+    val d1 = MediaOps.decodeStub(m)
+    val d2 = MediaOps.decodeStub(m)
+    assert(d1.feature.length == 8 && d1.feature.sameElements(d2.feature))
+    assert(d1.n_frames > 1) // video kind samples frames
+    assert(d1.feature.forall(x => x >= 0 && x < 1))
+  }
+}
