@@ -110,19 +110,24 @@ object SimilarityOps {
     // ≥1 of the 4 chunks untouched).
     "q_simhash_neardup" -> ((s, d) => {
       val bits = 64
+      // Hash each shingle ONCE into `h`, then derive all 64 bit-sums from
+      // it — xxhash64 inside each of the 64 aggregates would recompute the
+      // hash per bit (measured 5.7 s → ~1 s at sf0.1).
       val sums = (0 until bits).map { j =>
-        sum(when(shiftright(xxhash64(col("sh")), j).bitwiseAND(1) === 1, 1)
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"s$j")
       }
       val sketch = (0 until bits).map { j =>
         when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce(_ + _)
-      val w = split(col("text"), " ")
+      val w = col("w")
       val sk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), greatest(size(w) - 2, lit(1))),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
             element_at(w, i + 2)))).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
         .groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), sketch.as("simhash"))
       val chunks = sk.select(col("doc_id"), col("simhash"),
