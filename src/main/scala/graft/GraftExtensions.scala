@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{CosineSimilarity, ShingleGenerator}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point (SURVEY.md §4): registers the
+  * engine's native expressions so they are usable from SQL and `expr()`.
+  * Enable with `spark.sql.extensions=graft.GraftExtensions` (Sessions.local
+  * sets it for all harness mains and tests).
+  *
+  *  - `cosine_sim(a, b)` — codegen'd cosine similarity ([[CosineSimilarity]])
+  *  - `shingles(text, n)` — word n-gram UDTF ([[ShingleGenerator]])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Int]
+        }
+        ShingleGenerator(children(0), n)
+      }))
+  }
+}

@@ -18,6 +18,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,7 +22,8 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracleSql),
     (SimilarityOps.queries, SimilarityOps.oracleSql),
     (VectorOps.queries, VectorOps.oracleSql),
-    (MediaOps.queries, MediaOps.oracleSql)
+    (MediaOps.queries, MediaOps.oracleSql),
+    (ExtensionOps.queries, ExtensionOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

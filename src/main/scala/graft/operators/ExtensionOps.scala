@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import graft.functions.LangId
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the engine's custom extension surface: the native
+  * codegen'd expression, the UDTF Generator, and the scalar UDF — each the
+  * idiomatic demonstrator for its extension point (SURVEY.md §2B "UDF /
+  * UDAF / UDTF surface").
+  *
+  * These require the session to be built with
+  * `spark.sql.extensions=graft.GraftExtensions` (Sessions.local does).
+  */
+object ExtensionOps {
+
+  val queries: Map[String, Q] = Map(
+    // Identical semantics (and oracle) to q_similarity_topk, but the
+    // cosine runs through the native CosineSimilarity expression — one
+    // fused codegen loop instead of zip_with+aggregate lambdas. The
+    // summation order is identical, so the hash-compare proves the
+    // custom expression bit-exact against both the HOF form and DuckDB.
+    "q_similarity_topk_expr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val probe = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("p")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (round(expr("cosine_sim(v, p)") * 1000000) / 1000000).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // The UDTF form of shingling: LATERAL VIEW over the custom Generator.
+    // Output: distinct trigram shingle count per doc — compared against a
+    // DuckDB list-comprehension oracle.
+    "q_udtf_shingles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("shingles(text, 3)"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // Scalar UDF surface: heuristic language-ID over documents. No oracle
+    // (the UDF has no DuckDB twin); deterministic, rows-only checked.
+    // The UDF runs AFTER the scan projection — one column in, one out.
+    "q_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(LangId.langIdUdf(col("text")).as("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_similarity_topk_expr" -> SimilarityOps.oracleSql("q_similarity_topk"),
+    "q_udtf_shingles" ->
+      """SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_shingles
+         FROM (SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in generate_series(1, len(w)-2)]) AS s
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.LangId
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine_sim expression matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -0.5, 0.0), Array(0.5, 0.5, 0.0))).toDF("a", "b")
+    val hof = df.select(
+      (aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (a, x) => a + x)) *
+          sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (a, x) => a + x))))
+        .as("c")).collect().map(_.getDouble(0))
+    val native = df.select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    assert(native.sameElements(hof))
+  }
+
+  test("cosine_sim participates in whole-stage codegen (no fallback)") {
+    // A local Seq would be constant-folded to LocalTableScan; a parquet
+    // scan forces a real codegen stage.
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(expr("cosine_sim(v, v)").as("c"))
+    // codegen stages render as "*(n)" in the plan string; the Project
+    // evaluating cosine_sim must carry the asterisk (i.e. not fall back).
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"),
+      s"cosine_sim Project not codegen'd:\n$plan")
+    assert(e.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("shingles UDTF emits one row per n-gram, none for short texts") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r")).toDF("id", "text")
+    val got = df.select(col("id"), expr("shingles(text, 3)"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    assert(got == List((1L, "a b c"), (1L, "b c d"), (3L, "p q r")))
+  }
+
+  test("lang-id detects the dominant language of real sentences") {
+    assert(LangId.detect("the quick brown fox jumps over the lazy dog near the riverbank") == "en")
+    assert(LangId.detect("der schnelle braune fuchs springt und die hunde schlafen unter dem baum") == "de")
+    assert(LangId.detect("el rapido zorro marron salta sobre el perro perezoso en la casa") == "es")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect(null) == "und")
+  }
+}
