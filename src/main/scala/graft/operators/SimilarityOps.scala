@@ -62,6 +62,33 @@ object SimilarityOps {
       .agg(array((0 until K).map(j => min(xxhash64(lit(j), col("sh")))): _*).as("sig"))
   }
 
+  /** Distinct 3-word shingles per doc: (doc_id, sh). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(w) - 2, lit(1))),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2)))).as("sh"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs from the MinHash LSH bands (doc_a < doc_b). */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    val bands = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(B - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * lit(R) + 1, lit(R))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k against a broadcast probe (vec_id 0): the
     // exact baseline every ANN variant is measured against.
@@ -143,6 +170,62 @@ object SimilarityOps {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact n-gram Jaccard near-dup: LSH-bucketed candidates, then TRUE
+    // trigram-shingle Jaccard computed only for those pairs — the
+    // verify-after-prune pattern: exact math on O(candidates), never on
+    // O(n²) pairs. This is the quality gate a production dedup runs after
+    // minhash screening.
+    "q_jaccard_neardup" -> ((s, d) => {
+      val sh = shingleSets(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = candidatePairs(s, d)
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (round(col("n_inter") /
+            (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) * 10000) / 10000)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup: top-50 most similar vector pairs among
+    // sketch-band candidates. On clustered production embeddings the band
+    // join prunes hard; exact cosine runs only within buckets.
+    "q_embed_neardup" -> ((s, d) => {
+      val planes = AnnPlanes.planes
+      val e = vecs(s, d)
+      def sketchBit(m: Int): Column = {
+        val plane = array(planes(m).map(lit): _*)
+        when(dot(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+      }
+      val sk = e.select(col("vec_id"), col("v"),
+        (0 until 8).map(sketchBit).reduce(_ + _).as("sketch"))
+      // 4 bands of 2 sketch bits: a pair is a candidate if ≥1 band matches
+      val banded = sk.select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(3))).as("band"),
+          col("sketch"))
+        .select(col("vec_id"), col("v"), col("band"),
+          expr("shiftright(sketch, band * 2)").bitwiseAND(3).as("bv"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          col("x.v").as("va"), col("y.v").as("vb"))
+        .distinct()
+        .select(col("vec_a"), col("vec_b"),
+          (round(dot(col("va"), col("vb")) /
+            (norm(col("va")) * norm(col("vb"))) * 1000000) / 1000000).as("cos"))
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+        .limit(50)
     }),
 
     // ANN scale path: sign-of-projection LSH sketch (8 deterministic
