@@ -32,6 +32,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Throughput twin of the reference's headline number (1M msg/s on 18
+      * nodes, BASELINE.md): the full knobs→flood→mapper→reducer pipeline as
+      * one batch plan — 5M knob updates fan out to 50M unit messages,
+      * windowed-counted per knob. Generation happens inside codegen
+      * (`range` + `explode(sequence)`), so this measures the engine, not a
+      * driver loop. Reported as unit rows/sec.
+      */
+    def pipelineThroughput(): Double = {
+      import org.apache.spark.sql.functions._
+      val updates = 5000000L
+      val fanout = 10L
+      val t0 = System.nanoTime()
+      spark.range(0, updates)
+        .select((col("id") % 5).as("knob_id"), (col("id") % 1000).as("w"),
+          explode(sequence(lit(1L), lit(fanout))).as("unit"))
+        .groupBy("knob_id", "w")
+        .agg(count(lit(1)).as("cnt"))
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      updates * fanout / secs
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up: run the cheapest query once, then every query once untimed
     // is too slow at sf0.1 — a single full pass of the smallest table plus
@@ -43,8 +65,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val mps = pipelineThroughput().round
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     // Raw line on BOTH streams: sbt decorates stdout with [info]/[error]
