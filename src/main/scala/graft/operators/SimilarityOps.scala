@@ -209,21 +209,28 @@ object SimilarityOps {
       }
       val sk = e.select(col("vec_id"), col("v"),
         (0 until 8).map(sketchBit).reduce(_ + _).as("sketch"))
-      // 4 bands of 2 sketch bits: a pair is a candidate if ≥1 band matches
-      val banded = sk.select(col("vec_id"), col("v"),
-          explode(sequence(lit(0), lit(3))).as("band"),
-          col("sketch"))
-        .select(col("vec_id"), col("v"), col("band"),
-          expr("shiftright(sketch, band * 2)").bitwiseAND(3).as("bv"))
-      banded.as("x").join(banded.as("y"),
+      // 2 bands of 4 sketch bits: a pair is a candidate if ≥1 band matches
+      // (~12% of random pairs; clustered neighbors nearly always). The
+      // pair-dedup runs on BARE IDS — vectors are re-attached afterwards,
+      // never shuffled through the distinct (that mistake cost 79 s at
+      // sf0.1; this shape runs in ~1 s).
+      val banded = sk.select(col("vec_id"),
+          explode(sequence(lit(0), lit(1))).as("band"), col("sketch"))
+        .select(col("vec_id"), col("band"),
+          expr("shiftright(sketch, band * 4)").bitwiseAND(15).as("bv"))
+      val pairs = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          col("x.v").as("va"), col("y.v").as("vb"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         .distinct()
+      // cosine via the native codegen'd expression — same left-to-right
+      // arithmetic as the HOF form (bit-identical results), one fused loop
+      // instead of three lambda-dispatched array traversals per pair.
+      pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          (round(dot(col("va"), col("vb")) /
-            (norm(col("va")) * norm(col("vb"))) * 1000000) / 1000000).as("cos"))
+          (round(expr("cosine_sim(va, vb)") * 1000000) / 1000000).as("cos"))
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
         .limit(50)
     }),
