@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Tables.Q
 import org.apache.spark.sql.functions._
+import graft.functions.Num.round2
 
 /** Aggregation operators (SURVEY.md §2B "Aggregation").
   *
@@ -32,9 +33,9 @@ object AggOps {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 2).as("avg_qty"),
+          round2(sum("l_quantity")).as("sum_qty"),
+          round2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          round2(avg("l_quantity")).as("avg_qty"),
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"),
           count(lit(1)).as("cnt"))
@@ -57,7 +58,7 @@ object AggOps {
     "q_agg_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+        .agg(round2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"),
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
@@ -66,7 +67,7 @@ object AggOps {
     "q_agg_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+        .agg(round2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"),
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
@@ -78,7 +79,7 @@ object AggOps {
     "q_agg_having" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"), round2(sum("l_quantity")).as("sum_qty"))
         .filter(col("cnt") > 500)
         .orderBy("l_suppkey")
     }),
@@ -108,9 +109,9 @@ object AggOps {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_multi" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-                round(avg(l_quantity), 2) AS avg_qty,
+                round(sum(l_quantity) * 100) / 100 AS sum_qty,
+                round(sum(l_extendedprice * (1.0 - l_discount)) * 100) / 100 AS sum_disc_price,
+                round(avg(l_quantity) * 100) / 100 AS avg_qty,
                 min(l_quantity) AS min_qty,
                 max(l_quantity) AS max_qty,
                 count(*) AS cnt
@@ -123,18 +124,18 @@ object AggOps {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+                round(sum(l_quantity) * 100) / 100 AS sum_qty, count(*) AS cnt,
                 grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+                round(sum(l_quantity) * 100) / 100 AS sum_qty, count(*) AS cnt,
                 grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_having" ->
-      """SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      """SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity) * 100) / 100 AS sum_qty
          FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
          ORDER BY l_suppkey""",
     // DuckDB arg_max has no composite-key overload → window emulation
