@@ -178,7 +178,12 @@ object SimilarityOps {
     // O(n²) pairs. This is the quality gate a production dedup runs after
     // minhash screening.
     "q_jaccard_neardup" -> ((s, d) => {
+      // Shingles are hashed to longs BEFORE the joins: the intersection
+      // join shuffles 8-byte keys instead of ~20-byte shingle strings, and
+      // the equality compare is a long compare. A 64-bit collision within
+      // one document pair is negligible (~1e-15 per pair).
       val sh = shingleSets(s, d)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = candidatePairs(s, d)
       val inter = cand

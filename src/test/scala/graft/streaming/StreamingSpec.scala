@@ -118,6 +118,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file stream source: parquet files appearing in a directory flow through the pipeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    // seed file must exist before readStream infers the schema
+    Seq(KnobEvent(1, 2, ts(100))).toDS().write.mode("overwrite").parquet(s"$dir/batch0")
+    val src = spark.readStream
+      .schema(Seq.empty[KnobEvent].toDS().schema)
+      .parquet(s"$dir/*")
+    val q = StreamOps.pipeline(src.as[KnobEvent], "10 seconds").writeStream
+      .format("memory").queryName("file_sink").outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // a new file lands mid-stream — the source must pick it up
+      Seq(KnobEvent(2, 3, ts(105))).toDS().write.mode("overwrite").parquet(s"$dir/batch1")
+      q.processAllAvailable()
+      val rows = spark.table("file_sink")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 2L), (2L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("RetrySink: succeeds after transient failures, counts attempts") {
     var failures = 3
     var delivered = false
