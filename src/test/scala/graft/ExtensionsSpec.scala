@@ -44,6 +44,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == List((1L, "a b c"), (1L, "b c d"), (3L, "p q r")))
   }
 
+  test("malformed JSON yields null, not a task failure (error containment)") {
+    // the reference logs-and-continues on parse errors (knobs.go:85-90);
+    // the engine's equivalent is permissive parsing: corrupt input -> NULL
+    import spark.implicits._
+    val df = Seq("""{"k": 7}""", """{broken""", "", """[1,2]""", null)
+      .toDF("props")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSeq == Seq(Some(7L), None, None, None, None))
+  }
+
   test("lang-id detects the dominant language of real sentences") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog near the riverbank") == "en")
     assert(LangId.detect("der schnelle braune fuchs springt und die hunde schlafen unter dem baum") == "de")
