@@ -102,6 +102,16 @@ object StreamOps {
       .as[(Timestamp, Timestamp, Long, Long)]
   }
 
+  /** R13 streaming form: the reducer's ever-growing global total
+    * (reducer.go:79,87) as an unbounded streaming aggregation — state is
+    * one row per key in the state store, emitted on change (update mode).
+    */
+  def runningTotals(events: Dataset[KnobEvent]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupBy(col("id")).agg(sum("n").as("total"))
+      .as[(Long, Long)]
+  }
+
   /** The whole reference pipeline as ONE streaming job (SURVEY.md §5.4):
     * latest-per-key (knobs) → fan-out n rows (flood) → windowed count per
     * key (mapper/reducer). Returns the windowed counts; with constant

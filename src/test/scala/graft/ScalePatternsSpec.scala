@@ -39,6 +39,22 @@ class ScalePatternsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned layout prunes at the directory level (PartitionFilters)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val clicks = spark.read.parquet(dir)
+      .filter($"event_type" === "click").select("event_id")
+    val scan = clicks.queryExecution.executedPlan.toString
+    // the predicate must prune PARTITION DIRECTORIES, not filter rows
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning in:\n$scan")
+    assert(clicks.count() ==
+      ev.filter($"event_type" === "click").count())
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape

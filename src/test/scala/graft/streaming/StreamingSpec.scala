@@ -139,6 +139,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningTotals accumulates across batches (R13 streaming form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.runningTotals(input.toDS()).writeStream
+      .format("memory").queryName("tot_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(KnobEvent(1, 5, ts(100)))
+      q.processAllAvailable()
+      input.addData(KnobEvent(1, 7, ts(101)), KnobEvent(2, 2, ts(101)))
+      q.processAllAvailable()
+      val latest = spark.table("tot_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest == Map(1L -> 12L, 2L -> 2L), s"got $latest")
+    } finally q.stop()
+  }
+
+  test("checkpointed window state survives a stop/restart (exactly-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    // run 1: open a window, stop before the watermark closes it
+    val in1 = MemoryStream[KnobEvent]
+    val q1 = StreamOps.windowedCounts(in1.toDS(), "10 seconds").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    in1.addData(KnobEvent(1, 3, ts(100)))
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2, same checkpoint: more data for the SAME window, then a flush.
+    // If state was lost the window would emit 4 (or two rows); restored
+    // state emits one row totalling 7.
+    val in2 = MemoryStream[KnobEvent]
+    in2.addData(KnobEvent(1, 3, ts(100))) // replayed offsets land here too
+    val q2 = StreamOps.windowedCounts(in2.toDS(), "10 seconds").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    in2.addData(KnobEvent(1, 4, ts(105)))
+    in2.addData(KnobEvent(1, 1, ts(500))) // watermark -> 470, closes [100,110)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 100L)
+    assert(rows.toSeq == Seq((100L, 1L, 7L)),
+      s"window state not restored across restart: ${rows.toSeq}")
+  }
+
   test("RetrySink: succeeds after transient failures, counts attempts") {
     var failures = 3
     var delivered = false
