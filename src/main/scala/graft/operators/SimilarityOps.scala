@@ -249,12 +249,8 @@ object SimilarityOps {
       val k = 8
       val cents = ivfCentroids(e, k, iters = 2)
       val cLit = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
-      def cellOf(vcol: Column): Column =
-        (0 until k).map { i =>
-          struct(dot(vcol, element_at(cLit, i + 1)).as("score"),
-            lit(i).as("cid"))
-        }.reduce((a, b) => when(a("score") >= b("score"), a).otherwise(b))
-          .getField("cid")
+      def scoresOf(vcol: Column): Column =
+        array((0 until k).map(i => dot(vcol, element_at(cLit, i + 1))): _*)
       val probeRow = e.filter(col("vec_id") === 0)
       val probe = broadcast(probeRow.select(col("v").as("p")))
       // nprobe=3 cells nearest the probe (by centroid dot product)
@@ -262,7 +258,9 @@ object SimilarityOps {
       def pdot(c: Array[Double]): Double = c.zip(pv).map { case (a, b) => a * b }.sum
       val cells = cents.sortBy { case (_, c) => -pdot(c) }.take(3).map(_._1)
       e.filter(col("vec_id") =!= 0)
-        .withColumn("cell", cellOf(col("v")))
+        .withColumn("scores", scoresOf(col("v")))
+        .withColumn("cell",
+          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
         .filter(col("cell").isin(cells: _*))
         .crossJoin(probe)
         .select(col("vec_id"),
@@ -321,13 +319,16 @@ object SimilarityOps {
       val cLit = array(centroids.map { case (_, c) =>
         array(c.map(lit): _*)
       }: _*)
-      // argmax over k dot products, computed per row inside codegen
-      val assigned = e.select(col("vec_id"), col("v"),
-        (0 until k).map { i =>
-          struct(dot(col("v"), element_at(cLit, i + 1)).as("score"),
-            lit(i).as("cid"))
-        }.reduce((a, b) => when(a("score") >= b("score"), a).otherwise(b))
-          .getField("cid").as("cid"))
+      // argmax via a MATERIALIZED scores array: a nested when()-chain
+      // argmax duplicates each dot-product subtree exponentially (no CSE
+      // across branches; 2^k evaluations measured as 32 s at k=8)
+      val assigned = e
+        .select(col("vec_id"), col("v"),
+          array((0 until k).map(i =>
+            dot(col("v"), element_at(cLit, i + 1))): _*).as("scores"))
+        .select(col("vec_id"), col("v"),
+          (array_position(col("scores"), array_max(col("scores"))) - 1)
+            .cast("int").as("cid"))
       centroids = assigned
         .groupBy("cid")
         .agg(graft.functions.VectorAgg.vectorSumUdaf(col("v")).as("vsum"),

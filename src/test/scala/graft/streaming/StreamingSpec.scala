@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.TestSpark
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{base64, col, struct, to_json}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -215,15 +216,19 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KnobEvent]
-    val pushed = scala.collection.mutable.ArrayBuffer[Long]()
+    val pushed = scala.collection.mutable.ArrayBuffer[String]()
     var flaky = 2
     val q = input.toDS().writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[KnobEvent], _: Long) =>
-        val rows = batch.collect() // small per-batch aggregate, as in reducer.go
+        // R16: the sink payload is base64-wrapped JSON, exactly the
+        // reference's device-config push format (reducer.go:101-110)
+        val payloads = batch
+          .select(base64(to_json(struct(col("id"), col("n")))).as("p"))
+          .collect().map(_.getString(0)) // small per-batch aggregate
         RetrySink.pushWithRetry(maxTries = 10, backoffMs = 1) { () =>
           if (flaky > 0) { flaky -= 1; sys.error("sink down") }
-          pushed ++= rows.map(_.id)
+          pushed ++= payloads
         }
         ()
       }
@@ -231,7 +236,10 @@ class StreamingSpec extends AnyFunSuite {
     try {
       input.addData(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)))
       q.processAllAvailable()
-      assert(pushed.sorted == Seq(1L, 2L), s"got $pushed")
+      val decoded = pushed.map(p =>
+        new String(java.util.Base64.getDecoder.decode(p), "UTF-8")).sorted
+      assert(decoded == Seq("""{"id":1,"n":5}""", """{"id":2,"n":3}"""),
+        s"got $decoded")
     } finally q.stop()
   }
 }
