@@ -33,7 +33,10 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     // Integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa,
-    // so float division would be off by ±1 microsecond.
+    // so float division would be off by ±1 microsecond. `div` truncates
+    // toward zero while DuckDB's ns->us cast floors; they agree because the
+    // fixtures are strictly post-1970 (events start 2024) — a pre-epoch
+    // fixture would need floor-division via pmod.
     raw
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts",

@@ -11,6 +11,7 @@ timestamps normalized to epoch microseconds).
 
 Dev tool only — the Scala library does not depend on this.
 """
+import calendar
 import json
 import math
 import sys
@@ -33,8 +34,10 @@ def norm_cell(v):
     if isinstance(v, pd.Timestamp):
         return v.value // 1000  # epoch micros
     if hasattr(v, "timestamp") and not isinstance(v, (int, str)):
+        # naive datetimes must be treated as UTC regardless of host TZ
         try:
-            return int(v.timestamp() * 1_000_000)
+            micros = getattr(v, "microsecond", 0)
+            return calendar.timegm(v.timetuple()) * 1_000_000 + micros
         except Exception:
             pass
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -66,9 +69,12 @@ def main():
             n_fail += 1
             continue
         try:
+            parts = sorted(qdir.glob("*.parquet"))
+            # row order relies on Verify's coalesce(1); a multi-file output
+            # would silently break the ordered compare — fail loudly instead
+            assert len(parts) == 1, f"{name}: expected 1 part file, got {len(parts)}"
             spark_df = pd.concat(
-                [pd.read_parquet(f) for f in sorted(qdir.glob("*.parquet"))],
-                ignore_index=True)
+                [pd.read_parquet(f) for f in parts], ignore_index=True)
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
