@@ -23,7 +23,8 @@ object SparkEntry {
     (SimilarityOps.queries, SimilarityOps.oracleSql),
     (VectorOps.queries, VectorOps.oracleSql),
     (MediaOps.queries, MediaOps.oracleSql),
-    (ExtensionOps.queries, ExtensionOps.oracleSql)
+    (ExtensionOps.queries, ExtensionOps.oracleSql),
+    (SqlOps.queries, SqlOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
