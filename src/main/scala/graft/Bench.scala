@@ -55,9 +55,16 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warm-up: run the cheapest query once, then every query once untimed
-    // is too slow at sf0.1 — a single full pass of the smallest table plus
-    // one representative query warms the JVM, codegen cache, and FS.
+    // Warm-up: touch every table once (parquet footer + FS cache) plus one
+    // representative query (JVM/codegen paths) — warming only the first
+    // query would leave each table's first-touch cost inside whichever
+    // timed query reads it first.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try Tables.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     names.headOption.foreach(runOnce)
 
     val results = names.map(n => n -> runOnce(n))

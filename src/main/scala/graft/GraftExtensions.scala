@@ -25,7 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val n = children(1) match {
           case Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
+          case Literal(v: Long, _) => v.toInt
+          case Literal(v: Short, _) => v.toInt
+          case Literal(v: Byte, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingles(text, n): n must be an integer literal, got $other")
         }
         ShingleGenerator(children(0), n)
       }))

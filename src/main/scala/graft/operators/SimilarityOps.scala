@@ -45,34 +45,37 @@ object SimilarityOps {
   private val B = 4
   private val R = 4
 
+  /** The 3-word shingle array of a pre-split word column — the ONE place
+    * shingle tokenization lives (review finding: three inline copies had
+    * drifted on the short-document clamp). Documents with fewer than 3
+    * words get an EMPTY array: the `when` guard keeps `sequence(1, n-2)`
+    * from running with n-2 < 1, where Spark infers a NEGATIVE step and
+    * produces indices like 0 that make element_at throw under ANSI mode.
+    */
+  private def shingleArr(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One row per (doc_id, shingle), zero rows for sub-3-word docs. */
+  private def explodedShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(shingleArr(col("w"))).as("sh"))
+
   /** (doc_id, sig: array<long>[K]) MinHash signatures over 3-word shingles.
     * One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
     * pairs, and the K mins partial-aggregate map-side. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val shingle = concat_ws(" ",
-      element_at(col("w"), col("i")), element_at(col("w"), col("i") + 1),
-      element_at(col("w"), col("i") + 2))
-    Tables.documents(s, d)
-      .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(0)))).as("i"))
-      .select(col("doc_id"), shingle.as("sh"))
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    explodedShingles(s, d)
       .groupBy("doc_id")
       .agg(array((0 until K).map(j => min(xxhash64(lit(j), col("sh")))): _*).as("sig"))
-  }
 
   /** Distinct 3-word shingles per doc: (doc_id, sh). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
-    val w = col("w")
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(w) - 2, lit(1))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2)))).as("sh"))
-      .distinct()
-  }
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    explodedShingles(s, d).distinct()
 
   /** Candidate near-dup pairs from the MinHash LSH bands (doc_a < doc_b). */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -110,17 +113,11 @@ object SimilarityOps {
     // stable across runs.
     "q_minhash_neardup" -> ((s, d) => {
       val sigs = minhashSigs(s, d)
-      val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(B - 1)),
-          b => struct(b.as("band"),
-            xxhash64(b, slice(col("sig"), b * lit(R) + 1, lit(R))).as("bh")))).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-        .distinct()
+      // one banding implementation (candidatePairs); signatures re-attach
+      // by two id-joins rather than riding through the band self-join
+      val cand = candidatePairs(s, d)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       cand
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
@@ -147,13 +144,7 @@ object SimilarityOps {
       val sketch = (0 until bits).map { j =>
         when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce(_ + _)
-      val w = col("w")
-      val sk = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), greatest(size(w) - 2, lit(1))),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2)))).as("sh"))
+      val sk = explodedShingles(s, d)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
         .groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), sketch.as("simhash"))
@@ -329,13 +320,19 @@ object SimilarityOps {
         .select(col("vec_id"), col("v"),
           (array_position(col("scores"), array_max(col("scores"))) - 1)
             .cast("int").as("cid"))
-      centroids = assigned
+      val updated = assigned
         .groupBy("cid")
         .agg(graft.functions.VectorAgg.vectorSumUdaf(col("v")).as("vsum"),
           count(lit(1)).as("n"))
         .select(col("cid"),
           transform(col("vsum"), x => x / col("n")).as("c"))
-        .as[(Int, Array[Double])].collect().sortBy(_._1)
+        .as[(Int, Array[Double])].collect().toMap
+      // a cluster that attracted no vectors keeps its previous centroid —
+      // otherwise the array shrinks below k and every later element_at /
+      // array_position cell id misaligns (review finding)
+      centroids = centroids.map { case (cid, old) =>
+        cid -> updated.getOrElse(cid, old)
+      }
     }
     centroids
   }

@@ -92,11 +92,17 @@ object TextOps {
       // Materialize the split ONCE: referencing `split(text)` inside the
       // lambda would re-tokenize the document on every element_at — O(n²)
       // per doc (measured 7.6 s → 0.6 s at sf0.1 for this change).
+      // The `when` guard matters: for <3-word docs, sequence(1, size-2)
+      // would infer a NEGATIVE step and hit element_at(w, 0) — an error
+      // under ANSI mode. Empty array → NULL fingerprint, matching DuckDB's
+      // list_min([]) for the same input.
       val w = col("w")
-      val shingleHashes = transform(
-        sequence(lit(1), size(w) - 2),
-        i => sha2(concat_ws(" ",
-          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)), 256))
+      val shingleHashes = when(size(w) >= 3,
+        transform(
+          sequence(lit(1), size(w) - 2),
+          i => sha2(concat_ws(" ",
+            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)), 256)))
+        .otherwise(array().cast("array<string>"))
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), array_min(shingleHashes).as("fingerprint"))

@@ -122,7 +122,9 @@ object StreamOps {
     import events.sparkSession.implicits._
     events
       .filter(_.n > 0) // R7 before R8: sequence(1,0) would step -1
-      .flatMap(e => (1L to e.n).map(_ => e.copy(n = 1L))) // R8 fan-out
+      // R8 fan-out, emitted LAZILY: a strict (1L to n).map would
+      // materialize an n-element collection per event on the executor heap
+      .flatMap(e => (0L until e.n).iterator.map(_ => e.copy(n = 1L)))
       .withWatermark("ts", "30 seconds")
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("id"))
       .agg(count(lit(1)).as("cnt"))

@@ -34,8 +34,11 @@ def norm_cell(v):
     if isinstance(v, pd.Timestamp):
         return v.value // 1000  # epoch micros
     if hasattr(v, "timestamp") and not isinstance(v, (int, str)):
-        # naive datetimes must be treated as UTC regardless of host TZ
         try:
+            if getattr(v, "tzinfo", None) is not None:
+                # aware: timestamp() honors the UTC offset
+                return int(v.timestamp() * 1_000_000)
+            # naive: treat wall-clock fields as UTC regardless of host TZ
             micros = getattr(v, "microsecond", 0)
             return calendar.timegm(v.timetuple()) * 1_000_000 + micros
         except Exception:
