@@ -44,6 +44,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == List((1L, "a b c"), (1L, "b c d"), (3L, "p q r")))
   }
 
+  test("optimizer rule folds cosine_sim(x, x) to 1.0 for non-nullable input") {
+    val df = spark.range(3)
+      .select(array(col("id").cast("double"), lit(2.0)).as("v"))
+      .select(expr("cosine_sim(v, v)").as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("1.0") && !optimized.contains("cosine_sim"),
+      s"rule did not fold:\n$optimized")
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("malformed JSON yields null, not a task failure (error containment)") {
     // the reference logs-and-continues on parse errors (knobs.go:85-90);
     // the engine's equivalent is permissive parsing: corrupt input -> NULL
