@@ -84,6 +84,37 @@ object AggOps {
         .orderBy("l_suppkey")
     }),
 
+    // Pivot: event counts per user spread across one column per event
+    // type. The type list is EXPLICIT — with it, Spark plans a single
+    // pass (conditional aggregation); without it, a first job must scan
+    // for distinct values. At 100 TB the explicit list is the only
+    // acceptable form.
+    "q_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // Unpivot (melt): the inverse — wide per-type counts back to long
+    // (user_id, event_type, cnt) rows via stack().
+    "q_unpivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), expr(
+          """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+             'signup', signup, 'view', view) AS (event_type, cnt)"""))
+        .filter(col("cnt") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
     // R5 batch twin: arg-max by event timestamp per key (reference
     // knobs.go:101-102 keeps the newest record per knob, dropping
     // out-of-order arrivals). max_by is a single-pass aggregate — no
@@ -138,6 +169,20 @@ object AggOps {
       """SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity) * 100) / 100 AS sum_qty
          FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
          ORDER BY l_suppkey""",
+    "q_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """SELECT user_id, event_type, cnt FROM (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY user_id, event_type)
+         WHERE cnt > 0
+         ORDER BY user_id, event_type""",
     // DuckDB arg_max has no composite-key overload → window emulation
     // with the identical (epoch_us(ts), event_id) ordering.
     "q_latest_per_key" ->
