@@ -59,12 +59,17 @@ object Bench {
     // representative query (JVM/codegen paths) — warming only the first
     // query would leave each table's first-touch cost inside whichever
     // timed query reads it first.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+    Tables.names.foreach { t =>
       try Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up of $t FAILED (timings will " +
+          s"carry its first-touch cost): ${e.getMessage}")
+      }
     }
-    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+    try Tables.events(spark, sfDir).count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warm-up of events FAILED: ${e.getMessage}")
+    }
     names.headOption.foreach(runOnce)
 
     val results = names.map(n => n -> runOnce(n))

@@ -13,6 +13,12 @@ object Tables {
   /** A query entry as registered in [[SparkEntry.queries]]. */
   type Q = (SparkSession, String) => DataFrame
 
+  /** All fixture tables, the single source of truth for harness loops
+    * (Bench warm-up, SqlOps view registration). `events` needs its
+    * dedicated loader for the nanos timestamp handling. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -16,6 +16,19 @@ import graft.functions.Num.round2
   */
 object AggOps {
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user counts pivoted to one column per event type — shared by
+    * q_pivot and q_unpivot. The fill is SCOPED to the count columns: an
+    * unscoped na.fill would also rewrite a null group key to 0, colliding
+    * with a real user 0. */
+  private def pivotedCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+
   val queries: Map[String, Q] = Map(
     // R10/R11: count per key. Partial agg on the scan side means the
     // shuffle carries one row per (partition, key) — at 100 TB the shuffle
@@ -89,25 +102,12 @@ object AggOps {
     // pass (conditional aggregation); without it, a first job must scan
     // for distinct values. At 100 TB the explicit list is the only
     // acceptable form.
-    "q_pivot" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
-        .count()
-        .na.fill(0L)
-        .orderBy("user_id")
-    }),
+    "q_pivot" -> ((s, d) => pivotedCounts(s, d).orderBy("user_id")),
 
     // Unpivot (melt): the inverse — wide per-type counts back to long
     // (user_id, event_type, cnt) rows via stack().
     "q_unpivot" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
-        .count()
-        .na.fill(0L)
+      pivotedCounts(s, d)
         .select(col("user_id"), expr(
           """stack(5, 'click', click, 'error', error, 'purchase', purchase,
              'signup', signup, 'view', view) AS (event_type, cnt)"""))

@@ -16,9 +16,7 @@ object SqlOps {
 
   /** Register every fixture table as a temp view for SQL-text queries. */
   def registerViews(s: SparkSession, d: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
-      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    Tables.names.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
     Tables.events(s, d).createOrReplaceTempView("events")
   }
 

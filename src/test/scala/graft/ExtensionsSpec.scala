@@ -24,16 +24,17 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("cosine_sim participates in whole-stage codegen (no fallback)") {
     // A local Seq would be constant-folded to LocalTableScan; a parquet
-    // scan forces a real codegen stage.
+    // scan forces a real codegen stage. Arguments must DIFFER or the
+    // SimplifySelfCosine rule rewrites the expression to self_cosine.
     val e = Tables.embeddings(spark, TestSpark.sf)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-      .select(expr("cosine_sim(v, v)").as("c"))
+      .select(expr("cosine_sim(v, reverse(v))").as("c"))
     // codegen stages render as "*(n)" in the plan string; the Project
     // evaluating cosine_sim must carry the asterisk (i.e. not fall back).
     val plan = e.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"),
       s"cosine_sim Project not codegen'd:\n$plan")
-    assert(e.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    assert(e.collect().forall(r => math.abs(r.getDouble(0)) <= 1.0 + 1e-9))
   }
 
   test("shingles UDTF emits one row per n-gram, none for short texts") {
@@ -44,14 +45,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == List((1L, "a b c"), (1L, "b c d"), (3L, "p q r")))
   }
 
-  test("optimizer rule folds cosine_sim(x, x) to 1.0 for non-nullable input") {
+  test("optimizer rule rewrites cosine_sim(x, x) to the one-pass self_cosine") {
     val df = spark.range(3)
       .select(array(col("id").cast("double"), lit(2.0)).as("v"))
       .select(expr("cosine_sim(v, v)").as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("1.0") && !optimized.contains("cosine_sim"),
-      s"rule did not fold:\n$optimized")
+    assert(optimized.contains("self_cosine") && !optimized.contains("cosine_sim"),
+      s"rule did not rewrite:\n$optimized")
     assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
+  test("self-cosine rewrite preserves NaN for zero vectors (no constant fold)") {
+    val df = spark.range(1)
+      .select(array(lit(0.0), lit(0.0)).as("v"))
+      .select(expr("cosine_sim(v, v)").as("c"))
+    // a literal-1.0 fold would wrongly return 1.0 here; the rewrite must
+    // keep the degenerate 0/0 = NaN semantics of the full formula
+    assert(df.first().getDouble(0).isNaN)
   }
 
   test("malformed JSON yields null, not a task failure (error containment)") {
