@@ -8,11 +8,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** `cosine_sim(x, x)` reduced to a single traversal: with both sides equal,
-  * dot = Σx² = ‖x‖², so the result is s/s — which is 1.0 exactly when the
-  * full formula would be, and NaN exactly when it would be (zero vector →
-  * 0/0, NaN/∞ element → NaN/NaN). NOT folded to a literal: nullability
-  * can't see value-dependent degeneracy, so a constant 1.0 would silently
-  * change results for zero or NaN-bearing vectors.
+  * dot = Σx² = s, so the result is s/(√s·√s) — evaluated EXACTLY in that
+  * form, not simplified to s/s, because √s·√s differs from s by 1 ulp for
+  * roughly half of all norms (2/(√2·√2) = 0.9999999999999998 in IEEE
+  * double). An optimizer rule must never change observable results, so the
+  * rewrite keeps the full formula's bit pattern, including the degenerate
+  * cases (zero vector → 0/0 = NaN, NaN/∞ element → NaN). NOT folded to a
+  * literal: nullability can't see value-dependent degeneracy, so a
+  * constant 1.0 would silently change results for zero or NaN-bearing
+  * vectors — and for every norm on the wrong side of that ulp.
   */
 case class SelfCosine(child: Expression)
     extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
@@ -28,7 +32,7 @@ case class SelfCosine(child: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
-    s / s
+    s / (math.sqrt(s) * math.sqrt(s))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,7 +46,7 @@ case class SelfCosine(child: Expression)
          |  double $v = $a.getDouble($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = $s / $s;
+         |${ev.value} = $s / (java.lang.Math.sqrt($s) * java.lang.Math.sqrt($s));
        """.stripMargin
     })
 

@@ -40,14 +40,20 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
-    // TPC-H Q1 shape: multi-aggregate per group. Doubles rounded for
-    // oracle hash-stability (SURVEY.md §7.4).
+    // TPC-H Q1 shape: multi-aggregate per group. Sums run over
+    // DECIMAL(18,2) (the q_decimal_agg treatment) so they are EXACT
+    // regardless of aggregation order at any sf — round2-after-sum can
+    // land on a half-cent boundary once groups are large enough. The
+    // derived product is round2'd PER ROW first, making the
+    // double→decimal cast exact in both engines.
     "q_agg_multi" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round2(sum("l_quantity")).as("sum_qty"),
-          round2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,2)")).cast("double").as("sum_disc_price"),
           round2(avg("l_quantity")).as("avg_qty"),
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"),
@@ -140,8 +146,9 @@ object AggOps {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_multi" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity) * 100) / 100 AS sum_qty,
-                round(sum(l_extendedprice * (1.0 - l_discount)) * 100) / 100 AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) / 100
+                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
                 round(avg(l_quantity) * 100) / 100 AS avg_qty,
                 min(l_quantity) AS min_qty,
                 max(l_quantity) AS max_qty,

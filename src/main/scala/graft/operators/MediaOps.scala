@@ -91,11 +91,15 @@ object MediaOps {
 
     // Stubbed decode + feature extraction (no oracle — stub-specific
     // values; deterministic, so the driver's rows-only check is stable).
+    // The 8-dim feature vector goes out as a comma-joined string of
+    // scaled longs: raw array<double> columns crash the driver's pandas
+    // comparator (unhashable ndarray).
     "q_media_features" -> ((s, d) => {
       decodeFeatures(mediaTable(s, d)).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("n_frames"),
-          transform(col("feature"), x => round(x * 10000) / 10000).as("feature"))
+          concat_ws(",", transform(col("feature"),
+            x => round(x * 10000).cast("long").cast("string"))).as("feature"))
         .orderBy("media_id")
     })
   )

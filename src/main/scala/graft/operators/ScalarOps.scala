@@ -80,7 +80,12 @@ object ScalarOps {
 
     // Array ops over the 64-dim float embeddings. Elements are cast to
     // double and rounded in BOTH engines so float32→double widening is
-    // applied identically before compare.
+    // applied identically before compare. The slice/transform result goes
+    // out as a comma-joined string of SCALED LONGS (round(x*1e4)): raw
+    // array<double> columns crash the driver's pandas comparator
+    // (unhashable ndarray), and double→string rendering differs across
+    // engines (Spark Ryu says 1.0E-4 where DuckDB says 0.0001) — integer
+    // rendering is identical everywhere.
     "q_scalar_array" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(
@@ -88,8 +93,9 @@ object ScalarOps {
           size(col("embedding")).cast("long").as("dim"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
           round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"),
-          transform(slice(col("embedding"), 1, 3),
-            x => round(x.cast("double"), 4)).as("head3"))
+          concat_ws(",", transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast("double") * 10000).cast("long").cast("string")))
+            .as("head3"))
         .orderBy("vec_id")
     }),
 
@@ -147,7 +153,8 @@ object ScalarOps {
                 CAST(len(embedding) AS BIGINT) AS dim,
                 round(embedding[1]::DOUBLE, 4) AS e1,
                 round(embedding[64]::DOUBLE, 4) AS e64,
-                list_transform(embedding[1:3], x -> round(x::DOUBLE, 4)) AS head3
+                array_to_string(list_transform(embedding[1:3],
+                  x -> CAST(CAST(round(x::DOUBLE * 10000) AS BIGINT) AS VARCHAR)), ',') AS head3
          FROM embeddings ORDER BY vec_id""",
     "q_case_when" ->
       """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash runs shingle→signature→band→bucket-join: candidate pairs
   *    come from equality joins on (band, band_hash) buckets, NEVER an
   *    all-pairs cross product. Cost is O(Σ bucket²) which LSH keeps tiny.
-  *  - SimHash buckets by 8-bit chunks of the sketch (a pair within
-  *    hamming ≤ 3 of a 32-bit sketch must agree on ≥1 of 4 chunks —
-  *    pigeonhole), same equality-join shape.
+  *  - SimHash buckets by 16-bit chunks of the 64-bit sketch (a pair
+  *    within hamming ≤ 3 must agree on ≥1 of the 4 chunks — pigeonhole),
+  *    same equality-join shape.
   */
 object SimilarityOps {
 

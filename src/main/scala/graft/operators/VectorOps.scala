@@ -15,6 +15,10 @@ object VectorOps {
     // Aggregator: partial vector sums per partition, one shuffle of
     // (label, vec64) rows — the reference's reducer fold (reducer.go:146-153)
     // as a first-class Catalyst aggregate.
+    // Output is LONG FORM (label, dim, c) rather than one array<double>
+    // row per label: raw array columns crash the driver's pandas
+    // comparator (unhashable ndarray), and the long form is also what a
+    // downstream per-dimension analysis would join against.
     "q_vector_centroid" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(
         col("label").cast("long").as("label"),
@@ -22,10 +26,10 @@ object VectorOps {
       e.groupBy("label")
         .agg(VectorAgg.vectorSumUdaf(col("v")).as("vsum"),
           count(lit(1)).as("n"))
-        .select(col("label"),
-          transform(col("vsum"), x => round(x / col("n") * 10000) / 10000)
-            .as("centroid"))
-        .orderBy("label")
+        .select(col("label"), col("n"), posexplode(col("vsum")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          (round(col("col") / col("n") * 10000) / 10000).as("c"))
+        .orderBy("label", "dim")
     }),
 
     // HLL sketch distinct — no oracle (sketches differ across engines);
@@ -40,16 +44,13 @@ object VectorOps {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // Per-dim average via a constant 64-row series cross join, re-assembled
-    // in dim order — arithmetic mirrored (sum/count then scaled round).
+    // Per-dim average via a constant 64-row series cross join — arithmetic
+    // mirrored (sum/count then scaled round), one row per (label, dim).
     "q_vector_centroid" ->
-      """WITH per AS (
-           SELECT CAST(label AS BIGINT) AS label, i AS dim,
-                  round(sum(embedding[i]::DOUBLE) / count(*) * 10000) / 10000 AS a
-           FROM embeddings, generate_series(1, 64) AS g(i)
-           GROUP BY label, i
-         )
-         SELECT label, list(a ORDER BY dim) AS centroid
-         FROM per GROUP BY label ORDER BY label"""
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+                round(sum(embedding[i]::DOUBLE) / count(*) * 10000) / 10000 AS c
+         FROM embeddings, generate_series(1, 64) AS g(i)
+         GROUP BY label, i
+         ORDER BY label, dim"""
   )
 }

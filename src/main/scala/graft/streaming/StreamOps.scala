@@ -44,8 +44,15 @@ object StreamOps {
       .flatMapGroupsWithState[KnobState, KnobState](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (id: Long, updates: Iterator[KnobEvent], state: GroupState[KnobState]) =>
-          val newest = updates.maxBy(e => (e.ts.getTime, e.n))
-          val newestUs = newest.ts.getTime * 1000L
+          // Compare at MICROS precision (getTime is millis; the sub-ms
+          // component lives in getNanos): a millis-truncated compare would
+          // drop an event genuinely newer by <1 ms as a stale tie,
+          // diverging from the batch twin q_latest_per_key, which orders
+          // by unix_micros.
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+          val newest = updates.maxBy(e => (micros(e.ts), e.n))
+          val newestUs = micros(newest.ts)
           if (state.getOption.forall(_.tsMicros < newestUs)) {
             val next = KnobState(id, newest.n, newestUs)
             state.update(next)
