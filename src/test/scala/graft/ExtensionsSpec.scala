@@ -47,12 +47,53 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("optimizer rule rewrites cosine_sim(x, x) to the one-pass self_cosine") {
     val df = spark.range(3)
-      .select(array(col("id").cast("double"), lit(2.0)).as("v"))
-      .select(expr("cosine_sim(v, v)").as("c"))
+      .select(col("id"), array(col("id").cast("double"), lit(2.0)).as("v"))
+      .select(col("id"), expr("cosine_sim(v, v)").as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.contains("self_cosine") && !optimized.contains("cosine_sim"),
       s"rule did not rewrite:\n$optimized")
-    assert(df.collect().forall(_.getDouble(0) == 1.0))
+    // An optimizer rule must not change observable results: the rewrite
+    // evaluates s/(√s·√s) — which is 1 ulp BELOW 1.0 for about half of all
+    // norms (e.g. s=5) — so assert BIT-equality against the unrewritten
+    // formula, never == 1.0 (that was the bug the rewrite fix removed).
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L to 2L).foreach { i =>
+      val s = i.toDouble * i.toDouble + 4.0 // v = [i, 2.0] → Σx² = i² + 4
+      val expected = s / (math.sqrt(s) * math.sqrt(s))
+      assert(java.lang.Double.doubleToRawLongBits(got(i)) ==
+        java.lang.Double.doubleToRawLongBits(expected),
+        s"id=$i: got ${got(i)}, expected $expected (bit-exact)")
+    }
+  }
+
+  test("cosine_sim returns NULL for mismatched lengths, matching the HOF form") {
+    import spark.implicits._
+    // Interpreted path: a LocalRelation project is constant-folded through
+    // nullSafeEval by ConvertToLocalRelation.
+    val local = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(local.select(expr("cosine_sim(a, b)")).first().isNullAt(0))
+    // The zip_with HOF formulation null-pads the shorter side and poisons
+    // the sum — NULL out, same contract.
+    val hof = local.select(
+      (aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (a, x) => a + x)) *
+          sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (a, x) => a + x))))
+        .as("c"))
+    assert(hof.first().isNullAt(0))
+    // Codegen path: range input is not foldable, so the isNull branch in
+    // doGenCode executes inside WholeStageCodegen.
+    val gen = spark.range(1)
+      .select(array(col("id").cast("double"), lit(1.0), lit(2.0)).as("a"),
+        array(col("id").cast("double"), lit(1.0)).as("b"))
+      .select(expr("cosine_sim(a, b)").as("c"))
+    assert(gen.first().isNullAt(0))
+    // equal lengths on the same codegen path still compute (sanity)
+    val ok = spark.range(1)
+      .select(array(col("id").cast("double"), lit(1.0)).as("a"),
+        array(col("id").cast("double"), lit(1.0)).as("b"))
+      .select(expr("cosine_sim(a, b)").as("c"))
+    assert(ok.first().getDouble(0) == 1.0)
   }
 
   test("self-cosine rewrite preserves NaN for zero vectors (no constant fold)") {
