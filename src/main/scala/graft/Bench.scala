@@ -42,10 +42,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** (median, min, max) of 3 runs; (-1,-1,-1) if any run fails. */
+    /** (median, min, max) of 3 runs; (-1,-1,-1) on failure. Short-circuits
+      * at the first failing run — a broken query fails deterministically,
+      * so burning two more multi-second attempts just delays the bench. */
     def runMedian(name: String): (Double, Double, Double) = {
-      val ts = Seq.fill(3)(runOnce(name))
-      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
+      val ts = Iterator.continually(runOnce(name)).take(3)
+        .takeWhile(_ >= 0).toSeq
+      if (ts.length < 3) (-1.0, -1.0, -1.0)
       else { val s = ts.sorted; (s(1), s.head, s.last) }
     }
 

@@ -1,9 +1,8 @@
 package graft
-import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 object ExplainNearDup {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(appName = "explain-neardup")
-    val d = "/root/testdata/sf0.01"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (q <- Seq("q_minhash_neardup", "q_jaccard_neardup")) {
       val df = SparkEntry.queries(q)(spark, d)
       df.write.format("noop").mode("overwrite").save() // materialize cache

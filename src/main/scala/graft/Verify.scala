@@ -13,7 +13,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally spark.catalog.clearCache() // queries that persist()
+      // intermediates (the near-dup family) must not leave corpus-sized
+      // cache frames registered for the remaining 50+ queries of the run
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

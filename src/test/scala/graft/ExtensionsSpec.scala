@@ -88,12 +88,19 @@ class ExtensionsSpec extends AnyFunSuite {
         array(col("id").cast("double"), lit(1.0)).as("b"))
       .select(expr("cosine_sim(a, b)").as("c"))
     assert(gen.first().isNullAt(0))
-    // equal lengths on the same codegen path still compute (sanity)
+    // equal lengths on the same codegen path still compute (sanity).
+    // a and b must DIFFER IN VALUE: semantically-equal expressions collapse
+    // under project-merge and SimplifySelfCosine rewrites them to
+    // self_cosine, bypassing the compute branch this case is meant to hit.
     val ok = spark.range(1)
-      .select(array(col("id").cast("double"), lit(1.0)).as("a"),
-        array(col("id").cast("double"), lit(1.0)).as("b"))
+      .select(array(col("id") + 1.0, lit(2.0)).as("a"),
+        array(col("id") + 3.0, lit(4.0)).as("b"))
       .select(expr("cosine_sim(a, b)").as("c"))
-    assert(ok.first().getDouble(0) == 1.0)
+    // id=0 → a=[1,2], b=[3,4]; same fused-loop order as the expression
+    val expected = (1.0 * 3.0 + 2.0 * 4.0) /
+      (math.sqrt(1.0 * 1.0 + 2.0 * 2.0) * math.sqrt(3.0 * 3.0 + 4.0 * 4.0))
+    assert(java.lang.Double.doubleToRawLongBits(ok.first().getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(expected))
   }
 
   test("self-cosine rewrite preserves NaN for zero vectors (no constant fold)") {
