@@ -74,7 +74,12 @@ object Bench {
       updates * fanout / secs
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args filter: `runMain graft.Bench q_a q_b` times only those
+    // queries — the full-suite default is what the driver runs.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all else all.filter(args.toSet)
+    }
     // Warm-up: touch every table once (parquet footer + FS cache) plus one
     // representative query (JVM/codegen paths) — warming only the first
     // query would leave each table's first-touch cost inside whichever

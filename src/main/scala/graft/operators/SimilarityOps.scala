@@ -41,8 +41,14 @@ object SimilarityOps {
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   // ---- MinHash parameters: K = B×R signature, bands of R rows ----
-  private val K = 16
-  private val B = 4
+  // K=32/B=8 (was 16/4): at the q_jaccard threshold J=0.8 a true pair
+  // misses all bands with prob (1-0.8⁴)⁸ ≈ 1.5% (vs 12% at B=4), and at
+  // the fixture's planted J≈0.9 it's ~2e-4 (vs 1.4%, which deterministically
+  // dropped pair (26,455) against the exact all-pairs oracle). R stays 4 so
+  // the random-pair candidate rate stays ~J⁴ per band — the banding cost at
+  // 100 TB is driven by bucket sizes, not by K.
+  private val K = 32
+  private val B = 8
   private val R = 4
 
   /** The 3-word shingle array of a pre-split word column — the ONE place
@@ -374,9 +380,38 @@ object SimilarityOps {
            FROM embeddings e, probe
            WHERE e.vec_id <> 0)
          ORDER BY cos DESC, vec_id LIMIT 20"""
-    // q_minhash_neardup / q_simhash_neardup / q_ann_lsh_topk: approximate
-    // operators, xxhash64-based — not expressible in DuckDB; scalatest
-    // property-tests them against exact Jaccard / brute-force cosine.
+    // q_minhash_neardup / q_simhash_neardup: xxhash64-based sketches — not
+    // expressible in DuckDB; scalatest property-tests them against exact
+    // Jaccard.
+    ,
+    // Exact ALL-PAIRS trigram Jaccard (125k pairs at 500 docs): proves the
+    // LSH candidate generation loses NOTHING — the Spark side only computes
+    // Jaccard on band-bucket candidates, so a hash-match here means recall
+    // was exactly 1.0 at threshold 0.8. (This oracle caught the K=16/B=4
+    // parameters dropping a J=0.9 pair; see the K/B comment above.)
+    "q_jaccard_neardup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in generate_series(1, len(w) - 2)]) AS sh
+           FROM w WHERE len(w) >= 3
+         ),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT doc_a, doc_b,
+           round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 AS jaccard
+         FROM inter
+         JOIN sizes za ON doc_a = za.doc_id
+         JOIN sizes zb ON doc_b = zb.doc_id
+         WHERE round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 >= 0.8
+         ORDER BY doc_a, doc_b"""
   )
 }
 
