@@ -363,6 +363,22 @@ object SimilarityOps {
     centroids
   }
 
+  // ---- DuckDB oracle SQL for the hyperplane-sketch ANN family ----
+  // The 8 planes are inlined as literal lists: Double.toString emits the
+  // shortest decimal that round-trips, so DuckDB parses the identical
+  // 64-bit value and every sketch bit matches the Spark side exactly.
+  private def planeLit(m: Int): String =
+    AnnPlanes.planes(m).mkString("[", ", ", "]")
+
+  /** The 8-bit sign-of-projection sketch of `embedding`, as DuckDB SQL —
+    * the twin of `sketchBit` in q_ann_lsh_topk / q_embed_neardup. */
+  private def sketchSql: String =
+    (0 until 8).map { m =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> embedding[i]::DOUBLE * (${planeLit(m)})[i])) > 0 " +
+        s"THEN ${1 << m} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
     // Same arithmetic, same order: per-element double products summed left
     // to right, then the scaled-integer round (see Num.round2 rationale).
@@ -411,7 +427,54 @@ object SimilarityOps {
          JOIN sizes za ON doc_a = za.doc_id
          JOIN sizes zb ON doc_b = zb.doc_id
          WHERE round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 >= 0.8
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+
+    // Full replication of the multi-probe LSH pipeline — sketches, the
+    // hamming≤3 candidate filter, exact cosine on candidates — so a hash
+    // match checks the PRUNED result, not just the arithmetic.
+    "q_ann_lsh_topk" ->
+      s"""WITH sk AS (
+           SELECT vec_id, embedding, $sketchSql AS sketch FROM embeddings
+         ),
+         probe AS (SELECT embedding AS p, sketch AS ps FROM sk WHERE vec_id = 0)
+         SELECT vec_id, round(dot / (ne * np) * 1000000) / 1000000 AS cos
+         FROM (
+           SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> e.embedding[i]::DOUBLE * probe.p[i]::DOUBLE)) AS dot,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS ne,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> probe.p[i]::DOUBLE * probe.p[i]::DOUBLE))) AS np
+           FROM sk e, probe
+           WHERE e.vec_id <> 0
+             AND bit_count(xor(e.sketch::BIGINT, probe.ps::BIGINT)) <= 3)
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    // Sketch-band candidates (≥1 of 2 four-bit bands agrees), exact cosine
+    // on candidate pairs only — band 0 = sketch % 16, band 1 = sketch // 16.
+    "q_embed_neardup" ->
+      s"""WITH sk AS (
+           SELECT vec_id, embedding, $sketchSql AS sketch FROM embeddings
+         ),
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS va, b.embedding AS vb
+           FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+             AND ((a.sketch % 16 = b.sketch % 16)
+               OR (a.sketch // 16 = b.sketch // 16))
+         )
+         SELECT vec_a, vec_b, round(dot / (na * nb) * 1000000) / 1000000 AS cos
+         FROM (
+           SELECT vec_a, vec_b,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> va[i]::DOUBLE * vb[i]::DOUBLE)) AS dot,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> va[i]::DOUBLE * va[i]::DOUBLE))) AS na,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> vb[i]::DOUBLE * vb[i]::DOUBLE))) AS nb
+           FROM pairs)
+         ORDER BY cos DESC, vec_a, vec_b LIMIT 50"""
   )
 }
 
