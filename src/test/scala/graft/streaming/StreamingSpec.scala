@@ -140,6 +140,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventSource seam: pipeline results are identical via memory and file sources") {
+    import spark.implicits._
+    val fixture = Seq(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)),
+      KnobEvent(3, 0, ts(102)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_evsrc").toString
+    fixture.toDS().write.mode("overwrite").parquet(s"$dir/b0")
+    val memSrc = new MemoryEventSource(spark)
+    memSrc.add(fixture: _*)
+    val results = Seq("ev_file" -> (new FileEventSource(dir): EventSource),
+      "ev_mem" -> (memSrc: EventSource)).map { case (sink, src) =>
+      val q = StreamOps.pipeline(src.stream(spark), "10 seconds").writeStream
+        .format("memory").queryName(sink).outputMode(OutputMode.Update()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sink).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(results.head == Set((1L, 5L), (2L, 3L)), s"file source: ${results.head}")
+    assert(results.head == results(1),
+      s"sources diverged: file=${results.head} mem=${results(1)}")
+  }
+
+  test("EventSource seam: rate-micro-batch emits the deterministic value mapping") {
+    val src = new RateEventSource(rowsPerBatch = 10)
+    val q = src.stream(spark).writeStream
+      .format("memory").queryName("ev_rate").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    // first batch is values 0..9: id = v % 5, n = v % 10 + 1 — pure function
+    val got = spark.table("ev_rate")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.take(10).toList
+    assert(got == (0 until 10).map(v => (v % 5L, v % 10 + 1L)).sorted.toList,
+      s"got $got")
+  }
+
   test("runningTotals accumulates across batches (R13 streaming form)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
