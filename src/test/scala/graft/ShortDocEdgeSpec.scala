@@ -43,5 +43,10 @@ class ShortDocEdgeSpec extends AnyFunSuite {
     val mh = SparkEntry.queries("q_minhash_neardup")(spark, miniDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(mh.contains((4L, 5L)), s"identical docs not found as dup: ${mh.toSeq}")
+    // identical texts → identical shingle multisets → identical simhash
+    // sketch → hamming 0: the guaranteed-recall subclass of simhash
+    val sh = SparkEntry.queries("q_simhash_neardup")(spark, miniDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.contains((4L, 5L)), s"identical docs not simhash-paired: ${sh.toSeq}")
   }
 }

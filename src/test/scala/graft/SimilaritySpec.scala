@@ -74,6 +74,57 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted neighbors not recovered: $got")
   }
 
+  test("simhash surfaced pairs are all true near-dups (precision contract)") {
+    // SimHash at hamming≤3 over ~90-shingle docs is the high-PRECISION
+    // screen: single-shingle edits flip several marginal bits, so recall
+    // on J≈0.98 pairs is deliberately partial (the minhash/jaccard path
+    // owns recall — its oracle proves recall 1.0). The content contract
+    // worth asserting here: everything surfaced IS a near-dup, and
+    // identical docs (hamming 0) are NEVER missed (ShortDocEdgeSpec).
+    val found = graft.operators.SimilarityOps
+      .queries("q_simhash_neardup")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.nonEmpty, "fixtures contain planted near-dups; none found")
+    val ids = found.flatMap(p => Seq(p._1, p._2)).toSet
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    found.foreach { case (a, b) =>
+      val (sa, sb) = (shingles(docs(a)), shingles(docs(b)))
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      assert(j >= 0.5, s"pair ($a,$b): exact J=$j — simhash surfaced a non-dup")
+    }
+    assert(ids.size >= 2)
+  }
+
+  test("embed near-dup surfaces planted near-identical vectors at the top") {
+    import spark.implicits._
+    // The fixture embeddings are random (max off-diag cos ≈ 0.37), so
+    // plant the structure: 3 base vectors, each with a near-identical
+    // jittered twin (cos ≈ 0.999), among 100 random unit vectors.
+    val rng = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def rand(): Array[Double] = unit(Array.fill(64)(rng.nextGaussian()))
+    def jit(b: Array[Double], eps: Double): Array[Double] =
+      unit(b.zip(Array.fill(64)(rng.nextGaussian())).map { case (x, g) => x + eps * g })
+    val planted = Array.fill(3)(rand()).zipWithIndex.flatMap { case (b, i) =>
+      Seq((100L + 2 * i, b), (101L + 2 * i, jit(b, 0.03)))
+    }
+    val rows = planted ++ (0 until 100).map(i => (200L + i, rand()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embfix").toString
+    rows.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("float")).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.SimilarityOps.queries("q_embed_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.take(3).toSet == Set((100L, 101L), (102L, 103L), (104L, 105L)),
+      s"planted twins not the top pairs: ${got.take(3).toSeq}")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val exact = li.select(countDistinct("l_partkey")).first().getLong(0)
