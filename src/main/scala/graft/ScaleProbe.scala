@@ -2,16 +2,21 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scale probe: `runMain graft.ScaleProbe [nDocs]` (default 50,000).
+/** Scale probe: `runMain graft.ScaleProbe [nDocs] [nVecs]` (defaults
+  * 50,000 docs / 100,000 vectors).
   *
-  * The fixture `documents` table is 500 rows at every sf, so the near-dup
-  * pipeline's scaling behavior is otherwise untested. This main generates
-  * an nDocs-corpus (deterministic, hash-derived words, ~60 words/doc) with
-  * 1% planted near-duplicates (a copy of another doc with the last 3 words
-  * changed), writes it as a fixture-shaped parquet dir, runs the REAL
-  * registered queries against it, and reports wall-times plus near-dup
-  * recall on the planted pairs. Everything — generation included — is
-  * distributed DataFrame work; the driver only sees counters.
+  * The fixture `documents`/`embeddings` tables are 500 rows at every sf,
+  * so the near-dup and ANN pipelines' scaling behavior is otherwise
+  * untested. This main generates (a) an nDocs-corpus (deterministic,
+  * hash-derived words, ~60 words/doc) with 1% planted near-duplicates
+  * (trigram Jaccard ≈ 0.90) and (b) an nVecs embedding table (hash-seeded
+  * Box–Muller gaussians) with 10 planted near-neighbors of the probe
+  * vector (cos ≈ 0.998), writes both as fixture-shaped parquet dirs, runs
+  * the REAL registered queries against them, and reports wall-times plus
+  * recall — near-dup recall on planted pairs, ANN recall@10 against the
+  * exact brute-force top-10. Everything — generation included — is
+  * distributed DataFrame work; the driver only sees counters and top-k
+  * lists.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -73,6 +78,81 @@ object ScaleProbe {
     println(f"[scale-probe] planted-pair recall: $recall%.3f " +
       s"(${planted.count(found.toSet)}/${planted.size} found, " +
       s"${found.length - planted.count(found.toSet)} extra pairs)")
+
+    // ---- ANN at scale: planted near-neighbors among nVecs vectors ----
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(100000L)
+    val dim = 64
+    val vdir = s"/tmp/graft_scale_vec_$nVecs"
+    // standard normal from two hash-uniforms (Box–Muller); fully codegen'd,
+    // so generation is one distributed projection, no driver RNG
+    def unif(c: org.apache.spark.sql.Column, salt: String) =
+      (pmod(xxhash64(concat(c, lit(salt))), lit(1000000000L)).cast("double")
+        + 0.5) / 1000000000.0
+    def gauss(c: org.apache.spark.sql.Column, j: Int) =
+      sqrt(lit(-2.0) * log(unif(c, s"_a$j"))) *
+        cos(lit(2 * math.Pi) * unif(c, s"_b$j"))
+    // ids 1..10: probe (id 0) + 5% noise → cos ≈ 0.998 planted neighbors;
+    // cosine is scale-invariant so no normalization needed
+    val comps = (0 until dim).map { j =>
+      val own = gauss(col("id"), j)
+      val probe = gauss(lit("0"), j)
+      when(col("id").between(1, 10), probe + lit(0.05) * own)
+        .otherwise(own).cast("float")
+    }
+    spark.range(0, nVecs)
+      .select(col("id").as("vec_id"), array(comps: _*).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$vdir/embeddings.parquet")
+    println(s"[scale-probe] embeddings: $nVecs vectors at $vdir")
+
+    import org.apache.spark.sql.DataFrame
+    def topIds(df: DataFrame): Array[Long] =
+      df.select("vec_id").as[Long].collect()
+    var exact, ann, ivf = Array.empty[Long]
+    time("q_similarity_topk") { // exact brute force = ground truth
+      exact = topIds(SparkEntry.queries("q_similarity_topk")(spark, vdir)); exact.length
+    }
+    time("q_ann_lsh_topk") {
+      ann = topIds(SparkEntry.queries("q_ann_lsh_topk")(spark, vdir)); ann.length
+    }
+    time("q_ivf_topk") {
+      ivf = topIds(SparkEntry.queries("q_ivf_topk")(spark, vdir)); ivf.length
+    }
+    // Stored-sketch variant: the registered query computes sketches inline
+    // (8 hyperplane dots per row), which at nVecs≈1M costs more than the
+    // single brute-force pass it prunes. The production shape at 100 TB is
+    // a sketch column persisted AT INGEST; probe time is then a bit_count
+    // filter + exact cosine on the few survivors. Measure that shape too.
+    val planes = graft.operators.AnnPlanes.planes
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val sketchCol = (0 until 8).map { m =>
+      val plane = array(planes(m).map(lit): _*)
+      when(dotc(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+    }.reduce(_ + _)
+    spark.read.parquet(s"$vdir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"), sketchCol.as("sketch"))
+      .write.mode("overwrite").parquet(s"$vdir/sketched")
+    var stored = Array.empty[Long]
+    time("ann stored-sketch") {
+      val sk = spark.read.parquet(s"$vdir/sketched")
+      val probe = broadcast(sk.filter(col("vec_id") === 0)
+        .select(col("v").as("p"), col("sketch").as("ps")))
+      stored = topIds(sk.filter(col("vec_id") =!= 0).crossJoin(probe)
+        .filter(bit_count(col("sketch").bitwiseXOR(col("ps"))) <= 3)
+        .select(col("vec_id"), expr("cosine_sim(v, p)").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10))
+      stored.length
+    }
+    val truth = exact.take(10).toSet
+    def recall10(got: Array[Long]): Double =
+      truth.count(got.take(10).toSet).toDouble / truth.size
+    println(f"[scale-probe] ann_lsh recall@10: ${recall10(ann)}%.2f  " +
+      f"ivf recall@10: ${recall10(ivf)}%.2f  " +
+      f"stored-sketch recall@10: ${recall10(stored)}%.2f  (truth=planted: " +
+      s"${truth == (1L to 10L).toSet})")
     spark.stop()
   }
 }
