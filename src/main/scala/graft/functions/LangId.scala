@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions.udf
   */
 object LangId {
 
-  private val profiles: Map[String, Set[String]] = Map(
+  /** Visible inside the library so the DuckDB oracle SQL is GENERATED from
+    * the same profiles the UDF scores against — they cannot drift. */
+  private[graft] val profiles: Map[String, Set[String]] = Map(
     "en" -> Set("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
       "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar"),
     "de" -> Set("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge",

@@ -44,8 +44,9 @@ object ExtensionOps {
         .orderBy("doc_id")
     }),
 
-    // Scalar UDF surface: heuristic language-ID over documents. No oracle
-    // (the UDF has no DuckDB twin); deterministic, rows-only checked.
+    // Scalar UDF surface: heuristic language-ID over documents. Oracle:
+    // the same bigram-profile scoring re-expressed as DuckDB list lambdas,
+    // GENERATED from LangId.profiles so the two cannot drift.
     // The UDF runs AFTER the scan projection — one column in, one out.
     "q_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -56,8 +57,45 @@ object ExtensionOps {
     })
   )
 
+  /** Per-language profile lookup as a SQL CASE over list literals, built
+    * from the UDF's own profiles (sorted for a stable SQL string). */
+  private def profileCaseSql: String =
+    LangId.profiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      s"WHEN '$lang' THEN ${prof.toSeq.sorted.map(b => s"'$b'").mkString("[", ",", "]")}"
+    }.mkString("CASE l.lang ", " ", " END")
+
   val oracleSql: Map[String, String] = Map(
     "q_similarity_topk_expr" -> SimilarityOps.oracleSql("q_similarity_topk"),
+    // Replicates LangId.detect: lowercase, strip non-letters, per-word
+    // character bigrams, fraction-in-profile score, argmax with the
+    // (score, lang) max tie-break — counts suffice for the argmax since
+    // the denominator is shared. 'und' when no bigrams or all scores 0.
+    "q_lang_id" ->
+      s"""WITH det AS (
+           SELECT doc_id,
+             flatten(list_transform(
+               list_filter(string_split(
+                 regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                 w -> len(w) >= 2),
+               w -> list_transform(generate_series(1, len(w) - 1),
+                 i -> substr(w, i, 2)))) AS bgs
+           FROM documents
+         ),
+         scored AS (
+           SELECT doc_id, len(bgs) AS nb, l.lang,
+             len(list_filter(bgs, b -> list_contains($profileCaseSql, b))) AS cnt
+           FROM det CROSS JOIN (VALUES ('en'), ('de'), ('es'), ('fr')) l(lang)
+         ),
+         best AS (
+           SELECT doc_id, nb, lang, cnt,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, lang DESC) AS rn
+           FROM scored
+         )
+         SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT CASE WHEN nb = 0 OR cnt = 0 THEN 'und' ELSE lang END AS pred_lang
+           FROM best WHERE rn = 1)
+         GROUP BY pred_lang ORDER BY pred_lang""",
     "q_udtf_shingles" ->
       """SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_shingles
          FROM (SELECT doc_id,

@@ -89,8 +89,9 @@ object MediaOps {
         .orderBy("media_id")
     }),
 
-    // Stubbed decode + feature extraction (no oracle — stub-specific
-    // values; deterministic, so the driver's rows-only check is stable).
+    // Stubbed decode + feature extraction — oracle-checked: the stub is
+    // pure integer hash arithmetic, so DuckDB replicates it exactly with
+    // HUGEINT mod-2^32/2^64 emulation of Java's wrapping int/long (below).
     // The 8-dim feature vector goes out as a comma-joined string of
     // scaled longs: raw array<double> columns crash the driver's pandas
     // comparator (unhashable ndarray).
@@ -111,6 +112,56 @@ object MediaOps {
                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 sha256(text) AS content_hash
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+
+    // decodeStub's twin. Java wrapping arithmetic is emulated in HUGEINT:
+    // Arrays.hashCode (int, mod 2^32 then re-signed), the chunk checksum
+    // (long, mod 2^64; the & 0xffffffff low-word is mod 2^32 of the
+    // unsigned form), and truncating (not flooring) division for h/1024.
+    // Text is ASCII (verified octet_length == length), so ord(char) ==
+    // UTF-8 byte and DuckDB needs no blob indexing.
+    "q_media_features" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             list_transform(generate_series(1, len(text)),
+               i -> ord(substr(text, i, 1))) AS bytes,
+             len(text) AS n
+           FROM documents
+         ),
+         h AS (
+           SELECT media_id, kind, bytes, n,
+             list_reduce(list_prepend(1::HUGEINT, bytes),
+               (acc, x) -> (31 * acc + x) % 4294967296::HUGEINT) AS h32u
+           FROM m
+         ),
+         hs AS (
+           SELECT media_id, kind, bytes, n,
+             CASE WHEN h32u >= 2147483648 THEN h32u - 4294967296
+                  ELSE h32u END AS hsig
+           FROM h
+         ),
+         dims AS (
+           SELECT media_id, kind, bytes, n,
+             CAST(16 + abs(hsig % 1024) AS INTEGER) AS width,
+             CAST(16 + abs((CASE WHEN hsig < 0 THEN -((-hsig) // 1024)
+                                 ELSE hsig // 1024 END) % 1024)
+               AS INTEGER) AS height,
+             CAST(CASE kind WHEN 'video' THEN 1 + n % 30
+                            WHEN 'audio' THEN 1 + n % 100
+                            ELSE 1 END AS INTEGER) AS n_frames
+           FROM hs
+         )
+         SELECT media_id, kind, width, height, n_frames,
+           array_to_string(list_transform(generate_series(0, 7), c ->
+             CAST(CAST(round(
+               CAST(list_reduce(
+                 list_prepend(1125899906842597::HUGEINT,
+                   bytes[(c * n // 8) + 1 : ((c + 1) * n // 8)]),
+                 (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
+               ) % 4294967296 AS DOUBLE) / 4294967296.0 * 10000)
+               AS BIGINT) AS VARCHAR)), ',') AS feature
+         FROM dims ORDER BY media_id"""
   )
 }
