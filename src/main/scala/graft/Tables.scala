@@ -38,15 +38,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    // Integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa,
-    // so float division would be off by ±1 microsecond. `div` truncates
-    // toward zero while DuckDB's ns->us cast floors; they agree because the
-    // fixtures are strictly post-1970 (events start 2024) — a pre-epoch
-    // fixture would need floor-division via pmod.
+    // Integer arithmetic, not `/`: epoch-nanos exceed double's 53-bit
+    // mantissa, so float division would be off by ±1 microsecond. And
+    // FLOOR division, not bare `div` (which truncates toward zero):
+    // subtracting the non-negative pmod remainder first makes pre-epoch
+    // nanos floor exactly like DuckDB's ns->us cast, instead of agreeing
+    // only on post-1970 fixtures.
     raw
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+        org.apache.spark.sql.functions.expr(
+          "timestamp_micros((ts_ns - pmod(ts_ns, 1000)) div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
