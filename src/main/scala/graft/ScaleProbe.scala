@@ -78,6 +78,22 @@ object ScaleProbe {
     println(f"[scale-probe] planted-pair recall: $recall%.3f " +
       s"(${planted.count(found.toSet)}/${planted.size} found, " +
       s"${found.length - planted.count(found.toSet)} extra pairs)")
+    // exact-verify and simhash paths at the same corpus scale: jaccard is
+    // the cost ceiling of the dedup family (LSH candidates + exact set
+    // intersection), simhash the precision screen
+    var jac: Array[(Long, Long)] = Array.empty
+    time("q_jaccard_neardup") {
+      jac = SparkEntry.queries("q_jaccard_neardup")(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      jac.length
+    }
+    val jrecall = planted.count(jac.toSet).toDouble / planted.size
+    println(f"[scale-probe] jaccard planted recall: $jrecall%.3f " +
+      s"(threshold 0.8 vs planted J≈0.90)")
+    time("q_simhash_neardup") {
+      SparkEntry.queries("q_simhash_neardup")(spark, dir)
+        .write.format("noop").mode("overwrite").save(); 0
+    }
 
     // ---- ANN at scale: planted near-neighbors among nVecs vectors ----
     val nVecs = args.lift(1).map(_.toLong).getOrElse(100000L)
