@@ -106,7 +106,7 @@ object SimilarityOps {
       .distinct()
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // Brute-force cosine top-k against a broadcast probe (vec_id 0): the
     // exact baseline every ANN variant is measured against.
     "q_similarity_topk" -> ((s, d) => {
@@ -187,7 +187,33 @@ object SimilarityOps {
     // verify-after-prune pattern: exact math on O(candidates), never on
     // O(n²) pairs. This is the quality gate a production dedup runs after
     // minhash screening.
-    "q_jaccard_neardup" -> ((s, d) => {
+    "q_jaccard_neardup" -> jaccardNeardup,
+
+    // Near-dup GROUP resolution: connected components over the verified
+    // pair graph, labelled by the component's min doc_id — the step a
+    // training-data pipeline runs after pair detection (a dup may chain:
+    // a~b, b~c ⇒ one group {a,b,c} even if a!~c). Min-label propagation:
+    // each iteration is one join + one aggregate over the MEMBER set (a
+    // small fraction of the corpus), iterated to fixpoint — the bounded
+    // iterative shape; the driver only sees the converged-count action.
+    // At extreme component sizes the alternating large-star/small-star
+    // variant bounds iteration count; diameters here are tiny.
+    "q_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
+
+    // The canonical (kept) corpus after dedup: every doc except non-
+    // representative group members. The anti-join's right side is the
+    // member set — broadcastable at any realistic dup rate.
+    "q_dedup_canonical" -> ((s, d) => {
+      val dropped = neardupGroups(s, d)
+        .filter(col("doc_id") =!= col("group_id"))
+      Tables.documents(s, d)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    })
+  ) ++ vectorQueries
+
+  private def jaccardNeardup: Q = ((s, d) => {
       // ONE corpus explode: the distinct shingle sets are persisted, and
       // everything downstream — the MinHash signatures that drive LSH
       // candidate generation (min over distinct == min over multiset), the
@@ -217,8 +243,49 @@ object SimilarityOps {
             .as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
-    }),
+    })
 
+  /** (doc_id, group_id) for every doc in a near-dup component, group_id =
+    * the component's min doc_id. Min-label propagation to fixpoint: each
+    * iteration joins the edge list with current labels and takes the
+    * element-wise min — O(diameter) iterations, every step a distributed
+    * join + aggregate over the member set only. The driver sees one
+    * changed-count per iteration (the IVF-style iterative contract). */
+  private def neardupGroups(s: SparkSession, d: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = jaccardNeardup(s, d).select("doc_a", "doc_b").persist(mem)
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
+      .persist(mem)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 20) {
+      iters += 1
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("group_id").as("nbr_gid")), "doc_b")
+        .groupBy("doc_a").agg(min("nbr_gid").as("nbr_min"))
+        .select(col("doc_a").as("doc_id"), col("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"),
+            coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
+          (col("group_id") >
+            coalesce(col("nbr_min"), col("group_id"))).cast("long").as("chg"))
+        .persist(mem)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next.select("doc_id", "group_id")
+    }
+    labels.orderBy("doc_id")
+  }
+
+  /** The embedding-space members of [[queries]] (split out only so the
+    * map literal stays within one screen per family). */
+  private def vectorQueries: Map[String, Q] = Map(
     // Embedding-cosine near-dup: top-50 most similar vector pairs among
     // sketch-band candidates. On clustered production embeddings the band
     // join prunes hard; exact cosine runs only within buckets.
@@ -377,6 +444,34 @@ object SimilarityOps {
   private def planeLit(m: Int): String =
     AnnPlanes.planes(m).mkString("[", ", ", "]")
 
+  /** Shared CTE chain ending in `jpairs(doc_a, doc_b, jaccard)` — the
+    * exact all-pairs trigram-Jaccard near-dup pairs at threshold 0.8,
+    * reused by the pair, group, and canonical-corpus oracles. */
+  private val jaccardPairCtes: String =
+    """w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in generate_series(1, len(w) - 2)]) AS sh
+           FROM w WHERE len(w) >= 3
+         ),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ),
+         jpairs AS (
+           SELECT doc_a, doc_b,
+             round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 AS jaccard
+           FROM inter
+           JOIN sizes za ON doc_a = za.doc_id
+           JOIN sizes zb ON doc_b = zb.doc_id
+           WHERE round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 >= 0.8
+         )"""
+
   /** The 8-bit sign-of-projection sketch of `embedding`, as DuckDB SQL —
     * the twin of `sketchBit` in q_ann_lsh_topk / q_embed_neardup. */
   private def sketchSql: String =
@@ -413,28 +508,40 @@ object SimilarityOps {
     // was exactly 1.0 at threshold 0.8. (This oracle caught the K=16/B=4
     // parameters dropping a J=0.9 pair; see the K/B comment above.)
     "q_jaccard_neardup" ->
-      """WITH w AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         ),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                     for i in generate_series(1, len(w) - 2)]) AS sh
-           FROM w WHERE len(w) >= 3
-         ),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         )
-         SELECT doc_a, doc_b,
-           round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 AS jaccard
-         FROM inter
-         JOIN sizes za ON doc_a = za.doc_id
-         JOIN sizes zb ON doc_b = zb.doc_id
-         WHERE round(n_inter / (za.n + zb.n - n_inter) * 10000) / 10000 >= 0.8
+      s"""WITH $jaccardPairCtes
+         SELECT doc_a, doc_b, jaccard FROM jpairs
          ORDER BY doc_a, doc_b""",
+
+    // Connected components over the exact all-pairs near-dup graph via a
+    // recursive CTE — every reachable node, labelled min reachable id. A
+    // hash match proves the distributed min-label propagation converged to
+    // the same components the transitive closure defines.
+    "q_neardup_groups" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+               UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         )
+         SELECT src AS doc_id, min(dst) AS group_id
+         FROM reach GROUP BY src ORDER BY doc_id""",
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+               UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         ),
+         grp AS (SELECT src AS doc_id, min(dst) AS group_id
+                 FROM reach GROUP BY src)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id <> group_id)
+         ORDER BY doc_id""",
 
     // Full replication of the multi-probe LSH pipeline — sketches, the
     // hamming≤3 candidate filter, exact cosine on candidates — so a hash

@@ -125,6 +125,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted twins not the top pairs: ${got.take(3).toSeq}")
   }
 
+  test("neardup groups resolve transitive chains; canonical keeps one per group") {
+    import spark.implicits._
+    // a~b and b~c above threshold, a~c below: one interior-word edit kills
+    // 3 of 28 trigrams (J ≈ 0.81 ≥ 0.8); two edits kill 6 (J ≈ 0.65 < 0.8).
+    // The {a,b,c} group therefore exists ONLY via transitive closure.
+    val w = (1 to 30).map(i => s"t$i")
+    val a = w.mkString(" ")
+    val b = w.updated(9, "xx").mkString(" ")
+    val c = w.updated(9, "xx").updated(19, "yy").mkString(" ")
+    val d = (1 to 30).map(i => s"u$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ops = graft.operators.SimilarityOps
+    val pairs = ops.queries("q_jaccard_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"pair graph: $pairs")
+    val groups = ops.queries("q_neardup_groups")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"groups: $groups")
+    val kept = ops.queries("q_dedup_canonical")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"canonical corpus: $kept")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val exact = li.select(countDistinct("l_partkey")).first().getLong(0)
