@@ -250,7 +250,10 @@ object SimilarityOps {
     * iteration joins the edge list with current labels and takes the
     * element-wise min — O(diameter) iterations, every step a distributed
     * join + aggregate over the member set only. The driver sees one
-    * changed-count per iteration (the IVF-style iterative contract). */
+    * changed-count per iteration (the IVF-style iterative contract).
+    * On fixture-sized inputs wall time (~7 s at sf0.1) is pure job
+    * latency — ~3 iterations × two tiny shuffles each — not data; the
+    * shape becomes data-bound only at real corpus sizes. */
   private def neardupGroups(s: SparkSession, d: String): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = jaccardNeardup(s, d).select("doc_a", "doc_b").persist(mem)
