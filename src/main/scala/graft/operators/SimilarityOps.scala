@@ -259,9 +259,10 @@ object SimilarityOps {
     val pairs = jaccardNeardup(s, d).select("doc_a", "doc_b").persist(mem)
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    var cached = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id"))
       .persist(mem)
+    var labels = cached
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 20) {
@@ -280,7 +281,11 @@ object SimilarityOps {
             coalesce(col("nbr_min"), col("group_id"))).cast("long").as("chg"))
         .persist(mem)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
-      labels.unpersist()
+      // unpersist the PERSISTED frame — labels is a derived select after
+      // iteration 1, so labels.unpersist() would be a silent no-op and the
+      // per-iteration caches would accumulate for the life of the query
+      cached.unpersist()
+      cached = next
       labels = next.select("doc_id", "group_id")
     }
     labels.orderBy("doc_id")
