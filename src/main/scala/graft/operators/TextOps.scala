@@ -85,6 +85,63 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Stratified downsampling — the corpus-mixing primitive (keep all rare
+    // languages, hard-downsample the dominant one). The keep decision is a
+    // deterministic multiplicative hash of doc_id, so it is reproducible
+    // across runs/engines and is a pure SCAN-SIDE filter: no shuffle, no
+    // state, pushes into the scan at any corpus size. (A production
+    // pipeline would use xxhash64 for better mixing; the linear hash here
+    // is equidistributed over sequential ids and DuckDB-expressible.)
+    "q_sample_stratified" -> ((s, d) => {
+      val keepPermille = when(col("lang") === "en", 300)
+        .when(col("lang").isin("de", "es", "fr"), 800)
+        .otherwise(1000)
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < keepPermille)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget selection: rank by quality, keep the prefix that fits a
+    // token budget — "fill the training mix greedily". The global cumsum
+    // is a distributed two-pass prefix sum: range-partition by the total
+    // order, window WITHIN each partition, then add per-partition prefix
+    // offsets (a k-row driver collect) — never the single-partition window
+    // Spark falls into for ORDER BY without PARTITION BY.
+    "q_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 15000L
+      val toks = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
+      val w = split(col("text"), " ")
+      val nStop = size(filter(w, x => x.isInCollection(Stopwords))).cast("double")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          (round(nStop / size(w).cast("double") * 10000) / 10000).as("quality"))
+      val ranged = scored
+        .repartitionByRange(col("quality").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val partTotals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      // prefix offset per partition; cum values are invariant to where the
+      // range boundaries fall, so nondeterministic boundary sampling is fine
+      val offsets = partTotals.map(_._1)
+        .zip(partTotals.scanLeft(0L)(_ + _._2).dropRight(1))
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+          col("pid")), lit(0L))
+      val win = Window.partitionBy("pid")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn("cum_tokens", sum("n_tokens").over(win) + offCol)
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
@@ -141,6 +198,34 @@ object TextOps {
                       / len(w)::DOUBLE * 10000) / 10000 AS stopword_ratio
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 2654435761) % 1000 <
+           CASE lang WHEN 'en' THEN 300
+                     WHEN 'de' THEN 800 WHEN 'es' THEN 800 WHEN 'fr' THEN 800
+                     ELSE 1000 END
+         ORDER BY doc_id""",
+    // The monotone cumsum means "cum <= budget" is a prefix of the quality
+    // order; DuckDB's single window is the semantic spec the distributed
+    // two-pass prefix sum must reproduce exactly.
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '), x -> x IN
+                     ('the','a','of','to','and','in','is')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE * 10000) / 10000 AS quality
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM t
+         )
+         SELECT doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 15000 ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """SELECT doc_id,
                 list_min([sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
