@@ -55,6 +55,19 @@ class ScalePatternsSpec extends AnyFunSuite {
       ev.filter($"event_type" === "click").count())
   }
 
+  test("token-budget cumsum never plans a single-partition window") {
+    // The naive ORDER BY-without-PARTITION BY window moves the whole
+    // corpus to one partition; the two-pass prefix sum must keep every
+    // exchange partitioned (hash by pid / range by the sort key).
+    val df = SparkEntry.queries("q_token_budget")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in token-budget plan:\n$plan")
+    // and it still computes: cum is monotone over the kept prefix
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) <= 15000L))
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape
