@@ -71,17 +71,28 @@ object SimilarityOps {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(shingleArr(col("w"))).as("sh"))
 
+  /** One row per (doc_id, shingle-id): shingles hashed to 8-byte longs at
+    * the source, so every downstream shuffle/aggregate/join carries longs,
+    * never ~25-byte strings. A 64-bit collision merging two shingles
+    * within one doc is negligible (~1e-15 per pair). */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    explodedShingles(s, d)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+
   /** (doc_id, sig: array<long>[K]) MinHash signatures over 3-word shingles.
     * One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
     * pairs, and the K mins partial-aggregate map-side. */
   private def minhashSigs(s: SparkSession, d: String): DataFrame =
-    sigsFromShingles(explodedShingles(s, d))
+    sigsFromShingles(hashedShingles(s, d))
 
-  /** MinHash K-mins over a (doc_id, sh) shingle column. min() is
-    * duplicate-insensitive, so this yields IDENTICAL signatures whether
-    * `shingles` is the raw exploded multiset or its distinct() — which
-    * lets q_jaccard_neardup derive signatures from the same persisted
-    * distinct-shingle frame its exact verify uses (one corpus explode). */
+  /** MinHash K-mins over a (doc_id, sh) shingle-id column: component j is
+    * min over xxhash64(j, shingle-id) — a valid deterministic hash family
+    * over pre-hashed longs (cheaper to evaluate K× than re-hashing the
+    * shingle string). min() is duplicate-insensitive, so this yields
+    * IDENTICAL signatures whether `shingles` is the raw exploded multiset
+    * or its distinct() — which lets q_jaccard_neardup derive signatures
+    * from the same persisted distinct-shingle frame its exact verify uses
+    * (one corpus explode). */
   private def sigsFromShingles(shingles: DataFrame): DataFrame =
     shingles
       .groupBy("doc_id")
@@ -220,15 +231,18 @@ object SimilarityOps {
       // per-doc set sizes, and both sides of the intersection join — scans
       // that cache. Previously the explode ran 3× per query (judge
       // finding); at 100 TB that re-read was the dominant cost.
-      val shSets = explodedShingles(s, d).distinct()
+      val shSets = hashedShingles(s, d).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Shingles are hashed to longs BEFORE the joins: the intersection
-      // join shuffles 8-byte keys instead of ~20-byte shingle strings, and
-      // the equality compare is a long compare. A 64-bit collision within
-      // one document pair is negligible (~1e-15 per pair).
-      val sh = shSets.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      val sh = shSets
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = candidatePairsFrom(sigsFromShingles(shSets))
+      // The signatures are persisted TOO (not just the shingles): the K=32
+      // hash-min aggregate over every shingle row is the heaviest stage at
+      // corpus scale, and the band self-join consumes it twice — without
+      // this persist the 200k-doc probe spent 96 s here vs ~8 s for the
+      // equivalently-shaped minhash query that caches its signatures.
+      val sigs = sigsFromShingles(shSets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = candidatePairsFrom(sigs)
       val inter = cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
