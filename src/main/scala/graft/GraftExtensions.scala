@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, ShingleGenerator}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleGenerator}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * sets it for all harness mains and tests).
   *
   *  - `cosine_sim(a, b)` — codegen'd cosine similarity ([[CosineSimilarity]])
+  *  - `dot_product(a, b)` — codegen'd dot product ([[DotProduct]])
   *  - `shingles(text, n)` — word n-gram UDTF ([[ShingleGenerator]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -20,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),

@@ -34,11 +34,14 @@ object SimilarityOps {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  // Native codegen'd dot product (one fused loop, bit-identical to the
+  // aggregate(zip_with) HOF form — ExtensionsSpec asserts it). This is the
+  // inner loop of every sketch bit, IVF cell score, and ranking pass, so
+  // the HOF lambda dispatch was the ANN family's dominant per-row cost.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("dot_product", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   // ---- MinHash parameters: K = B×R signature, bands of R rows ----
   // K=32/B=8 (was 16/4): at the q_jaccard threshold J=0.8 a true pair

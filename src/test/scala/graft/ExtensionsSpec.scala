@@ -37,6 +37,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.collect().forall(r => math.abs(r.getDouble(0)) <= 1.0 + 1e-9))
   }
 
+  test("dot_product matches the HOF formulation bit-for-bit, NULL on ragged") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -0.5, 0.25), Array(8.0, 0.125, -3.0))).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("d")).collect().map(_.getDouble(0))
+    val native = df.select(expr("dot_product(a, b)")).collect().map(_.getDouble(0))
+    assert(native.zip(hof).forall { case (n, h) =>
+      java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h)
+    })
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+    assert(ragged.select(expr("dot_product(a, b)")).first().isNullAt(0))
+  }
+
   test("shingles UDTF emits one row per n-gram, none for short texts") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r")).toDF("id", "text")
