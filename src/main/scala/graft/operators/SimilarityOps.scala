@@ -469,6 +469,116 @@ object SimilarityOps {
   private def planeLit(m: Int): String =
     AnnPlanes.planes(m).mkString("[", ", ", "]")
 
+  /** Shared CTE prefix: one row per (doc_id, raw shingle string) — the
+    * multiset, as explodedShingles produces it. */
+  private val shingleRowsCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       shl AS (
+         SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in generate_series(1, len(w) - 2)]) AS sh
+         FROM w WHERE len(w) >= 3
+       ),
+       base AS (
+         SELECT doc_id,
+           list_transform(generate_series(1, len(sh)), i -> ord(substr(sh, i, 1))) AS bl,
+           len(sh)::HUGEINT AS n
+         FROM shl
+       )"""
+
+  /** q_simhash_neardup oracle: full bit-exact replication — xxhash64 of
+    * each shingle (XXH64 in HUGEINT, [[XxhashSql]]), 64 signed bit-sums,
+    * sketch reassembly with the same long-wrap Spark's shiftleft sum has,
+    * 16-bit chunk bucketing, hamming via xor+bit_count. */
+  private def simhashOracleSql: String = {
+    val ch = new XxhashSql.Chain("base", "s")
+    val h = ch.stringHash("bl", "n")
+    val sums = (0 until 64).map(j =>
+      s"sum(CASE WHEN (h // ${java.math.BigInteger.TWO.pow(j)}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sketch = (0 until 64).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${java.math.BigInteger.TWO.pow(j)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    val chunkDiv = "CASE c WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT " +
+      "WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END"
+    s"""WITH $shingleRowsCtes,
+       ${ch.sqlWith},
+       hh AS (SELECT doc_id, $h AS h FROM ${ch.prev}),
+       sums AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       sk AS (SELECT doc_id, ($sketch) AS sku FROM sums),
+       sks AS (SELECT doc_id, sku,
+         CASE WHEN sku >= 9223372036854775808::HUGEINT
+              THEN (sku - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE sku::BIGINT END AS sks FROM sk),
+       chx AS (
+         SELECT doc_id, sks, ((sku // $chunkDiv) % 65536)::BIGINT AS cv, c
+         FROM sks CROSS JOIN (VALUES (0), (1), (2), (3)) cc(c)
+       ),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sks, b.sks)) AS BIGINT) AS hamming
+         FROM chx a JOIN chx b
+           ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, hamming FROM pairs
+       WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
+  /** q_minhash_neardup oracle: shingle-id = xxhash64(string); signature
+    * component j = min over shingles of xxhash64(lit(j), id) — the int-
+    * literal chain seed hashInt(j, 42) is PRECOMPUTED on the JVM; band
+    * hash = the same chain over the R signature longs; candidates from
+    * band equality; est_jaccard = matching components / K. Signed/unsigned
+    * conversions sit exactly where Spark's signed-long mins/joins do. */
+  private def minhashOracleSql: String = {
+    val c1 = new XxhashSql.Chain("base", "s")
+    val hStr = c1.stringHash("bl", "n")
+    val c2 = new XxhashSql.Chain("jrows", "m")
+    val jSeedCase = (0 until K).map(j =>
+      s"WHEN $j THEN ${java.lang.Long.toUnsignedString(XxhashSql.hashInt(j, 42L))}::HUGEINT")
+      .mkString("CASE j ", " ", " END")
+    val sc = c2.emit(jSeedCase)
+    val sj = c2.toSigned(c2.hashLong("shu", sc))
+    val c3 = new XxhashSql.Chain("brows", "q")
+    val bSeedCase = (0 until B).map(b =>
+      s"WHEN $b THEN ${java.lang.Long.toUnsignedString(XxhashSql.hashInt(b, 42L))}::HUGEINT")
+      .mkString("CASE b ", " ", " END")
+    var hBand = c3.emit(bSeedCase)
+    for (i <- 0 until R) {
+      val vu = c3.emit(s"CASE WHEN v$i < 0 THEN v$i::HUGEINT + 18446744073709551616::HUGEINT ELSE v$i::HUGEINT END")
+      hBand = c3.hashLong(vu, hBand)
+    }
+    val bh = c3.toSigned(hBand)
+    val vcols = (0 until R).map(i =>
+      s"max(CASE WHEN j % $R = $i THEN v END) AS v$i").mkString(", ")
+    s"""WITH $shingleRowsCtes,
+       ${c1.sqlWith},
+       hs AS (SELECT DISTINCT doc_id, $hStr AS shu FROM ${c1.prev}),
+       jrows AS (SELECT doc_id, shu, j FROM hs CROSS JOIN range($K) r(j)),
+       ${c2.sqlWith},
+       jsig AS (SELECT doc_id, j, min($sj) AS v FROM ${c2.prev} GROUP BY doc_id, j),
+       brows AS (
+         SELECT doc_id, (j // $R)::INTEGER AS b, $vcols
+         FROM jsig GROUP BY doc_id, j // $R
+       ),
+       ${c3.sqlWith},
+       bands AS (SELECT doc_id, b, $bh AS bh FROM ${c3.prev}),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+       ),
+       est AS (
+         SELECT c.doc_a, c.doc_b,
+           (sum(CASE WHEN a.v = bb.v THEN 1 ELSE 0 END)::DOUBLE / $K) AS est_jaccard
+         FROM cand c
+         JOIN jsig a ON a.doc_id = c.doc_a
+         JOIN jsig bb ON bb.doc_id = c.doc_b AND bb.j = a.j
+         GROUP BY c.doc_a, c.doc_b
+       )
+       SELECT doc_a, doc_b, est_jaccard FROM est
+       WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
   /** Shared CTE chain ending in `jpairs(doc_a, doc_b, jaccard)` — the
     * exact all-pairs trigram-Jaccard near-dup pairs at threshold 0.8,
     * reused by the pair, group, and canonical-corpus oracles. */
@@ -522,11 +632,13 @@ object SimilarityOps {
                i -> probe.p[i]::DOUBLE * probe.p[i]::DOUBLE))) AS np
            FROM embeddings e, probe
            WHERE e.vec_id <> 0)
-         ORDER BY cos DESC, vec_id LIMIT 20"""
-    // q_minhash_neardup / q_simhash_neardup: xxhash64-based sketches — not
-    // expressible in DuckDB; scalatest property-tests them against exact
-    // Jaccard.
-    ,
+         ORDER BY cos DESC, vec_id LIMIT 20""",
+    // The xxhash64-based sketches, long thought inexpressible in DuckDB,
+    // are oracle-checked via a bit-exact XXH64 replication in HUGEINT
+    // arithmetic (see XxhashSql) — a hash match proves the ENTIRE sketch
+    // pipeline (hashing, signatures, banding, bucketing) byte-identical.
+    "q_simhash_neardup" -> simhashOracleSql,
+    "q_minhash_neardup" -> minhashOracleSql,
     // Exact ALL-PAIRS trigram Jaccard (125k pairs at 500 docs): proves the
     // LSH candidate generation loses NOTHING — the Spark side only computes
     // Jaccard on band-bucket candidates, so a hash-match here means recall
