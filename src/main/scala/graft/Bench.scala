@@ -98,22 +98,34 @@ object Bench {
     names.headOption.foreach(runOnce)
 
     val results = names.map(n => n -> runMedian(n))
+    // The driver keeps only the last ~2000 chars of build output, so the
+    // stdout line must be COMPACT or it gets truncated mid-JSON and the
+    // round's bench is recorded as unparseable (this happened in rounds
+    // 3-5: full-precision medians + a per-query spread map pushed the line
+    // to ~4.7k chars). Millisecond precision and no spread keeps 62 queries
+    // around 1.4k chars; the full-precision spread detail still lands in
+    // target/bench.json for local analysis.
+    def ms(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     val qs = results
-      .map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
+      .map { case (k, (med, _, _)) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, (_, lo, hi)) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val mps = pipelineThroughput().round
-    val json =
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // Raw line on BOTH streams: sbt decorates stdout with [info]/[error]
-    // prefixes depending on stream, and the driver may read either.
-    println(json)
-    System.err.println(json)
+    // prefixes depending on stream, and the driver may read either. The
+    // stderr copy goes first so the LAST complete line in a combined-tail
+    // capture is the stdout one.
+    System.err.println(line)
+    println(line)
     spark.stop()
   }
 }

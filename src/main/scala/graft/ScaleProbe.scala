@@ -51,6 +51,10 @@ object ScaleProbe {
     println(s"[scale-probe] corpus: $total docs at $dir")
 
     def time(name: String)(f: => Long): Unit = {
+      // cold-cache like Bench.runOnce: earlier sections persist() their
+      // subtrees (minhash sigs, shingle sets), and timing later sections
+      // under that accumulated cache pressure skews their wall-times
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = f
       println(f"[scale-probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")

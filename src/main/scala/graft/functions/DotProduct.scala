@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the HOF formulation and to the DuckDB oracle's
   * `list_sum(list_transform(...))` — swapping this in cannot change any
   * hash-compared output (ExtensionsSpec asserts the bit-equality).
-  * Mismatched lengths yield NULL, like the null-poisoned zip_with sum.
+  * Mismatched lengths yield NULL, like the null-poisoned zip_with sum, and
+  * so does a NULL element in either array (the HOF's `acc + x*y` poisons
+  * the whole fold; reading the null slot as 0.0 would silently diverge).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -34,6 +36,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -51,10 +54,16 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $dot += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

@@ -305,6 +305,17 @@ object SimilarityOps {
       cached = next
       labels = next.select("doc_id", "group_id")
     }
+    // No silent caps: unconverged labels are silently WRONG (docs in one
+    // component with two group_ids), so hitting the iteration ceiling with
+    // changes still flowing must abort, not return. 20 min-label rounds
+    // cover a diameter-20 component; a real corpus whose near-dup graph is
+    // deeper than that needs the large-star/small-star variant, not a
+    // bigger cap.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"neardupGroups: min-label propagation did not converge in $iters " +
+          s"iterations ($changed labels still changing); component diameter " +
+          "exceeds the cap — use a large-star/small-star contraction instead")
     labels.orderBy("doc_id")
   }
 

@@ -23,6 +23,11 @@ object TextOps {
 
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
 
+  /** SQL IN-list generated from [[Stopwords]] so the DuckDB oracles cannot
+    * drift from the Spark-side list (the same single-source-of-truth move
+    * LangId makes with its profile-generated SQL). */
+  private val StopwordsSql = Stopwords.map("'" + _ + "'").mkString(",")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
     // keep the smallest doc_id, count copies. The digest (64 bytes) is the
@@ -117,10 +122,16 @@ object TextOps {
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
           (round(nStop / size(w).cast("double") * 10000) / 10000).as("quality"))
+      // localCheckpoint (eager), not persist: the pid→offset map collected
+      // below is only valid for THIS materialization — if a persisted frame
+      // were evicted and recomputed, repartitionByRange would resample its
+      // boundaries and spark_partition_id could shift, silently corrupting
+      // cum_tokens. Checkpointing truncates the lineage, so losing a block
+      // fails the job loudly instead of recomputing different partitions.
       val ranged = scored
         .repartitionByRange(col("quality").desc, col("doc_id"))
         .withColumn("pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val partTotals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       // prefix offset per partition; cum values are invariant to where the
@@ -189,15 +200,15 @@ object TextOps {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
          FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
                 CAST(len(w) AS BIGINT) AS n_words,
                 round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
                       / len(w)::DOUBLE * 10000) / 10000 AS avg_word_len,
                 round(len(list_filter(w, x -> x IN
-                        ('the','a','of','to','and','in','is')))::DOUBLE
+                        (""" + StopwordsSql + """)))::DOUBLE
                       / len(w)::DOUBLE * 10000) / 10000 AS stopword_ratio
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""),
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE (doc_id * 2654435761) % 1000 <
@@ -209,11 +220,11 @@ object TextOps {
     // order; DuckDB's single window is the semantic spec the distributed
     // two-pass prefix sum must reproduce exactly.
     "q_token_budget" ->
-      """WITH t AS (
+      ("""WITH t AS (
            SELECT doc_id,
              CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
              round(len(list_filter(string_split(text, ' '), x -> x IN
-                     ('the','a','of','to','and','in','is')))::DOUBLE
+                     (""" + StopwordsSql + """)))::DOUBLE
                    / len(string_split(text, ' '))::DOUBLE * 10000) / 10000 AS quality
            FROM documents
          ),
@@ -225,7 +236,7 @@ object TextOps {
            FROM t
          )
          SELECT doc_id, n_tokens, cum_tokens FROM c
-         WHERE cum_tokens <= 15000 ORDER BY doc_id""",
+         WHERE cum_tokens <= 15000 ORDER BY doc_id"""),
     "q_doc_fingerprint" ->
       """SELECT doc_id,
                 list_min([sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
