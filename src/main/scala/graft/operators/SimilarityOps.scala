@@ -206,12 +206,11 @@ object SimilarityOps {
     // Near-dup GROUP resolution: connected components over the verified
     // pair graph, labelled by the component's min doc_id — the step a
     // training-data pipeline runs after pair detection (a dup may chain:
-    // a~b, b~c ⇒ one group {a,b,c} even if a!~c). Min-label propagation:
-    // each iteration is one join + one aggregate over the MEMBER set (a
-    // small fraction of the corpus), iterated to fixpoint — the bounded
-    // iterative shape; the driver only sees the converged-count action.
-    // At extreme component sizes the alternating large-star/small-star
-    // variant bounds iteration count; diameters here are tiny.
+    // a~b, b~c ⇒ one group {a,b,c} even if a!~c). Alternating large-star/
+    // small-star contraction (GraphOps): O(log n) rounds regardless of
+    // component shape, each round a groupBy-min + join over the MEMBER
+    // set only — the shape that survives a crawl corpus whose dup chains
+    // run arbitrarily deep.
     "q_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
 
     // The canonical (kept) corpus after dedup: every doc except non-
@@ -263,61 +262,20 @@ object SimilarityOps {
     })
 
   /** (doc_id, group_id) for every doc in a near-dup component, group_id =
-    * the component's min doc_id. Min-label propagation to fixpoint: each
-    * iteration joins the edge list with current labels and takes the
-    * element-wise min — O(diameter) iterations, every step a distributed
-    * join + aggregate over the member set only. The driver sees one
-    * changed-count per iteration (the IVF-style iterative contract).
-    * On fixture-sized inputs wall time (~7 s at sf0.1) is pure job
-    * latency — ~3 iterations × two tiny shuffles each — not data; the
-    * shape becomes data-bound only at real corpus sizes. */
-  private def neardupGroups(s: SparkSession, d: String): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = jaccardNeardup(s, d).select("doc_a", "doc_b").persist(mem)
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var cached = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id"))
-      .persist(mem)
-    var labels = cached
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 20) {
-      iters += 1
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"),
-          col("group_id").as("nbr_gid")), "doc_b")
-        .groupBy("doc_a").agg(min("nbr_gid").as("nbr_min"))
-        .select(col("doc_a").as("doc_id"), col("nbr_min"))
-      val next = labels.as("l")
-        .join(nbrMin.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("group_id"),
-            coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
-          (col("group_id") >
-            coalesce(col("nbr_min"), col("group_id"))).cast("long").as("chg"))
-        .persist(mem)
-      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
-      // unpersist the PERSISTED frame — labels is a derived select after
-      // iteration 1, so labels.unpersist() would be a silent no-op and the
-      // per-iteration caches would accumulate for the life of the query
-      cached.unpersist()
-      cached = next
-      labels = next.select("doc_id", "group_id")
-    }
-    // No silent caps: unconverged labels are silently WRONG (docs in one
-    // component with two group_ids), so hitting the iteration ceiling with
-    // changes still flowing must abort, not return. 20 min-label rounds
-    // cover a diameter-20 component; a real corpus whose near-dup graph is
-    // deeper than that needs the large-star/small-star variant, not a
-    // bigger cap.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"neardupGroups: min-label propagation did not converge in $iters " +
-          s"iterations ($changed labels still changing); component diameter " +
-          "exceeds the cap — use a large-star/small-star contraction instead")
-    labels.orderBy("doc_id")
-  }
+    * the component's min doc_id. Delegates to the alternating large-star/
+    * small-star contraction in [[GraphOps]] — O(log n) distributed rounds
+    * regardless of component shape. (Round ≤6 used min-label propagation
+    * here, which is O(component diameter) and hard-aborted at 20 rounds: a
+    * chain-shaped dup component — common in crawl corpora where page A is
+    * near page B is near page C — killed the run. GraphOpsSpec plants a
+    * diameter-200 chain and shows it converging in a handful of rounds.)
+    * On fixture-sized inputs wall time is pure job latency — a few star
+    * rounds × small shuffles — not data. */
+  private def neardupGroups(s: SparkSession, d: String): DataFrame =
+    GraphOps.connectedComponents(
+        jaccardNeardup(s, d).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("component").as("group_id"))
+      .orderBy("doc_id")
 
   /** The embedding-space members of [[queries]] (split out only so the
     * map literal stays within one screen per family). */
