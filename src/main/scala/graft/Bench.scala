@@ -23,6 +23,15 @@ import java.nio.file.{Files, Paths}
   * query is still visible. The cache is cleared before every timed run so
   * queries that persist() intermediates (the near-dup family) are measured
   * cold each time rather than replaying run 1's cache.
+  *
+  * Round-7 fix: the 3 samples are taken as 3 ROUND-ROBIN PASSES over all
+  * queries, not back-to-back per query. Contention windows on the shared
+  * driver machine last minutes, so three consecutive samples all landed
+  * inside the same window and the median was as poisoned as a single run
+  * (round 6: q_scalar_math median 17.1 s vs 2.3 s idle, spread
+  * [1.0, 53.0] on q_json_extract WITHIN one bench). Interleaving puts
+  * ~the full suite's length between a query's samples at zero extra cost,
+  * so one noisy window can poison at most one of its three samples.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,14 +51,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** (median, min, max) of 3 runs; (-1,-1,-1) on failure. Short-circuits
-      * at the first failing run — a broken query fails deterministically,
-      * so burning two more multi-second attempts just delays the bench. */
-    def runMedian(name: String): (Double, Double, Double) = {
-      val ts = Iterator.continually(runOnce(name)).take(3)
-        .takeWhile(_ >= 0).toSeq
-      if (ts.length < 3) (-1.0, -1.0, -1.0)
-      else { val s = ts.sorted; (s(1), s.head, s.last) }
+    /** 3 interleaved passes over every query → per-query (median, min,
+      * max); (-1,-1,-1) on failure. A query that fails once is skipped in
+      * later passes — a broken query fails deterministically, so burning
+      * two more multi-second attempts just delays the bench. */
+    def runInterleaved(names: Seq[String]): Seq[(String, (Double, Double, Double))] = {
+      val failed = scala.collection.mutable.Set.empty[String]
+      val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      for (_ <- 1 to 3; n <- names if !failed(n)) {
+        val t = runOnce(n)
+        if (t < 0) failed += n
+        else samples(n) = t :: samples.getOrElse(n, Nil)
+      }
+      names.map { n =>
+        samples.get(n).filter(_ => !failed(n)) match {
+          case Some(ts) if ts.length == 3 =>
+            val s = ts.sorted; n -> ((s(1), s.head, s.last))
+          case _ => n -> ((-1.0, -1.0, -1.0))
+        }
+      }
     }
 
     /** Throughput twin of the reference's headline number (1M msg/s on 18
@@ -97,7 +117,7 @@ object Bench {
     }
     names.headOption.foreach(runOnce)
 
-    val results = names.map(n => n -> runMedian(n))
+    val results = runInterleaved(names)
     // The driver keeps only the last ~2000 chars of build output, so the
     // stdout line must be COMPACT or it gets truncated mid-JSON and the
     // round's bench is recorded as unparseable (this happened in rounds
@@ -105,7 +125,10 @@ object Bench {
     // to ~4.7k chars). Millisecond precision and no spread keeps 62 queries
     // around 1.4k chars; the full-precision spread detail still lands in
     // target/bench.json for local analysis.
-    def ms(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, which
+    // in a comma-decimal locale (de_DE) would emit "1,234" — invalid JSON.
+    def ms(d: Double): String =
+      if (d < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results
       .map { case (k, (med, _, _)) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
