@@ -11,13 +11,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `aggregate(zip_with(...))` HOF chain's per-element lambda dispatch and
   * intermediate product array.
   *
-  * Accumulates strictly left-to-right, so results are BIT-IDENTICAL to
-  * the HOF formulation and to the DuckDB oracle's
-  * `list_sum(list_transform(...))` — swapping this in cannot change any
-  * hash-compared output (ExtensionsSpec asserts the bit-equality).
-  * Mismatched lengths yield NULL, like the null-poisoned zip_with sum, and
-  * so does a NULL element in either array (the HOF's `acc + x*y` poisons
-  * the whole fold; reading the null slot as 0.0 would silently diverge).
+  * Accumulates strictly left-to-right, so results over arrays with no
+  * NULL elements are BIT-IDENTICAL to the HOF formulation and to the
+  * DuckDB oracle's `list_sum(list_transform(...))` — swapping this in
+  * cannot change any hash-compared output (ExtensionsSpec asserts the
+  * bit-equality; the fixtures contain no NULL elements). Mismatched
+  * lengths yield NULL, like the null-poisoned zip_with sum, and so does a
+  * NULL element in either array, matching the HOF's `acc + x*y` fold
+  * (reading the null slot as 0.0 would silently diverge). NOTE this last
+  * case deliberately follows the HOF, NOT DuckDB: `list_sum` SKIPS NULL
+  * elements and returns the partial sum, so a query that feeds
+  * NULL-element vectors to both engines would hash-diverge — the Spark
+  * side null-poisons by design (a partial dot product is not a dot
+  * product).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -54,6 +54,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ragged.select(expr("dot_product(a, b)")).first().isNullAt(0))
   }
 
+  test("dot_product NULL element poisons the result in BOTH execution modes") {
+    // The round-6 fix was exactly a divergence between the interpreted and
+    // codegen forms of this path, so each mode is pinned explicitly. The
+    // arrays depend on `id` so nothing constant-folds away the projection.
+    def q = spark.range(1)
+      .select(
+        array(col("id").cast("double"), lit(null).cast("double"), lit(2.0)).as("a"),
+        array(lit(1.0), lit(2.0), col("id").cast("double") + 3.0).as("b"))
+      .select(expr("dot_product(a, b)").as("d"))
+    // 1) whole-stage codegen ON (default): the ev.isNull loop in doGenCode
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[dot_product.*"),
+      s"expected a codegen'd dot_product Project:\n$plan")
+    assert(q.first().isNullAt(0))
+    // 2) codegen OFF: the interpreted nullSafeEval early-return
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(q.first().isNullAt(0))
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("shingles UDTF emits one row per n-gram, none for short texts") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r")).toDF("id", "text")
