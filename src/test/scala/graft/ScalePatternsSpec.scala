@@ -68,6 +68,43 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getLong(2) <= 15000L))
   }
 
+  test("IVF cell layout prunes: a probe reads only its nprobe cell directories") {
+    // Backs the q_ivf_topk scale claim (SimilarityOps: "at 100 TB the cell
+    // assignment is a partition column"): write embeddings partitioned by
+    // their assigned cell, then show an nprobe-cell read (1) plans a
+    // partition filter and (2) physically touches only the probed cell
+    // directories — i.e. the probe scans nprobe/k of the corpus, not all
+    // of it.
+    import spark.implicits._
+    val planes = graft.operators.AnnPlanes.planes
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def score(m: Int) =
+      call_function("dot_product", col("v"), array(planes(m).map(lit): _*))
+    val scored = e
+      .withColumn("scores", array((0 until 8).map(score): _*))
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    scored.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val probed = Seq(1, 3, 5)
+    val scan = spark.read.parquet(dir).filter(col("cell").isin(probed: _*))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"cell filter did not reach PartitionFilters:\n$plan")
+    // directory-level proof: every file actually read lives under a
+    // probed cell= directory
+    val files = scan.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    assert(files.forall(f => probed.exists(c => f.contains(s"/cell=$c/"))),
+      s"scan read outside probed cells:\n${files.mkString("\n")}")
+    // and pruning lost no rows vs filtering the unpartitioned frame
+    assert(scan.count() ==
+      scored.filter(col("cell").isin(probed: _*)).count())
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape
