@@ -81,6 +81,10 @@ object GraphOps {
     var converged = n == 0L
     while (!converged && rounds < maxRounds) {
       rounds += 1
+      // (smallStar consumes its input twice — groupBy-min and join sides —
+      // but materializing the large-star between them measured as a wash:
+      // ReusedExchange already shares the shuffled subtree, and the extra
+      // checkpoint job cancels the saving. One checkpoint per round.)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nNext = next.count()
       // Exact set-equality fixpoint test (both sides are distinct sets, so
