@@ -108,17 +108,26 @@ object SimilarityOps {
     * corpus per consumer would dominate the whole dedup run (round-2/3
     * judge finding). */
   private def candidatePairsFrom(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(B - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * lit(R) + 1, lit(R))).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val bands = bandsOf(sigs)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** (doc_id, band, bh) LSH band-bucket keys of a signature frame — the
+    * join key both the self-join (pair detection) and the asymmetric
+    * batch×corpus join (incremental dedup) bucket on. At corpus scale
+    * this frame is what an ingest pipeline PERSISTS: band keys are 24
+    * bytes/doc/band, so new batches join against stored bands without
+    * ever re-reading corpus text. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(B - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * lit(R) + 1, lit(R))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
   val queries: Map[String, Q] = Map[String, Q](
     // Brute-force cosine top-k against a broadcast probe (vec_id 0): the
@@ -221,6 +230,43 @@ object SimilarityOps {
         .filter(col("doc_id") =!= col("group_id"))
       Tables.documents(s, d)
         .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup — the at-ingest shape: an incoming batch
+    // (doc_id ≥ 250 here) is kept only where it does NOT near-duplicate
+    // the EXISTING corpus (doc_id < 250). The LSH band join runs
+    // asymmetrically batch×corpus — the corpus side is the stored band
+    // frame (see bandsOf), so at 100 TB a new batch never re-reads or
+    // re-shingles the corpus; exact Jaccard runs only on cross-side
+    // candidates. Within-batch duplicates are q_dedup_canonical's job —
+    // this operator's contract is batch-vs-corpus only.
+    "q_dedup_incremental" -> ((s, d) => {
+      val split = 250L
+      val shSets = hashedShingles(s, d).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = shSets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val bands = bandsOf(sigsFromShingles(shSets))
+      val cand = bands.as("c").filter(col("doc_id") < split)
+        .join(bands.as("n").filter(col("doc_id") >= split),
+          col("c.band") === col("n.band") && col("c.bh") === col("n.bh"))
+        .select(col("c.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+        .distinct()
+      val dupped = cand
+        .join(shSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shSets.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .filter(round(col("n_inter") /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) * 10000) / 10000
+          >= 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= split)
+        .join(dupped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy("doc_id")
     })
@@ -647,6 +693,19 @@ object SimilarityOps {
                  FROM reach GROUP BY src)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id <> group_id)
+         ORDER BY doc_id""",
+
+    // Exact ALL cross-side pairs (the Spark side verifies only band
+    // candidates, so a hash match proves the batch×corpus candidate
+    // recall is exactly 1.0 at threshold 0.8 — the q_jaccard_neardup
+    // argument applied to the asymmetric join). Cross pairs appear in
+    // jpairs as doc_a < 250 ≤ doc_b because jpairs orders doc_a < doc_b.
+    "q_dedup_incremental" ->
+      s"""WITH $jaccardPairCtes
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 250
+           AND doc_id NOT IN (SELECT doc_b FROM jpairs
+                              WHERE doc_a < 250 AND doc_b >= 250)
          ORDER BY doc_id""",
 
     // Full replication of the multi-probe LSH pipeline — sketches, the
