@@ -136,7 +136,10 @@ object Bench {
       .map { case (k, (_, lo, hi)) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val mps = pipelineThroughput().round
+    // median-of-3 for the throughput twin too — it was the one remaining
+    // single-sample number (r6→r7 it swung 66M→46M rows/s on an otherwise
+    // unchanged plan, pure contention)
+    val mps = Seq.fill(3)(pipelineThroughput()).sorted.apply(1).round
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
     val full =
