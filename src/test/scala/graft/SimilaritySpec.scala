@@ -152,6 +152,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), s"canonical corpus: $kept")
   }
 
+  test("incremental dedup drops only batch docs that duplicate the corpus") {
+    import spark.implicits._
+    // corpus = doc_id < 250, batch = doc_id ≥ 250 (the query's contract).
+    // 300 near-copies corpus doc 10 (one trailing-word edit on 40 words:
+    // J = 36/40 = 0.9); 301 is unique; 302/303 duplicate EACH OTHER but
+    // nothing in the corpus — within-batch dups are q_dedup_canonical's
+    // job, so the incremental pass must keep both.
+    val w = (1 to 40).map(i => s"w$i")
+    val corpus10 = w.mkString(" ")
+    val batchTwin = w.updated(39, "zz").mkString(" ")
+    val uniq = (1 to 40).map(i => s"q$i").mkString(" ")
+    val inBatch = (1 to 40).map(i => s"v$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Seq((10L, corpus10), (11L, (1 to 40).map(i => s"c$i").mkString(" ")),
+        (300L, batchTwin), (301L, uniq), (302L, inBatch), (303L, inBatch))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.operators.SimilarityOps
+      .queries("q_dedup_incremental")(spark, dir).collect().map(_.getLong(0))
+    assert(kept.sameElements(Array(301L, 302L, 303L)), s"kept: ${kept.toSeq}")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val exact = li.select(countDistinct("l_partkey")).first().getLong(0)
