@@ -85,6 +85,32 @@ object DataflowOps {
         .orderBy("w_start_us", "event_type")
     }),
 
+    // Batch sessionization: the batch twin of StreamOps.sessionCounts
+    // (streaming session windows have no SQL oracle; this form does). Per
+    // user, a new session starts where the gap since the previous event
+    // exceeds 6 hours; session_id is the running count of session starts.
+    // ONE shuffle on user_id serves both window passes (lag and the
+    // running sum share the same partitioning+ordering); the final
+    // per-session aggregate ships one partial row per session. Ordering
+    // ties on (ts_us, event_id) so both engines number identically.
+    "q_sessionize" -> ((s, d) => {
+      val gapUs = 6L * 3600 * 1000000 // 6 hours
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum("brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("s_start_us"), max("ts_us").as("s_end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // R13: running total (reducer.go:79,87 accumulates `total` forever).
     // Frame-bounded window sum per user: one shuffle on user_id, one sort
     // per partition; both engines add in the same (ts, event_id) order, so
@@ -145,6 +171,34 @@ object DataflowOps {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                   AS running_value
          FROM events
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    // Session numbering must use ROWS (not the default RANGE) so tied
+    // timestamps accumulate exactly like Spark's rowsBetween frame; the
+    // (ts_us, event_id) ordering makes the tie-break itself deterministic.
+    // sum() over integers is HUGEINT in DuckDB — cast back to BIGINT to
+    // match Spark's long session_id.
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+         ),
+         g AS (
+           SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ),
+         s AS (
+           SELECT user_id, ts_us,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM g
+         )
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS s_start_us, max(ts_us) AS s_end_us
+         FROM s GROUP BY 1, 2
+         ORDER BY user_id, session_id"""
   )
 }
