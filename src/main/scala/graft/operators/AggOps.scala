@@ -103,6 +103,24 @@ object AggOps {
         .orderBy("l_suppkey")
     }),
 
+    // Exact interpolated quantiles of event value per type — the
+    // distribution-shape aggregate every metrics pipeline needs. Exact
+    // percentile sorts each group's values in aggregation buffers, which
+    // is fine for bounded groups but NOT the 100 TB path: there you swap
+    // in approx_percentile (t-digest sketch, partial-aggregates map-side
+    // and merges associatively — AggSpec pins it within 5% of exact on
+    // the same data). Exact is registered because it is the form a SQL
+    // oracle can check; the swap is one function name.
+    "q_quantiles" -> ((s, d) => {
+      def q(p: Double, name: String) =
+        (round(expr(s"percentile(value, $p)") * 10000) / 10000).as(name)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(q(0.5, "p50"), q(0.95, "p95"), q(0.99, "p99"),
+          (round(max("value") * 10000) / 10000).as("p100"))
+        .orderBy("event_type")
+    }),
+
     // Pivot: event counts per user spread across one column per event
     // type. The type list is EXPLICIT — with it, Spark plans a single
     // pass (conditional aggregation); without it, a first job must scan
@@ -144,6 +162,15 @@ object AggOps {
     "q_agg_count_by_key" ->
       """SELECT l_returnflag, count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // quantile_cont uses the same (n-1)*p linear interpolation as Spark's
+    // percentile; the scaled round absorbs last-ulp arithmetic drift.
+    "q_quantiles" ->
+      """SELECT event_type,
+                round(quantile_cont("value", 0.5) * 10000) / 10000 AS p50,
+                round(quantile_cont("value", 0.95) * 10000) / 10000 AS p95,
+                round(quantile_cont("value", 0.99) * 10000) / 10000 AS p99,
+                round(max("value") * 10000) / 10000 AS p100
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_agg_multi" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
