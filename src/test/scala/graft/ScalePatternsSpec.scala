@@ -105,6 +105,41 @@ class ScalePatternsSpec extends AnyFunSuite {
       scored.filter(col("cell").isin(probed: _*)).count())
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    import spark.implicits._
+    // One hot key owns ~95% of the big side. With the skew thresholds
+    // lowered to fixture scale, AQE must detect the oversized shuffle
+    // partition after the map stage and split it — the runtime remedy a
+    // 1000-executor job gets for free before anyone reaches for manual
+    // salting (Salt.saltedJoin is the plan-level fallback, tested below).
+    val big = spark.range(0, 200000)
+      .select(when(col("id") % 20 =!= 0, 7L).otherwise(col("id") % 50).as("k"),
+        concat(lit("payload_"), col("id")).as("payload"))
+    val small = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = big.join(small, "k")
+      // collect() executes THIS Dataset's queryExecution — count() would
+      // run a separate one and leave this plan isFinalPlan=false
+      assert(joined.collect().length == 200000) // result correct under the split
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape
