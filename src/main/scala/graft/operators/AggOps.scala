@@ -92,6 +92,22 @@ object AggOps {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // Explicit GROUPING SETS — the general form rollup/cube specialize:
+    // the caller names exactly the aggregation levels wanted, and Spark
+    // expands them in ONE pass (no re-scan per level). Same single-shuffle
+    // shape as rollup; gid disambiguates levels exactly as there.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // R7 generalized: post-aggregation filter (HAVING). The reference
     // suppresses empty windows (knobs.go:68-69, mapper.go:75); here any
     // group predicate applies after the final agg.
@@ -198,6 +214,14 @@ object AggOps {
                 round(sum(l_quantity) * 100) / 100 AS sum_qty, count(*) AS cnt,
                 grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity) * 100) / 100 AS sum_qty, count(*) AS cnt,
+                grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_having" ->
       """SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity) * 100) / 100 AS sum_qty

@@ -59,6 +59,23 @@ object WindowOps {
         .orderBy("event_id")
     }),
 
+    // Distribution-rank analytics per group: quartile bucket (ntile),
+    // percent_rank, cume_dist. The (value, event_id) ordering leaves no
+    // peer rows, so cume_dist's peer-group semantics cannot diverge
+    // between engines; the fraction outputs get the scaled round every
+    // derived double gets (Num.round2 rationale).
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("v"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          (round(percent_rank().over(w) * 1000000) / 1000000).as("pr"),
+          (round(cume_dist().over(w) * 1000000) / 1000000).as("cd"))
+        .orderBy("event_id")
+    }),
+
     // Global sort + limit → TakeOrderedAndProject (no full sort at scale).
     "q_sort_limit" -> ((s, d) => {
       Tables.orders(s, d)
@@ -108,6 +125,14 @@ object WindowOps {
                   ORDER BY epoch_us(ts), event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100 AS mavg3
          FROM events
+         ORDER BY event_id""",
+    "q_window_ntile" ->
+      """SELECT event_id, event_type, round("value", 2) AS v,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w * 1000000) / 1000000 AS pr,
+                round(cume_dist() OVER w * 1000000) / 1000000 AS cd
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY "value", event_id)
          ORDER BY event_id""",
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
