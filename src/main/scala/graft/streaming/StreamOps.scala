@@ -119,6 +119,33 @@ object StreamOps {
       .as[(Long, Long)]
   }
 
+  /** Stream-stream interval join: pair each left event with same-key
+    * right events whose event time falls within [l_ts, l_ts + within] —
+    * the correlation primitive (click→purchase attribution, request→
+    * response matching) batch q_join_asof approximates offline. BOTH
+    * sides carry watermarks and the join condition bounds time in BOTH
+    * directions, which is what lets Spark evict buffered rows once the
+    * opposite watermark passes the bound — state stays bounded for an
+    * unbounded run, keyed and store-backed like every stage here. Inner
+    * join, so matches emit as soon as both sides arrive (no watermark
+    * wait on the output path).
+    */
+  def intervalJoin(
+      left: Dataset[KnobEvent],
+      right: Dataset[KnobEvent],
+      watermark: String = "30 seconds",
+      within: String = "10 seconds"): org.apache.spark.sql.DataFrame = {
+    val l = left.select(col("id"), col("n").as("l_n"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("id").as("r_id"), col("n").as("r_n"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("id") === col("r_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $within"))
+      .select(col("id"), col("l_n"), col("r_n"), col("l_ts"), col("r_ts"))
+  }
+
   /** The whole reference pipeline as ONE streaming job (SURVEY.md §5.4):
     * latest-per-key (knobs) → fan-out n rows (flood) → windowed count per
     * key (mapper/reducer). Returns the windowed counts; with constant

@@ -275,4 +275,28 @@ class StreamingSpec extends AnyFunSuite {
         s"got $decoded")
     } finally q.stop()
   }
+
+  test("intervalJoin pairs same-key events within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[KnobEvent]
+    val right = MemoryStream[KnobEvent]
+    val q = StreamOps
+      .intervalJoin(left.toDS(), right.toDS(), within = "10 seconds")
+      .writeStream
+      .format("memory").queryName("ij_sink").outputMode(OutputMode.Append())
+      .start()
+    try {
+      left.addData(KnobEvent(1, 100, ts(100)), KnobEvent(2, 200, ts(100)))
+      right.addData(
+        KnobEvent(1, 7, ts(105)),  // same key, inside [100, 110] → match
+        KnobEvent(1, 8, ts(115)),  // same key, outside the bound → no
+        KnobEvent(1, 9, ts(95)),   // same key, BEFORE the left event → no
+        KnobEvent(3, 1, ts(105)))  // no left for key 3 → no
+      q.processAllAvailable()
+      val rows = spark.table("ij_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet == Set((1L, 100L, 7L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
