@@ -127,14 +127,18 @@ object StreamOps {
     * directions, which is what lets Spark evict buffered rows once the
     * opposite watermark passes the bound — state stays bounded for an
     * unbounded run, keyed and store-backed like every stage here. Inner
-    * join, so matches emit as soon as both sides arrive (no watermark
-    * wait on the output path).
+    * join (the default) emits matches as soon as both sides arrive;
+    * `joinType = "left_outer"` additionally emits unmatched left events
+    * with NULL right columns — but only once the watermark proves no
+    * match can still arrive (attribution-with-misses: every click
+    * reported, converted or not).
     */
   def intervalJoin(
       left: Dataset[KnobEvent],
       right: Dataset[KnobEvent],
       watermark: String = "30 seconds",
-      within: String = "10 seconds"): org.apache.spark.sql.DataFrame = {
+      within: String = "10 seconds",
+      joinType: String = "inner"): org.apache.spark.sql.DataFrame = {
     val l = left.select(col("id"), col("n").as("l_n"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col("id").as("r_id"), col("n").as("r_n"),
@@ -142,7 +146,7 @@ object StreamOps {
       .withWatermark("r_ts", watermark)
     l.join(r, col("id") === col("r_id") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"interval $within"))
+        col("r_ts") <= col("l_ts") + expr(s"interval $within"), joinType)
       .select(col("id"), col("l_n"), col("r_n"), col("l_ts"), col("r_ts"))
   }
 

@@ -299,4 +299,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSet == Set((1L, 100L, 7L)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("left_outer intervalJoin emits unmatched lefts after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[KnobEvent]
+    val right = MemoryStream[KnobEvent]
+    val q = StreamOps.intervalJoin(left.toDS(), right.toDS(),
+        watermark = "30 seconds", within = "10 seconds",
+        joinType = "left_outer")
+      .writeStream
+      .format("memory").queryName("loj_sink").outputMode(OutputMode.Append())
+      .start()
+    try {
+      left.addData(KnobEvent(1, 100, ts(100)),  // will match
+        KnobEvent(5, 500, ts(100)))             // never matches
+      right.addData(KnobEvent(1, 7, ts(105)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 100+10+30 so the unmatched left
+      // is provably final; the extra batch lets the state store evict it
+      left.addData(KnobEvent(9, 1, ts(500)))
+      right.addData(KnobEvent(9, 1, ts(500)))
+      q.processAllAvailable()
+      left.addData(KnobEvent(9, 2, ts(501)))
+      q.processAllAvailable()
+      val rows = spark.table("loj_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 100L, 7L)), s"match missing: $rows")
+      assert(rows.contains((5L, 500L, -1L)),
+        s"unmatched left not emitted with NULL right: $rows")
+    } finally q.stop()
+  }
 }
