@@ -137,6 +137,21 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Ordered string aggregation per group. collect_list's arrival order
+    // is partition-nondeterministic, so the sort happens INSIDE the row
+    // (array_sort) before joining — deterministic on any cluster, same
+    // result as DuckDB's string_agg(... ORDER BY). Guard rail: this shape
+    // is for bounded groups (names per region); an unbounded group would
+    // accumulate the whole partition in one aggregation buffer.
+    "q_string_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list("n_name")), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+
     // Pivot: event counts per user spread across one column per event
     // type. The type list is EXPLICIT — with it, Spark plans a single
     // pass (conditional aggregation); without it, a first job must scan
@@ -223,6 +238,12 @@ object AggOps {
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), ())
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_string_agg" ->
+      """SELECT r_name,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                count(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     "q_agg_having" ->
       """SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity) * 100) / 100 AS sum_qty
          FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
