@@ -153,6 +153,101 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before the corpus leaves quarantine. The fixture text is clean
+    // lowercase words (no PII by construction), so the query first appends
+    // a DETERMINISTIC doc_id-derived contact string (email + E.164-ish
+    // phone) to each document and then redacts it; the regexes are the
+    // real artifact under test and the DuckDB oracle runs the identical
+    // augment+redact. Patterns stay inside the Java-regex ∩ RE2 common
+    // subset (char classes, bounded repeats — no backrefs, no lookaround)
+    // so both engines compile them identically. Pure codegen'd projection:
+    // no UDF, no shuffle — at 100 TB this is a scan-speed pass.
+    "q_pii_redact" -> ((s, d) => {
+      val fullText = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail"), pmod(col("doc_id"), lit(7)), lit(".example.com tel +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, d)
+        .select(col("doc_id"), fullText.as("full_text"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("full_text"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("clean_text"),
+          regexp_count(col("full_text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("full_text"), lit(phoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style line-level dedup: split each document into 5-token
+    // "pseudo-lines" (the fixture has no newlines; a real corpus would
+    // split on '\n'), count each line's frequency across the WHOLE corpus,
+    // drop every line that appears more than once, and reassemble the
+    // survivors in original order. Scale shape: line frequency is grouped
+    // on xxhash64(line) — that corpus-wide shuffle carries 8-byte keys,
+    // never text — and the duplicate set (freq ≥ 2) joins back on the same
+    // 8-byte key (broadcast when small, plain shuffled hash join when not —
+    // the plan is declarative, AQE picks). The only text that moves is the
+    // per-doc reassembly of SURVIVING lines, which any operator emitting
+    // cleaned documents must pay exactly once.
+    // A 64-bit collision would merge two distinct lines (p ≈ n²/2⁶⁵ —
+    // negligible against corpus sizes; the all-pairs-exact oracle would
+    // catch one at fixture scale).
+    "q_line_dedup" -> ((s, d) => {
+      val L = 5
+      val nChunks = ceil(size(col("w")) / lit(L.toDouble)).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(col("w"), i * L + 1, lit(L)), " "))
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(chunks))
+        .select(col("doc_id"), col("pos"), col("col").as("line"),
+          xxhash64(col("col")).as("h"))
+      val dup = lines.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"), lit(true).as("is_dup"))
+      lines.join(dup, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("is_dup").isNull,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")), " ").as("text_clean"),
+          count(when(col("is_dup").isNull, 1)).as("n_kept"),
+          count(when(col("is_dup").isNotNull, 1)).as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document top-3 terms by TF-IDF — the term-weighting primitive
+    // under quality classifiers and topic filters. One explode + one
+    // (doc, term) aggregate; document frequency is a VOCABULARY-sized
+    // frame (broadcast), corpus size is a 1-row broadcast probe — the only
+    // corpus-scale shuffle is the tf groupBy. Ties broken by term asc so
+    // the top-3 cut is total-order deterministic.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // Persist: tf feeds BOTH the scored path and the document-frequency
+      // rollup; without it Catalyst re-explodes the whole corpus for df
+      // (two scans + two (doc,term) shuffles at 100 TB instead of one).
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6) / 1e6)
+        .withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
@@ -237,6 +332,60 @@ object TextOps {
          )
          SELECT doc_id, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 15000 ORDER BY doc_id"""),
+    "q_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+                  || '.example.com tel +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+           FROM documents
+         )
+         SELECT doc_id,
+           regexp_replace(regexp_replace(full_text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(full_text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+         FROM aug ORDER BY doc_id""",
+    // The oracle groups on the line STRING (the semantic spec); the Spark
+    // side groups on xxhash64(line) — identical absent a 64-bit collision.
+    "q_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         lines AS (
+           SELECT doc_id, i, array_to_string(ws[i*5+1:i*5+5], ' ') AS line
+           FROM w, UNNEST(range(0, CAST(ceil(len(ws)/5.0) AS BIGINT))) AS t(i)
+         ),
+         dup AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2)
+         SELECT l.doc_id,
+           coalesce(array_to_string(list(l.line ORDER BY l.i)
+               FILTER (WHERE d.line IS NULL), ' '), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE d.line IS NULL) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE d.line IS NOT NULL) AS BIGINT) AS n_dropped
+         FROM lines l LEFT JOIN dup d USING (line)
+         GROUP BY l.doc_id ORDER BY doc_id""",
+    "q_tfidf_top_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+           GROUP BY 1, 2
+         ),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs::DOUBLE / df.df::DOUBLE) * 1000000) / 1000000 AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n
+         ),
+         ranked AS (
+           SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS INT) AS rnk
+           FROM scored
+         )
+         SELECT doc_id, term, score, rnk FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_doc_fingerprint" ->
       """SELECT doc_id,
                 list_min([sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2])

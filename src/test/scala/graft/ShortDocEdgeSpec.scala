@@ -30,7 +30,7 @@ class ShortDocEdgeSpec extends AnyFunSuite {
   for (q <- Seq("q_doc_fingerprint", "q_minhash_neardup", "q_simhash_neardup",
     "q_jaccard_neardup", "q_text_ngrams", "q_text_quality", "q_dedup_exact",
     "q_neardup_groups", "q_dedup_canonical", "q_sample_stratified",
-    "q_token_budget")) {
+    "q_token_budget", "q_pii_redact", "q_line_dedup", "q_tfidf_top_terms")) {
     test(s"$q survives 0/1/2-word documents") {
       val rows = SparkEntry.queries(q)(spark, miniDir).collect()
       assert(rows != null) // primary assertion: no ANSI element_at crash
@@ -50,5 +50,18 @@ class ShortDocEdgeSpec extends AnyFunSuite {
     val sh = SparkEntry.queries("q_simhash_neardup")(spark, miniDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(sh.contains((4L, 5L)), s"identical docs not simhash-paired: ${sh.toSeq}")
+  }
+
+  test("line dedup drops every line of the identical doc pair, keeps unique docs intact") {
+    val ld = SparkEntry.queries("q_line_dedup")(spark, miniDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 4 and 5 are byte-identical → each of their pseudo-lines occurs
+    // twice corpus-wide → all dropped, cleaned text empty
+    for (id <- Seq(4L, 5L)) {
+      val (clean, kept, dropped) = ld(id)
+      assert(clean == "" && kept == 0L && dropped >= 1L, s"doc $id: ${ld(id)}")
+    }
+    // a unique single-line doc survives untouched
+    assert(ld(3L) == (("exactly three words", 1L, 0L)), s"doc 3: ${ld(3L)}")
   }
 }
