@@ -248,6 +248,95 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Benchmark decontamination — the overlap check run before any corpus
+    // ships to training: docs with doc_id % 50 == 0 stand in for the held-out
+    // eval set; every other doc is scanned for 5-gram overlap with it.
+    // Scale shape: the benchmark side is tiny BY DEFINITION (eval sets are
+    // MBs against a 100 TB corpus), so its distinct 5-gram hash set is
+    // broadcast — the corpus side never shuffles; each task streams its
+    // grams past the in-memory hash set and emits per-doc hit counts. Grams
+    // are compared as xxhash64 longs (the oracle compares the strings — the
+    // semantic spec; identical absent a 64-bit collision).
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // when-guard: sequence(1, size-4) would run DESCENDING for <5-word
+      // docs (negative-step inference) — guard to an empty gram list.
+      val gramsCol = when(size(col("w")) >= 5,
+        transform(sequence(lit(1), size(col("w")) - 4),
+          i => xxhash64(array_join(slice(col("w"), i, lit(5)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+      val g = docs.select(col("doc_id"), explode(gramsCol).as("h"))
+      val bench = g.filter(col("doc_id") % 50 === 0).select("h").distinct()
+      val hits = g.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style intra-document repetition metrics: duplicate-bigram
+    // fraction and top-bigram mass — the cheap quality signals that gate a
+    // crawl doc before any expensive scoring. Deliberately NOT computed
+    // inside a per-doc HOF (counting distinct runs in a lambda is O(len²)
+    // per doc); instead the same (doc, gram) aggregate shape as tf-idf —
+    // one explode, one partial-agg'd shuffle, integer-exact ratios.
+    "q_repetition" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("max_c"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (round((col("n_bigrams") - col("n_distinct")).cast("double")
+            / col("n_bigrams") * 10000) / 10000).as("dup_frac"),
+          (round(col("max_c").cast("double")
+            / col("n_bigrams") * 10000) / 10000).as("top_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 top-3 terms per document (k1=1.2, b=0.75) — the retrieval-grade
+    // upgrade of q_tfidf_top_terms: same single (doc, term) corpus shuffle,
+    // plus a doc-length frame that REUSES tf's partitioning (dl groups on
+    // doc_id over the persisted tf — no second corpus scan) and a 1-row
+    // broadcast of (N, avgdl). All literals are written identically in the
+    // DuckDB oracle (::DOUBLE) so both engines run the same double
+    // arithmetic expression tree.
+    "q_bm25_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dl, "doc_id").join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("score",
+          round(col("idf") * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * 1e6) / 1e6)
+        .withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
@@ -377,6 +466,62 @@ object TextOps {
            SELECT tf.doc_id, tf.term,
              round(tf.tf * ln(n.n_docs::DOUBLE / df.df::DOUBLE) * 1000000) / 1000000 AS score
            FROM tf JOIN df USING (term) CROSS JOIN n
+         ),
+         ranked AS (
+           SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS INT) AS rnk
+           FROM scored
+         )
+         SELECT doc_id, term, score, rnk FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // The oracle matches grams as STRINGS (the semantic spec); the Spark
+    // side matches xxhash64(gram) — identical absent a 64-bit collision.
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+           FROM w, UNNEST(range(1, CAST(len(ws) - 3 AS BIGINT))) AS t(i)
+         ),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         hits AS (
+           SELECT g.doc_id, count(*) AS n_hits
+           FROM g JOIN bench USING (gram)
+           WHERE g.doc_id % 50 <> 0 GROUP BY 1
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         big AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+           FROM w, UNNEST(range(1, CAST(len(ws) AS BIGINT))) AS t(i)
+         ),
+         c AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                round((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_frac,
+                round(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_bm25_top_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+           WHERE length(term) > 0
+           GROUP BY 1, 2
+         ),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             round(ln((s.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * (tf.tf * 2.2::DOUBLE)
+               / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl))
+               * 1000000) / 1000000 AS score
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
          ),
          ranked AS (
            SELECT doc_id, term, score,

@@ -30,7 +30,8 @@ class ShortDocEdgeSpec extends AnyFunSuite {
   for (q <- Seq("q_doc_fingerprint", "q_minhash_neardup", "q_simhash_neardup",
     "q_jaccard_neardup", "q_text_ngrams", "q_text_quality", "q_dedup_exact",
     "q_neardup_groups", "q_dedup_canonical", "q_sample_stratified",
-    "q_token_budget", "q_pii_redact", "q_line_dedup", "q_tfidf_top_terms")) {
+    "q_token_budget", "q_pii_redact", "q_line_dedup", "q_tfidf_top_terms",
+    "q_decontaminate", "q_repetition", "q_bm25_top_terms")) {
     test(s"$q survives 0/1/2-word documents") {
       val rows = SparkEntry.queries(q)(spark, miniDir).collect()
       assert(rows != null) // primary assertion: no ANSI element_at crash

@@ -24,6 +24,22 @@ class VectorAggSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("int8 quantization stays in range with bounded reconstruction error") {
+    val rows = SparkEntry.queries("q_embed_quantize")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val (scale, qAbsSum, err) =
+        (r.getDouble(1), r.getLong(3), r.getDouble(4))
+      assert(scale > 0, s"vec ${r.getLong(0)}: zero scale")
+      // every quantized component is in [-127, 127] → 64-dim L1 bound
+      assert(qAbsSum <= 127L * 64, s"vec ${r.getLong(0)}: q out of range")
+      // per-dim error ≤ scale/254 (round-to-nearest) → L2 ≤ sqrt(64)·scale/254
+      assert(err <= 8.0 * scale / 254 + 1e-6,
+        s"vec ${r.getLong(0)}: recon err $err vs scale $scale")
+    }
+  }
+
   test("media decode stub is deterministic with fixed-width features") {
     val m = MediaOps.Media(7L, "video", "hello world".getBytes("UTF-8"))
     val d1 = MediaOps.decodeStub(m)
