@@ -122,13 +122,14 @@ object Bench {
     // stdout line must be COMPACT or it gets truncated mid-JSON and the
     // round's bench is recorded as unparseable (this happened in rounds
     // 3-5: full-precision medians + a per-query spread map pushed the line
-    // to ~4.7k chars). Millisecond precision and no spread keeps 62 queries
-    // around 1.4k chars; the full-precision spread detail still lands in
-    // target/bench.json for local analysis.
+    // to ~4.7k chars). Centisecond precision and no spread keeps 74 queries
+    // around 1.9k chars (millisecond precision measured ~1965 — one
+    // contended 3-digit median from the cliff); the full-precision spread
+    // detail still lands in target/bench.json for local analysis.
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, which
     // in a comma-decimal locale (de_DE) would emit "1,234" — invalid JSON.
     def ms(d: Double): String =
-      if (d < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, d)
+      if (d < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results
       .map { case (k, (med, _, _)) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
