@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scale probe: `runMain graft.TextProbe [nDocs]` (default
+  * 100,000).
+  *
+  * The fixture `documents` table is 500 rows at every sf, so the new text
+  * family's scaling behavior (corpus-wide line frequencies, broadcast
+  * decontamination, the (doc, term) shuffle under TF-IDF/BM25) is otherwise
+  * only measured at bench scale (5k docs). This main generates the same
+  * deterministic hash-derived corpus as ScaleProbe — ~60 words/doc over a
+  * 500-word vocabulary, with 1% planted near-identical twins — and times
+  * the REAL registered queries against it. The twins double as a
+  * correctness canary: a twin pair shares its first 57 words, so line
+  * dedup must drop each shared 5-token pseudo-line from BOTH docs.
+  *
+  * Everything is distributed DataFrame work; the driver sees only counters.
+  */
+object TextProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = Sessions.local(appName = "graft-text-probe")
+    import spark.implicits._
+
+    val dir = s"/tmp/graft_text_$nDocs"
+    val vocabSize = 500
+    val wordsPerDoc = 60
+
+    val word = (seed: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(xxhash64(seed), lit(vocabSize)))
+    val base = spark.range(0, nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until wordsPerDoc).map(j =>
+          word(concat(col("id"), lit(s"_$j")))): _*).as("text"))
+    val twins = base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + nDocs).as("doc_id"),
+        concat(
+          expr(s"substring_index(text, ' ', ${wordsPerDoc - 3})"),
+          lit(" zz1 zz2 zz3")).as("text"))
+    base.unionByName(twins)
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synth").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val total = nDocs + nDocs / 100
+    println(s"[text-probe] corpus: $total docs at $dir")
+
+    def time(name: String)(f: => Long): Long = {
+      spark.catalog.clearCache() // cold-cache like Bench.runOnce
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[text-probe] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      n
+    }
+    def run(name: String): Long = time(name) {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      -1L
+    }
+
+    run("q_pii_redact")
+    run("q_repetition")
+    run("q_tfidf_top_terms")
+    run("q_bm25_top_terms")
+    run("q_decontaminate")
+    // line dedup last, with the twin canary: doc 0 and doc nDocs share
+    // words 1..57, i.e. pseudo-lines 1..11 (1-based 5-token chunks) of doc 0
+    // all occur at least twice corpus-wide → doc 0 keeps at most its last
+    // chunk. (Other cross-doc line collisions are possible over a 500-word
+    // vocab — the canary asserts an upper bound, not an exact count.)
+    time("q_line_dedup") {
+      val kept = SparkEntry.queries("q_line_dedup")(spark, dir)
+        .filter(col("doc_id") === 0).select("n_kept").as[Long].head()
+      require(kept <= 1, s"twin lines not deduped: doc 0 kept $kept lines")
+      kept
+    }
+    spark.stop()
+  }
+}
