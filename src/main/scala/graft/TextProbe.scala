@@ -58,11 +58,12 @@ object TextProbe {
       -1L
     }
 
-    run("q_pii_redact")
-    run("q_repetition")
-    run("q_tfidf_top_terms")
-    run("q_bm25_top_terms")
-    run("q_decontaminate")
+    // optional args after nDocs filter which queries run (dev loop)
+    val only = args.drop(1).toSet
+    def want(n: String) = only.isEmpty || only(n)
+    Seq("q_pii_redact", "q_repetition", "q_tfidf_top_terms",
+      "q_bm25_top_terms", "q_decontaminate").filter(want).foreach(run)
+    if (!want("q_line_dedup")) { spark.stop(); return }
     // line dedup last, with the twin canary: doc 0 and doc nDocs share
     // words 1..57, i.e. pseudo-lines 1..11 (1-based 5-token chunks) of doc 0
     // all occur at least twice corpus-wide → doc 0 keeps at most its last

@@ -51,11 +51,11 @@ object DataflowOps {
     // yields NULL rather than failing the task (the reference's
     // log-and-continue, knobs.go:85-90, as an expression semantic).
     "q_json_extract" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.orderedOnce(Tables.events(s, d)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .filter(col("k") > 50)
-        .orderBy("event_id")
+        .filter(col("k") > 50),
+        col("event_id"))
     }),
 
     // R10/R12: tumbling 1-hour event-time window counts per event type.

@@ -82,11 +82,11 @@ object MediaOps {
     // Metadata over binary payloads — oracle-checked: byte length and
     // content digest computed on the binary column in both engines.
     "q_multimodal_meta" -> ((s, d) => {
-      mediaTable(s, d).toDF()
+      Tables.orderedOnce(mediaTable(s, d).toDF()
         .select(col("media_id"), col("kind"),
           length(col("bytes")).cast("long").as("n_bytes"),
-          sha2(col("bytes"), 256).as("content_hash"))
-        .orderBy("media_id")
+          sha2(col("bytes"), 256).as("content_hash")),
+        col("media_id"))
     }),
 
     // Stubbed decode + feature extraction — oracle-checked: the stub is
@@ -96,12 +96,12 @@ object MediaOps {
     // scaled longs: raw array<double> columns crash the driver's pandas
     // comparator (unhashable ndarray).
     "q_media_features" -> ((s, d) => {
-      decodeFeatures(mediaTable(s, d)).toDF()
+      Tables.orderedOnce(decodeFeatures(mediaTable(s, d)).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("n_frames"),
           concat_ws(",", transform(col("feature"),
-            x => round(x * 10000).cast("long").cast("string"))).as("feature"))
-        .orderBy("media_id")
+            x => round(x * 10000).cast("long").cast("string"))).as("feature")),
+        col("media_id"))
     })
   )
 

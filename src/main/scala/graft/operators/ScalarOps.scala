@@ -28,16 +28,16 @@ object ScalarOps {
     // projection. Filter lands in PushedFilters; ReadSchema carries only
     // the 6 referenced columns of lineitem's 11.
     "q_scan_filter_project" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.orderedOnce(Tables.lineitem(s, d)
         .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("disc_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+            .as("disc_price")),
+        col("l_orderkey"), col("l_linenumber"))
     }),
 
     "q_scalar_string" -> ((s, d) => {
-      Tables.part(s, d)
+      Tables.orderedOnce(Tables.part(s, d)
         .select(
           col("p_partkey"),
           upper(col("p_name")).as("name_upper"),
@@ -46,12 +46,12 @@ object ScalarOps {
           substring(col("p_type"), 1, 5).as("type_pfx"),
           concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
           trim(col("p_name")).as("name_trim"),
-          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
-        .orderBy("p_partkey")
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word")),
+        col("p_partkey"))
     }),
 
     "q_scalar_date" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.orderedOnce(Tables.orders(s, d)
         .select(
           col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("o_year"),
@@ -60,10 +60,16 @@ object ScalarOps {
           unix_micros(date_trunc("month", col("o_orderdate")).cast("timestamp"))
             .as("month_start_us"),
           unix_micros((col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-            .cast("timestamp")).as("plus30_us"))
-        .orderBy("o_orderkey")
+            .cast("timestamp")).as("plus30_us")),
+        col("o_orderkey"))
     }),
 
+    // NOT orderedOnce: the output here is corpus-sized (every lineitem row,
+    // 9 columns) while the compute is scan-speed, so caching costs more
+    // than the sampling re-scan it saves (measured 2.3 s plain vs 2.7 s
+    // persisted at sf0.1). orderedOnce pays off when compute per row is
+    // expensive (regex, sha2, HOF folds) or output is much smaller than
+    // input; a cheap wide projection is better left to the double-eval.
     "q_scalar_math" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(
@@ -87,7 +93,7 @@ object ScalarOps {
     // engines (Spark Ryu says 1.0E-4 where DuckDB says 0.0001) — integer
     // rendering is identical everywhere.
     "q_scalar_array" -> ((s, d) => {
-      Tables.embeddings(s, d)
+      Tables.orderedOnce(Tables.embeddings(s, d)
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
@@ -95,8 +101,8 @@ object ScalarOps {
           round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"),
           concat_ws(",", transform(slice(col("embedding"), 1, 3),
             x => round(x.cast("double") * 10000).cast("long").cast("string")))
-            .as("head3"))
-        .orderBy("vec_id")
+            .as("head3")),
+        col("vec_id"))
     }),
 
     // Conditional projection + aggregation over the branches.

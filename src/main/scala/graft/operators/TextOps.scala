@@ -67,11 +67,11 @@ object TextOps {
     // Token counting, BPE-ish: word runs plus single punctuation marks.
     "q_text_tokens" -> ((s, d) => {
       val toks = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
-      Tables.documents(s, d)
+      Tables.orderedOnce(Tables.documents(s, d)
         .select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
-          size(split(col("text"), " ")).cast("long").as("n_words"))
-        .orderBy("doc_id")
+          size(split(col("text"), " ")).cast("long").as("n_words")),
+        col("doc_id"))
     }),
 
     // Quality scoring: word count, mean word length, stopword ratio — the
@@ -82,12 +82,12 @@ object TextOps {
       val sumLen = aggregate(transform(w, x => length(x).cast("long")),
         lit(0L), (acc, x) => acc + x).cast("double")
       val nStop = size(filter(w, x => x.isInCollection(Stopwords))).cast("double")
-      Tables.documents(s, d)
+      Tables.orderedOnce(Tables.documents(s, d)
         .select(col("doc_id"),
           size(w).cast("long").as("n_words"),
           (round(sumLen / nWords * 10000) / 10000).as("avg_word_len"),
-          (round(nStop / nWords * 10000) / 10000).as("stopword_ratio"))
-        .orderBy("doc_id")
+          (round(nStop / nWords * 10000) / 10000).as("stopword_ratio")),
+        col("doc_id"))
     }),
 
     // Stratified downsampling — the corpus-mixing primitive (keep all rare
@@ -101,10 +101,10 @@ object TextOps {
       val keepPermille = when(col("lang") === "en", 300)
         .when(col("lang").isin("de", "es", "fr"), 800)
         .otherwise(1000)
-      Tables.documents(s, d)
+      Tables.orderedOnce(Tables.documents(s, d)
         .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < keepPermille)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"))
     }),
 
     // Token-budget selection: rank by quality, keep the prefix that fits a
@@ -170,14 +170,14 @@ object TextOps {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
       val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
-      Tables.documents(s, d)
+      Tables.orderedOnce(Tables.documents(s, d)
         .select(col("doc_id"), fullText.as("full_text"))
         .select(col("doc_id"),
           regexp_replace(regexp_replace(col("full_text"), emailRe, "[EMAIL]"),
             phoneRe, "[PHONE]").as("clean_text"),
           regexp_count(col("full_text"), lit(emailRe)).cast("long").as("n_emails"),
-          regexp_count(col("full_text"), lit(phoneRe)).cast("long").as("n_phones"))
-        .orderBy("doc_id")
+          regexp_count(col("full_text"), lit(phoneRe)).cast("long").as("n_phones")),
+        col("doc_id"))
     }),
 
     // C4-style line-level dedup: split each document into 5-token
@@ -281,28 +281,53 @@ object TextOps {
 
     // Gopher-style intra-document repetition metrics: duplicate-bigram
     // fraction and top-bigram mass — the cheap quality signals that gate a
-    // crawl doc before any expensive scoring. Deliberately NOT computed
-    // inside a per-doc HOF (counting distinct runs in a lambda is O(len²)
-    // per doc); instead the same (doc, gram) aggregate shape as tf-idf —
-    // one explode, one partial-agg'd shuffle, integer-exact ratios.
+    // crawl doc before any expensive scoring. The metrics are intrinsically
+    // per-document, so they are computed ENTIRELY in-row over HASHED
+    // bigrams: each bigram becomes an 8-byte xxhash64, the per-doc hash
+    // array is sorted once (O(L log L)), and boundary indices of the sorted
+    // array yield distinct count (#boundaries) and max multiplicity (max
+    // gap between consecutive boundaries). No explode, no shuffle — a
+    // scan-speed pass at 100 TB. Measured at 101k docs / 4 cores: this form
+    // 5.7 s vs 7.9 s for an explode + (doc, gram) grouped aggregate and
+    // 16.6 s for the same in-row pass over bigram STRINGS — interpreted
+    // per-element string comparisons inside HOF lambdas cost ~3× the long
+    // compares, so hash first, then fold. A 64-bit collision would merge
+    // two distinct bigrams WITHIN one doc (p ≈ L²/2⁶⁵ per doc —
+    // negligible; the string-keyed oracle would catch one at fixture
+    // scale). The DuckDB oracle keeps the grouped string formulation as
+    // the semantic spec; the integer counts are identical, so the rounded
+    // ratios hash-match.
     "q_repetition" -> ((s, d) => {
       val w = split(col("text"), " ")
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(zip_with(
-          slice(w, lit(1), size(w) - 1),
-          slice(w, lit(2), size(w) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"),
-          count(lit(1)).as("n_distinct"),
-          max("c").as("max_c"))
+      val bg = array_sort(zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => xxhash64(a, b)))
+      // Each alias (`bg`, `bounds`) gets its own projection: HOF results
+      // referenced more than once must be materialized or Catalyst
+      // re-evaluates the producing expression at every use site.
+      Tables.orderedOnce(Tables.documents(s, d)
+        .select(col("doc_id"), bg.as("bg"))
+        .filter(size(col("bg")) > 0)
+        .select(col("doc_id"), col("bg"),
+          filter(sequence(lit(1), size(col("bg"))),
+            i => (i === 1) ||
+              (element_at(col("bg"), i) =!= element_at(col("bg"), i - 1)))
+            .as("bounds"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          size(col("bounds")).cast("long").as("n_distinct"),
+          array_max(zip_with(
+            concat(slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+              array(size(col("bg")) + 1)),
+            col("bounds"),
+            (a, b) => a - b)).cast("long").as("max_c"))
         .select(col("doc_id"), col("n_bigrams"),
           (round((col("n_bigrams") - col("n_distinct")).cast("double")
             / col("n_bigrams") * 10000) / 10000).as("dup_frac"),
           (round(col("max_c").cast("double")
-            / col("n_bigrams") * 10000) / 10000).as("top_frac"))
-        .orderBy("doc_id")
+            / col("n_bigrams") * 10000) / 10000).as("top_frac")),
+        col("doc_id"))
     }),
 
     // BM25 top-3 terms per document (k1=1.2, b=0.75) — the retrieval-grade
@@ -355,10 +380,10 @@ object TextOps {
           i => sha2(concat_ws(" ",
             element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)), 256)))
         .otherwise(array().cast("array<string>"))
-      Tables.documents(s, d)
+      Tables.orderedOnce(Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), array_min(shingleHashes).as("fingerprint"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), array_min(shingleHashes).as("fingerprint")),
+        col("doc_id"))
     })
   )
 

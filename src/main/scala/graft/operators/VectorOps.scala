@@ -48,7 +48,7 @@ object VectorOps {
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
         .withColumn("q",
           transform(col("v"), x => round(x / col("scale") * 127).cast("long")))
-      e.select(col("vec_id"),
+      Tables.orderedOnce(e.select(col("vec_id"),
         (round(col("scale") * 1e6) / 1e6).as("scale_r"),
         aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"),
@@ -57,8 +57,8 @@ object VectorOps {
             val diff = x - qi * col("scale") / lit(127)
             diff * diff
           }),
-          lit(0.0), (a, x) => a + x)) * 1e6) / 1e6).as("recon_err"))
-        .orderBy("vec_id")
+          lit(0.0), (a, x) => a + x)) * 1e6) / 1e6).as("recon_err")),
+        col("vec_id"))
     }),
 
     // HLL sketch distinct — no oracle (sketches differ across engines);
