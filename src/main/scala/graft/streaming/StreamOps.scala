@@ -150,6 +150,24 @@ object StreamOps {
       .select(col("id"), col("l_n"), col("r_n"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream–static enrichment join: attach dimension attributes to each
+    * streaming event by joining the stream against a BATCH table on `id`.
+    * The static side is broadcast — no streaming state, no watermark
+    * needed, and the dimension frame is re-resolved every micro-batch (a
+    * dim refresh lands at the next trigger). This is the production shape
+    * for decorating an unbounded event stream with a small dimension
+    * table; at cluster scale the broadcast replaces what would otherwise
+    * be a per-batch shuffle of the whole stream. `left_outer` (default)
+    * keeps events whose key has no dimension row (NULL attributes);
+    * `inner` drops them.
+    */
+  def enrich(
+      events: Dataset[KnobEvent],
+      dim: org.apache.spark.sql.DataFrame,
+      joinType: String = "left_outer"): org.apache.spark.sql.DataFrame =
+    events.toDF().join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("id"), joinType)
+
   /** The whole reference pipeline as ONE streaming job (SURVEY.md §5.4):
     * latest-per-key (knobs) → fan-out n rows (flood) → windowed count per
     * key (mapper/reducer). Returns the windowed counts; with constant

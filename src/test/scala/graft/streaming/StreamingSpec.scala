@@ -331,4 +331,26 @@ class StreamingSpec extends AnyFunSuite {
         s"unmatched left not emitted with NULL right: $rows")
     } finally q.stop()
   }
+
+  test("enrich decorates the stream from a static dimension, keeping unknown keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val q = StreamOps.enrich(input.toDS(), dim)
+      .writeStream
+      .format("memory").queryName("enrich_sink").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(KnobEvent(1, 10, ts(100)), KnobEvent(2, 20, ts(101)),
+        KnobEvent(7, 70, ts(102))) // key 7 has no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_sink")
+        .select("id", "n", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSet
+      assert(rows == Set((1L, 10L, "alpha"), (2L, 20L, "beta"),
+        (7L, 70L, null)), s"got $rows")
+    } finally q.stop()
+  }
 }
