@@ -50,4 +50,18 @@ object TextSources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
+
+  /** ORC reader/writer pair — the columnar interchange format alongside
+    * the engine's native Parquet (warehouses emit either; both carry
+    * min/max statistics the scan uses for predicate pushdown, so a filter
+    * reaches the stripe/row-group reader the same way). ORC is
+    * self-describing, so no corrupt-record containment applies: a damaged
+    * stripe fails its SPLIT, not the record — upstream validation happens
+    * at the text→columnar ingest boundary (jsonLines/csv above). Schema is
+    * still explicit, same contract rule as the text readers. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -39,6 +39,21 @@ class TextSourcesSpec extends AnyFunSuite {
       docs.exceptAll(back.select(cols: _*)).isEmpty)
   }
 
+  test("ORC round-trips the documents table losslessly with pushdown intact") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_orc").toString
+    TextSources.writeOrc(docs, s"$dir/docs")
+    val back = TextSources.orc(spark, s"$dir/docs", docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // the filter must reach the ORC reader (same pushdown contract as
+    // parquet scans) — formatted explain carries the PushedFilters list
+    val plan = back.filter(col("doc_id") > 100)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("a malformed JSONL line is contained, valid lines survive") {
     val dir = Files.createTempDirectory("graft_jsonl_bad").toString
     Files.write(Paths.get(dir, "part.jsonl"),
