@@ -28,6 +28,36 @@ object TextOps {
     * LangId makes with its profile-generated SQL). */
   private val StopwordsSql = Stopwords.map("'" + _ + "'").mkString(",")
 
+  /** (input minus `ws`) + (term, tf): per-document term frequencies
+    * computed IN-ROW from a SORTED word-array column `ws` — run boundaries
+    * of the sorted array give each distinct term (the element at the
+    * boundary) and its count (gap to the next boundary); the q_repetition
+    * boundary technique, with the term string carried out of the array.
+    * No corpus shuffle: tf is per-document state, so it never needs a
+    * (doc, term) groupBy. Input rows must have non-empty `ws` (sequence(1,
+    * 0) would infer a negative step). Columns other than `ws` pass through
+    * to the exploded rows — pass per-doc scalars (doc length) that way
+    * rather than carrying the array through the explode, which would copy
+    * it into every term row. Each alias gets its own projection (the
+    * HOF-CSE rule: multiply-referenced HOF results must be materialized or
+    * Catalyst re-evaluates the producer at every use site). */
+  private def termFreqInRow(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep = docs.columns.filter(_ != "ws").map(col).toSeq
+    val p2 = docs.select(keep ++ Seq(col("ws"),
+      filter(sequence(lit(1), size(col("ws"))),
+        i => (i === 1) ||
+          (element_at(col("ws"), i) =!= element_at(col("ws"), i - 1)))
+        .as("bounds")): _*)
+    val p3 = p2.select(keep ++ Seq(col("ws"), col("bounds"),
+      concat(slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+        array(size(col("ws")) + 1)).as("nexts")): _*)
+    p3.select(keep :+
+      explode(zip_with(col("bounds"), col("nexts"),
+        (b, nx) => struct(element_at(col("ws"), b).as("term"),
+          (nx - b).cast("long").as("tf")))).as("p"): _*)
+      .select(keep ++ Seq(col("p.term").as("term"), col("p.tf").as("tf")): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
     // keep the smallest doc_id, count copies. The digest (64 bytes) is the
@@ -227,15 +257,22 @@ object TextOps {
     "q_tfidf_top_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      // Persist: tf feeds BOTH the scored path and the document-frequency
-      // rollup; without it Catalyst re-explodes the whole corpus for df
-      // (two scans + two (doc,term) shuffles at 100 TB instead of one).
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist()
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // tf is PER-DOCUMENT, so it is computed IN-ROW (sorted word array →
+      // run boundaries → (term, tf) struct pairs, the q_repetition
+      // technique) instead of a corpus-wide (doc, term) groupBy. df groups
+      // by term ALONE, which map-side partial aggregation collapses to
+      // vocabulary size per partition before the shuffle. Net plan: two
+      // narrow corpus passes + a vocabulary-sized shuffle + ONE corpus
+      // shuffle (the window's doc_id partitioning) — the first cut's
+      // (doc, term) groupBy + 58M-row persist measured 52.2 s at 1M docs
+      // vs 29.8 s for this shape. No persist: re-running a narrow pass
+      // costs less than caching a corpus-sized frame.
+      val df = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = termFreqInRow(docs.select(col("doc_id"),
+        array_sort(split(col("text"), " ")).as("ws")))
       val win = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
       tf.join(broadcast(df), "term")
@@ -339,17 +376,25 @@ object TextOps {
     // arithmetic expression tree.
     "q_bm25_top_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist()
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // Same in-row tf + term-only df restructure as q_tfidf_top_terms
+      // (see its comment). dl (doc length) is just the size of the filtered
+      // word array, so it rides along in the same narrow pass — no
+      // doc-keyed aggregate, no join back; (n_docs, avgdl) is a 1-row
+      // broadcast over a narrow projection.
+      val words = filter(split(col("text"), " "), x => length(x) > 0)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(words).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val df = docs
+        .select(explode(array_distinct(col("ws"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.select(size(col("ws")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = termFreqInRow(
+        docs.withColumn("dl", size(col("ws")).cast("long")))
       val win = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(dl, "doc_id").join(broadcast(df), "term")
+      tf.join(broadcast(df), "term")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
