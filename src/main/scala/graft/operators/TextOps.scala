@@ -299,9 +299,14 @@ object TextOps {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       // when-guard: sequence(1, size-4) would run DESCENDING for <5-word
       // docs (negative-step inference) — guard to an empty gram list.
+      // xxhash64 over the 5 word columns directly — no per-gram string
+      // build; words contain no separator so the tuple hash is as
+      // collision-safe as hashing the joined string
       val gramsCol = when(size(col("w")) >= 5,
         transform(sequence(lit(1), size(col("w")) - 4),
-          i => xxhash64(array_join(slice(col("w"), i, lit(5)), " "))))
+          i => xxhash64(element_at(col("w"), i), element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3),
+            element_at(col("w"), i + 4))))
         .otherwise(array().cast("array<bigint>"))
       val g = docs.select(col("doc_id"), explode(gramsCol).as("h"))
       val bench = g.filter(col("doc_id") % 50 === 0).select("h").distinct()
