@@ -126,10 +126,17 @@ object Bench {
     // around 1.9k chars (millisecond precision measured ~1965 — one
     // contended 3-digit median from the cliff); the full-precision spread
     // detail still lands in target/bench.json for local analysis.
-    // Locale.ROOT: the f"" interpolator uses the JVM default locale, which
-    // in a comma-decimal locale (de_DE) would emit "1,234" — invalid JSON.
+    // Round-8 fix: 3 SIGNIFICANT digits instead of fixed centiseconds —
+    // fixed 2-decimal formatting collapsed every sub-5ms query to "0.00",
+    // making fast queries untrackable round-over-round in the one artifact
+    // the driver retains. Sig-digits keep typical medians the same width
+    // ("0.41", "7.77") while a 1.23ms query prints "0.00123".
+    // BigDecimal.toPlainString is locale-independent (the f"" interpolator
+    // in a comma-decimal locale would emit "1,234" — invalid JSON).
     def ms(d: Double): String =
-      if (d < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      if (d < 0) "-1"
+      else java.math.BigDecimal.valueOf(d)
+        .round(new java.math.MathContext(3)).stripTrailingZeros().toPlainString
     val qs = results
       .map { case (k, (med, _, _)) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")

@@ -23,6 +23,10 @@ object Explain {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString(mode)))
       println(s"rows=${df.count()}")
+      // Queries may persist intermediates (Tables.orderedOnce, signature
+      // reuse in SimilarityOps) sized to their output; drop them between
+      // queries like Verify/Bench do, or an `all` run accumulates caches.
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

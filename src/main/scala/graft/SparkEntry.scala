@@ -31,7 +31,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_count_by_key")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Caller contract: some queries persist intermediates for the duration of
+    * the returned DataFrame's evaluation (Tables.orderedOnce, the shared
+    * signature/shingle frames in SimilarityOps) and deliberately do NOT
+    * unpersist — the cache must outlive the returned plan, and the caller is
+    * the only party who knows when evaluation is done. Long-lived consumers
+    * must call `spark.catalog.clearCache()` after consuming each query, as
+    * Verify, Bench, Explain, and the probes all do; a one-query process can
+    * skip it.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 

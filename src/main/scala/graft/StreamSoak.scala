@@ -27,6 +27,40 @@ object StreamSoak {
     val spark = Sessions.local(cpus, "graft-stream-soak")
 
     val ckpt = Files.createTempDirectory("graft_soak_ckpt").toString
+
+    // Progress capture via StreamingQueryListener, NOT recentProgress
+    // polling: recentProgress retains only the last
+    // spark.sql.streaming.numRecentProgressUpdates (100) entries, so a
+    // single GC pause in the poll loop past ~100 fast batches would
+    // silently drop rows and deflate the reported rate. The listener gets
+    // EVERY progress event pushed by the engine; the contiguity assert
+    // below makes any residual gap loud instead of a wrong number.
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    val seenLock = new Object
+    @volatile var procMs = 0L
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        seenLock.synchronized {
+          if (!seen.contains(p.batchId)) {
+            val dur = p.durationMs.getOrDefault("triggerExecution", 0L)
+            seen(p.batchId) = (p.numInputRows, dur)
+            // batch 0 excluded — it pays stream init
+            if (p.batchId > 0) procMs += dur
+            System.err.println(
+              s"[soak] batch ${p.batchId}: ${p.numInputRows} msgs in ${dur} ms")
+          }
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+
     val q = StreamOps.pipeline(new RateEventSource(rowsPerBatch).stream(spark))
       .writeStream
       .format("noop")
@@ -34,26 +68,23 @@ object StreamSoak {
       .option("checkpointLocation", ckpt)
       .start()
 
-    // Poll progress until the CUMULATIVE batch-processing time (batch 0
-    // excluded — it pays stream init) crosses the soak horizon. Rates are
-    // computed from the engine's own triggerExecution durations, so the
-    // number is processing throughput, not poll-loop wall time.
-    val seen = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
-    var procMs = 0L
+    // Wait until the CUMULATIVE batch-processing time crosses the soak
+    // horizon. Rates are computed from the engine's own triggerExecution
+    // durations, so the number is processing throughput, not wall time.
     while (procMs < (minProcSecs * 1000).toLong && q.exception.isEmpty) {
       Thread.sleep(250)
-      for (p <- q.recentProgress if !seen.contains(p.batchId)) {
-        val dur = p.durationMs.getOrDefault("triggerExecution", 0L)
-        seen(p.batchId) = (p.numInputRows, dur)
-        if (p.batchId > 0) procMs += dur
-        System.err.println(
-          s"[soak] batch ${p.batchId}: ${p.numInputRows} msgs in ${dur} ms")
-      }
     }
     q.stop()
+    q.awaitTermination()
+    spark.streams.removeListener(listener)
     q.exception.foreach(throw _)
 
-    val steady = seen.toSeq.collect { case (id, rd) if id > 0 => rd }
+    val batchIds = seenLock.synchronized(seen.keys.toSeq.sorted)
+    require(batchIds == (batchIds.head to batchIds.last),
+      s"non-contiguous batch ids captured (${batchIds.length} of " +
+        s"${batchIds.last - batchIds.head + 1}) — rate would under-report")
+    val steady = seenLock.synchronized(
+      seen.toSeq.collect { case (id, rd) if id > 0 => rd })
     val msgs = steady.map(_._1).sum
     val secs = steady.map(_._2).sum / 1000.0
     val rate = msgs / secs

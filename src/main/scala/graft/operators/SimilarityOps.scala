@@ -54,6 +54,16 @@ object SimilarityOps {
   private val B = 8
   private val R = 4
 
+  /** q_dedup_incremental's corpus/batch boundary: doc_id < split is the
+    * stored corpus, doc_id ≥ split the incoming batch. 250 is a FIXTURE
+    * CONTRACT — the driver's documents table has 500 base docs (0..499)
+    * plus planted near-dup ids ≥ 500, so 250 puts half the base corpus and
+    * all planted twins on the batch side (SimilaritySpec pins the kept
+    * set). Off-fixture callers must supply their own boundary — the
+    * batch/corpus split is an ingest-time fact, not derivable from data.
+    * Shared by the Spark plan and the DuckDB oracle so they can't drift. */
+  private val IncrementalSplit = 250L
+
   /** The 3-word shingle array of a pre-split word column — the ONE place
     * shingle tokenization lives (review finding: three inline copies had
     * drifted on the short-document clamp). Documents with fewer than 3
@@ -243,7 +253,7 @@ object SimilarityOps {
     // candidates. Within-batch duplicates are q_dedup_canonical's job —
     // this operator's contract is batch-vs-corpus only.
     "q_dedup_incremental" -> ((s, d) => {
-      val split = 250L
+      val split = IncrementalSplit
       val shSets = hashedShingles(s, d).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = shSets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -703,9 +713,10 @@ object SimilarityOps {
     "q_dedup_incremental" ->
       s"""WITH $jaccardPairCtes
          SELECT doc_id FROM documents
-         WHERE doc_id >= 250
+         WHERE doc_id >= $IncrementalSplit
            AND doc_id NOT IN (SELECT doc_b FROM jpairs
-                              WHERE doc_a < 250 AND doc_b >= 250)
+                              WHERE doc_a < $IncrementalSplit
+                                AND doc_b >= $IncrementalSplit)
          ORDER BY doc_id""",
 
     // Full replication of the multi-probe LSH pipeline — sketches, the

@@ -46,8 +46,14 @@ object VectorOps {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        // Degenerate all-zero vector: scale = 0 would make x/scale NaN in
+        // Spark but NULL in DuckDB float division — guard to an all-zero
+        // quantized vector so both engines agree (recon_err is then exactly
+        // 0.0 through the shared expression tree, no second guard needed).
         .withColumn("q",
-          transform(col("v"), x => round(x / col("scale") * 127).cast("long")))
+          when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+            .otherwise(
+              transform(col("v"), x => round(x / col("scale") * 127).cast("long"))))
       Tables.orderedOnce(e.select(col("vec_id"),
         (round(col("scale") * 1e6) / 1e6).as("scale_r"),
         aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
@@ -93,7 +99,9 @@ object VectorOps {
          s AS (SELECT vec_id, v,
                       list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
          q AS (SELECT vec_id, v, scale,
-                      list_transform(v, x -> round(x / scale * 127)) AS qd FROM s)
+                      CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                           ELSE list_transform(v, x -> round(x / scale * 127))
+                      END AS qd FROM s)
          SELECT vec_id,
            round(scale * 1000000) / 1000000 AS scale_r,
            CAST(list_sum(qd) AS BIGINT) AS q_sum,

@@ -40,6 +40,33 @@ class VectorAggSpec extends AnyFunSuite {
     }
   }
 
+  test("quantization of an all-zero embedding yields zero, not NaN") {
+    // Degenerate case the fixture can never produce (its embeddings are
+    // random): scale = max|x| = 0 would make x/scale NaN in Spark but NULL
+    // in DuckDB — the when(scale===0) guard must map it to an exactly-zero
+    // quantized vector with recon_err 0.0 in both engines.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zero_vec")
+    try {
+      Seq(
+        (1L, Array.fill(64)(0.0f), 0),
+        (2L, Array.fill(64)(0.5f), 1)
+      ).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = SparkEntry.queries("q_embed_quantize")(spark, dir.toString)
+        .collect().sortBy(_.getLong(0))
+      val zero = rows(0)
+      assert(zero.getDouble(1) == 0.0, "scale_r")
+      assert(zero.getLong(2) == 0L && zero.getLong(3) == 0L, "q sums")
+      assert(zero.getDouble(4) == 0.0, s"recon_err ${zero.getDouble(4)}")
+      // the non-degenerate row still quantizes normally
+      assert(rows(1).getLong(3) == 127L * 64, "uniform vec |q| sum")
+    } finally {
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("media decode stub is deterministic with fixed-width features") {
     val m = MediaOps.Media(7L, "video", "hello world".getBytes("UTF-8"))
     val d1 = MediaOps.decodeStub(m)
