@@ -170,6 +170,71 @@ object AggOps {
         .orderBy("user_id", "event_type")
     }),
 
+    // Salted two-stage aggregation — the explicit skew-mitigation form.
+    // l_returnflag has 3 values with one holding ~half the table; at
+    // 100 TB a plain groupBy sends that key's every partial row to one
+    // reducer task. Salting splits each key across 16 sub-keys in the
+    // first (wide) aggregate, so no reduce task ever sees more than
+    // ~1/16 of the hot key; the second aggregate recombines 3×16 tiny
+    // rows. The salt is a DETERMINISTIC hash of the row's primary key —
+    // rand() would break retry idempotency (a re-executed task must
+    // salt identically) and the cross-engine oracle. Sums run over
+    // DECIMAL so the two-stage regrouping is order-exact; the oracle is
+    // the PLAIN one-stage GROUP BY, proving the decomposition lossless.
+    "q_skew_salted_agg" -> ((s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"),
+          sum(round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,2)")).as("part_net"),
+          count(lit(1)).as("part_cnt"))
+      partial.groupBy("l_returnflag")
+        .agg(sum("part_qty").cast("double").as("sum_qty"),
+          sum("part_net").cast("double").as("sum_net"),
+          sum("part_cnt").as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Winsorized aggregate: clip a value column to its per-group
+    // [p1, p99] before summing — the outlier-robust statistic a quality
+    // pipeline wants when a few corrupt rows would otherwise own a mean.
+    // Percentile bounds are selected by EXPLICIT integer rank
+    // (rank = ceil(k·n/100) over a per-group sort), not an interpolating
+    // percentile: rank selection does no float arithmetic, so both
+    // engines pick the exact same element and the clip boundary can
+    // never drift by an ulp. The rank window shuffles once by group; the
+    // 3-row bounds frame broadcasts back onto the scan. Scale note: the
+    // rank window's parallelism is bounded by group count (3 here), so
+    // with few huge groups the 100 TB path computes bounds via
+    // approx_percentile instead (AggSpec pins that swap within 5%) —
+    // selection-by-rank is the oracle-exact form.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val ranked = li
+        .withColumn("r", row_number().over(byG.orderBy("x")))
+        .withColumn("n", count(lit(1)).over(byG))
+      // ceil(n/100) and ceil(99n/100) in pure integer arithmetic — `div`,
+      // not `/` (Spark's Column./ is always floating-point division)
+      val bounds = ranked
+        .filter(col("r") === expr("(n + 99) div 100") ||
+          col("r") === expr("(n * 99 + 99) div 100"))
+        .groupBy("g").agg(min("x").as("lo"), max("x").as("hi"))
+      li.join(broadcast(bounds), "g")
+        .select(col("g"),
+          least(greatest(col("x"), col("lo")), col("hi")).as("wx"),
+          (col("x") < col("lo")).cast("long").as("below"),
+          (col("x") > col("hi")).cast("long").as("above"))
+        .groupBy("g")
+        .agg(sum(col("wx").cast("decimal(18,2)")).cast("double").as("wsum"),
+          sum("below").as("n_clip_lo"), sum("above").as("n_clip_hi"),
+          count(lit(1)).as("n"))
+        .orderBy("g")
+    }),
+
     // R5 batch twin: arg-max by event timestamp per key (reference
     // knobs.go:101-102 keeps the newest record per knob, dropping
     // out-of-order arrivals). max_by is a single-pass aggregate — no
@@ -262,6 +327,37 @@ object AggOps {
            FROM events GROUP BY user_id, event_type)
          WHERE cnt > 0
          ORDER BY user_id, event_type""",
+    // The oracle is the PLAIN single-stage aggregate: a hash match proves
+    // the salted two-stage decomposition is lossless.
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) / 100
+                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_net,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Identical integer rank selection — both engines pick the same
+    // element, no interpolation arithmetic anywhere.
+    "q_winsorize" ->
+      """WITH ranked AS (
+           SELECT l_returnflag AS g, l_extendedprice AS x,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS r,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         bounds AS (
+           SELECT g, min(x) AS lo, max(x) AS hi FROM ranked
+           WHERE r = (n + 99) // 100 OR r = (n * 99 + 99) // 100
+           GROUP BY g)
+         SELECT r.g AS g,
+                CAST(sum(CAST(least(greatest(r.x, b.lo), b.hi)
+                  AS DECIMAL(18,2))) AS DOUBLE) AS wsum,
+                sum(CAST(r.x < b.lo AS BIGINT)) AS n_clip_lo,
+                sum(CAST(r.x > b.hi AS BIGINT)) AS n_clip_hi,
+                count(*) AS n
+         FROM (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem) r
+         JOIN bounds b USING (g)
+         GROUP BY r.g ORDER BY g""",
     // DuckDB arg_max has no composite-key overload → window emulation
     // with the identical (epoch_us(ts), event_id) ordering.
     "q_latest_per_key" ->

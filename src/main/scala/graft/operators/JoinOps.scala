@@ -113,6 +113,27 @@ object JoinOps {
         .orderBy("band")
     }),
 
+    // NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose join
+    // key is NULL match the NULL group instead of silently dropping — the
+    // semantics a pipeline needs when "unknown" is itself a category
+    // (unattributed traffic, missing language tag). The fixture has no
+    // natural NULLs, so a deterministic nullif plants them: user bucket 0
+    // becomes the NULL segment. Spark plans EqualNullSafe as a first-class
+    // hash-join key (coalesce-keyed under the hood), so this stays a
+    // SortMergeJoin/broadcast join at scale, never a nested loop.
+    "q_join_null_safe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          nullif(pmod(col("user_id"), lit(10)), lit(0)).as("segment"))
+      // dim derives from ev, so the join is a self-join: rename the dim
+      // key instead of relying on dataset-tagged columns (ambiguous).
+      val dim = ev.groupBy("segment").agg(count(lit(1)).as("segment_n"))
+        .withColumnRenamed("segment", "dim_segment")
+      ev.join(dim, col("segment") <=> col("dim_segment"))
+        .select(col("event_id"), col("segment"), col("segment_n"))
+        .orderBy("event_id")
+    }),
+
     // AS-OF join (generalizes reference knobs.go:101-102, "latest record at
     // or before the probe time"): for each purchase event, the latest click
     // by the same user with click.ts <= purchase.ts. Implemented as the
@@ -144,6 +165,14 @@ object JoinOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH ev AS (SELECT event_id, nullif(user_id % 10, 0) AS segment
+                     FROM events),
+         dim AS (SELECT segment, count(*) AS segment_n FROM ev
+                 GROUP BY segment)
+         SELECT ev.event_id, ev.segment, dim.segment_n
+         FROM ev JOIN dim ON ev.segment IS NOT DISTINCT FROM dim.segment
+         ORDER BY event_id""",
     "q_join_inner_equi" ->
       """SELECT o_orderkey, l_linenumber, c_custkey, c_mktsegment, l_quantity,
                 round(o_totalprice, 2) AS o_price
