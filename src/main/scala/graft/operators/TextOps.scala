@@ -120,6 +120,41 @@ object TextOps {
         col("doc_id"))
     }),
 
+    // DEFLATE compression ratio — the redundancy signal n-gram statistics
+    // miss (templated boilerplate, repeated paragraphs, encoded blobs):
+    // low-entropy text compresses far below ~0.4, clean prose sits near
+    // 0.5-0.7. This is the one genuinely imperative text op (a codec), so
+    // it takes the mapPartitions batch shape like MediaOps: ONE Deflater
+    // per partition (native zlib state, reset() between docs — allocating
+    // per row would dominate), zero shuffle, a pure scan-side feature at
+    // any corpus size. No SQL oracle — DuckDB exposes no deflate — so the
+    // driver records rows-only; determinism and the repetitive≪prose
+    // ordering are pinned in scalatest (TextQualitySpec).
+    "q_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      val features = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val z = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          val mapped = it.map { case (id, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            z.reset(); z.setInput(raw); z.finish()
+            var zBytes = 0L
+            while (!z.finished()) zBytes += z.deflate(buf)
+            (id, raw.length.toLong, zBytes)
+          }
+          // free native zlib state when the partition drains; on an
+          // early-terminated scan (limit) the Cleaner reclaims it
+          mapped ++ { z.end(); Iterator.empty }
+        }
+        .toDF("doc_id", "raw_bytes", "z_bytes")
+      Tables.orderedOnce(features
+        .withColumn("ratio", round(col("z_bytes") /
+          greatest(col("raw_bytes"), lit(1L)) * 10000) / 10000),
+        col("doc_id"))
+    }),
+
     // Stratified downsampling — the corpus-mixing primitive (keep all rare
     // languages, hard-downsample the dominant one). The keep decision is a
     // deterministic multiplicative hash of doc_id, so it is reproducible

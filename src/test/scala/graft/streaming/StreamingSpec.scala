@@ -140,6 +140,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state store: same results as default provider, provider engaged") {
+    // The 100 TB streaming path: HDFSBackedStateStore keeps every key in
+    // executor heap, so a crawl-scale dedup/window state OOMs; RocksDB
+    // spills state to local disk with incremental checkpointing. The
+    // provider must be a drop-in — identical results, only the state
+    // backend swapped (rocksdbjni ships in /opt/spark/jars).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.pipeline(input.toDS(), "10 seconds").writeStream
+      .format("memory").queryName("rocks_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)),
+        KnobEvent(3, 0, ts(102)))
+      q.processAllAvailable()
+      input.addData(KnobEvent(1, 4, ts(112))) // second window, state carries
+      q.processAllAvailable()
+      val rows = spark.table("rocks_sink")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 5L), (2L, 3L), (1L, 4L)), s"got $rows")
+      // prove RocksDB actually backed the state operator, not a silent
+      // fallback: its custom metrics are provider-specific
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in ${metrics.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("Trigger.AvailableNow drains the backlog with stream semantics, then stops") {
+    // The backfill pattern: reprocess accumulated history through the
+    // SAME streaming plan (state, windows, exactly-once sink), terminating
+    // when the backlog drains — no always-on cluster for catch-up jobs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    Seq(KnobEvent(1, 5, ts(100))).toDS().write.parquet(s"$dir/b0")
+    Seq(KnobEvent(2, 3, ts(101)), KnobEvent(1, 4, ts(112)))
+      .toDS().write.parquet(s"$dir/b1")
+    val src = spark.readStream
+      .schema(Seq.empty[KnobEvent].toDS().schema)
+      .option("maxFilesPerTrigger", 1) // backlog spans several micro-batches
+      .parquet(s"$dir/*")
+    val q = StreamOps.pipeline(src.as[KnobEvent], "10 seconds").writeStream
+      .format("memory").queryName("avnow_sink")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+      val rows = spark.table("avnow_sink")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 5L), (2L, 3L), (1L, 4L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("EventSource seam: pipeline results are identical via memory and file sources") {
     import spark.implicits._
     val fixture = Seq(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)),
