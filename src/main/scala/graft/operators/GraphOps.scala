@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components via alternating large-star/small-star
   * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -11,43 +11,66 @@ import org.apache.spark.storage.StorageLevel
   * a crawl-scale dedup corpus has chain-shaped duplicate components far
   * deeper than that. Star contraction converges in O(log n) rounds
   * REGARDLESS of component shape — a diameter-10⁶ chain collapses as fast
-  * as a clique — and each round is the same distributed building blocks
-  * (groupBy-min + equality join + distinct) the rest of the engine uses,
-  * so nothing here assumes local mode.
+  * as a clique — and each round is plain distributed building blocks, so
+  * nothing here assumes local mode.
   *
-  * Both stars keep every edge strictly (u > v)-oriented and deduplicated,
-  * so the working edge set never exceeds O(|E|) and shrinks monotonically
-  * toward the fixpoint: one star per component, every member pointing at
-  * the component's minimum id.
+  * Round-8 rewrite of the round internals (same algorithm, same labels):
+  *
+  *  - Each star computes its neighborhood minimum with a window
+  *    `min(v) over (partition by u)` instead of groupBy-min + equality
+  *    join back. That is ONE exchange+sort per star where the join form
+  *    cost two exchanges (or one ReusedExchange plus two sorts) — and the
+  *    round's plan is a straight pipe, never a self-join.
+  *  - The per-round fixpoint probe `next.except(edges).isEmpty` (a full
+  *    anti-join job) is replaced by a relabel flag computed IN-ROW while
+  *    the stars run and folded into the round's final dedup shuffle
+  *    (`groupBy(u,v).agg(max(chg))`). A round with zero relabels emitted
+  *    exactly its input edge set (each star row reproduced its source
+  *    edge), so `max(chg) = false` ⇒ fixpoint — checked by one tiny
+  *    aggregate over the round's already-checkpointed blocks. A spurious
+  *    flag (set unchanged, some row relabelled) only costs one extra
+  *    round; it can never terminate EARLY with wrong labels, preserving
+  *    the no-silent-cap principle.
+  *
+  * Net: 3 shuffles + 2 jobs per round, down from ~6 shuffles + 3 jobs.
+  *
+  * Both stars keep every edge strictly (u > v)-oriented, so the working
+  * edge set stays O(|E|) rows (large-star output is deduplicated by the
+  * round-final groupBy rather than an extra mid-round distinct) and
+  * contracts toward the fixpoint: one star per component, every member
+  * pointing at the component's minimum id.
   */
 object GraphOps {
 
-  private val mem = StorageLevel.MEMORY_AND_DISK
-
-  /** Large-star: every node u connects its LARGER neighbors to
+  /** Large-star rows: every node u connects its LARGER neighbors to
     * m(u) = min(Γ(u) ∪ {u}). Operates on the symmetric closure so each
-    * endpoint sees its full neighborhood; emitted edges are (v, m) with
-    * v > u ≥ m, i.e. strictly big→small. */
-  private def largeStar(e: DataFrame): DataFrame = {
+    * endpoint sees its full neighborhood; emitted rows are (v, m, chg)
+    * with v > u ≥ m, i.e. strictly big→small. The source edge of row
+    * (u, v) was (v, u), so the row is a relabel exactly when m ≠ u. */
+  private def largeStarRows(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min("v").as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    sym.join(mins, "u")
+    sym
+      .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
       .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+      .select(col("v").as("u"), col("m").as("v"),
+        (col("m") =!= col("u")).as("chg"))
   }
 
-  /** Small-star: every node u connects its SMALLER neighbors (and itself)
-    * to the minimum of that set. Input is big→small oriented, so grouping
-    * by the big endpoint sees exactly the smaller neighborhood. */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min("v").as("m"))
-    e.join(mins, "u")
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
-      .distinct()
+  /** Small-star rows: every node u connects its SMALLER neighbors (and
+    * itself) to the minimum of that set. Input is big→small oriented, so
+    * partitioning by the big endpoint sees exactly the smaller
+    * neighborhood. A (v, m) bridge row only exists when u had ≥2 smaller
+    * neighbors (not yet a star) — flagged; the (u, m) row reproduces its
+    * source edge (u, v) only when v = m, so it inherits the large-star
+    * flag or raises its own. */
+  private def smallStarRows(e: DataFrame): DataFrame = {
+    val withM = e.withColumn("m", min("v").over(Window.partitionBy("u")))
+    val bridges = withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"), lit(true).as("chg"))
+    val toMin = withM
+      .select(col("u"), col("m").as("v"),
+        (col("chg") || col("v") =!= col("m")).as("chg"))
+    bridges.union(toMin)
   }
 
   /** (id, component) for every node that appears in `edgesIn` (isolated
@@ -64,41 +87,34 @@ object GraphOps {
       edgesIn: DataFrame, maxRounds: Int = 60): (DataFrame, Int) = {
     val Array(ua, va) = edgesIn.columns.take(2)
     // Canonical working form: strictly big→small, no self-loops, distinct.
-    // Each round MUST truncate lineage, not just cache: both stars
-    // reference their input several times (union + join), so the logical
-    // plan grows ~6× per round and a persist-only loop stack-overflows
-    // Catalyst within ~8 rounds. localCheckpoint(eager) materializes the
-    // round to RDD blocks and replaces the plan with a LogicalRDD — the
-    // canonical Spark shape for iterative graph algorithms.
+    // Each round MUST truncate lineage, not just cache: the stars union
+    // their input with itself, so the logical plan grows several-fold per
+    // round and a persist-only loop stack-overflows Catalyst within ~8
+    // rounds. localCheckpoint(eager) materializes the round to RDD blocks
+    // and replaces the plan with a LogicalRDD — the canonical Spark shape
+    // for iterative graph algorithms.
     var edges = edgesIn
       .filter(col(ua) =!= col(va))
       .select(greatest(col(ua), col(va)).as("u"),
         least(col(ua), col(va)).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var n = edges.count()
     var rounds = 0
-    var converged = n == 0L
+    var converged = edges.isEmpty
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // (smallStar consumes its input twice — groupBy-min and join sides —
-      // but materializing the large-star between them measured as a wash:
-      // ReusedExchange already shares the shuffled subtree, and the extra
-      // checkpoint job cancels the saving. One checkpoint per round.)
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nNext = next.count()
-      // Exact set-equality fixpoint test (both sides are distinct sets, so
-      // equal counts + empty one-sided difference ⇒ equal sets). A
-      // checksum would be one job cheaper but a collision would stop the
-      // contraction EARLY with silently wrong labels — same no-silent-cap
-      // principle as the abort below.
-      converged = nNext == n && next.except(edges).isEmpty
+      // Dedup + flag-merge share ONE shuffle: the round is fixpoint iff no
+      // surviving (u, v) saw any relabelled source row.
+      val next = smallStarRows(largeStarRows(edges))
+        .groupBy("u", "v").agg(max("chg").as("chg"))
+        .localCheckpoint(true)
+      val moved = next.agg(max("chg")).head.getBoolean(0)
+      converged = !moved
       // The previous round's checkpoint blocks are released by the
       // ContextCleaner once this Dataset reference drops (Dataset.rdd
       // would be a NEW derived RDD — unpersisting it is a silent no-op,
       // and the real block-holder RDD is private to the LogicalRDD node).
-      edges = next
-      n = nNext
+      edges = next.select("u", "v")
     }
     // No silent caps (round-6 principle): an unconverged edge set means
     // some component is still multi-level and its members would get
@@ -108,8 +124,8 @@ object GraphOps {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: star contraction did not converge in " +
-          s"$maxRounds rounds ($n edges still moving) — this indicates a " +
-          "bug, not an oversized graph; O(log n) rounds suffice for any n")
+          s"$maxRounds rounds — this indicates a bug, not an oversized " +
+          "graph; O(log n) rounds suffice for any n")
     // Fixpoint edges are stars (member → component min): members label
     // from their one edge, roots label themselves (a root never appears
     // as the big endpoint at fixpoint).
