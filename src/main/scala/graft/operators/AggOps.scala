@@ -235,6 +235,26 @@ object AggOps {
         .orderBy("g")
     }),
 
+    // Fixed-width histogram: bucket a measure by pure integer arithmetic
+    // (floor-divide, clamp to the last bucket) and aggregate per bucket —
+    // the distribution profile every data-quality dashboard starts from.
+    // Bucketing in-row keeps it a plain scan + 10-group aggregate: fully
+    // map-side-combined, no shuffle of the measure itself. Empty buckets
+    // are absent in both engines (GROUP BY, not a dense histogram).
+    "q_histogram" -> ((s, d) => {
+      val width = 60000L
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / width), lit(9L)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_price"))
+        .orderBy("bucket")
+    }),
+
     // R5 batch twin: arg-max by event timestamp per key (reference
     // knobs.go:101-102 keeps the newest record per knob, dropping
     // out-of-order arrivals). max_by is a single-pass aggregate — no
@@ -278,6 +298,14 @@ object AggOps {
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 60000), 9) AS BIGINT) AS bucket,
+                count(*) AS n,
+                round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
     "q_agg_distinct" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_partkey) AS n_parts,

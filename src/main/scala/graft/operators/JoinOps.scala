@@ -134,6 +134,26 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // FULL OUTER join: reconcile two sets that each have rows the other
+    // lacks — here one market segment's customers vs the high-value order
+    // book. Left-only rows (BUILDING customers with no high-value order)
+    // and right-only rows (high-value orders from other segments) both
+    // survive with NULLs on the absent side; this is the shape of a
+    // two-source reconciliation/backfill audit. Plans as a SortMergeJoin
+    // with FullOuter — both sides shuffle on the key, same as inner.
+    // NULLS FIRST pinned on both sort keys (Spark ASC default) since the
+    // unmatched rows are exactly the NULL-keyed ones.
+    "q_join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > HiValue)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_custkey"), round(col("o_totalprice"), 2).as("o_price"))
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
+    }),
+
     // AS-OF join (generalizes reference knobs.go:101-102, "latest record at
     // or before the probe time"): for each purchase event, the latest click
     // by the same user with click.ts <= purchase.ts. Implemented as the
@@ -165,6 +185,13 @@ object JoinOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_custkey,
+                round(o_totalprice, 2) AS o_price
+         FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+         FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
     "q_join_null_safe" ->
       """WITH ev AS (SELECT event_id, nullif(user_id % 10, 0) AS segment
                      FROM events),

@@ -44,6 +44,36 @@ object SetOps {
       Tables.customer(s, d).select(col("c_custkey").as("o_custkey"))
         .except(o.filter(col("o_totalprice") > Hi).select("o_custkey"))
         .orderBy("o_custkey")
+    }),
+
+    // Upsert/MERGE compaction — the CDC pattern every snapshot-maintaining
+    // pipeline runs: a base snapshot plus an update batch, updates winning
+    // on key collision, inserts appended. Expressed as UNION ALL + one
+    // arg-max-by-priority aggregate per key: a SINGLE shuffle on the key,
+    // single-pass, map-side partial — never a join of base against updates
+    // (two shuffles) or a window sort. Money is exact integer cents (the
+    // updated price is +10%, and scaled-long arithmetic keeps the bump
+    // identical across engines). n_versions exposes which keys collided.
+    // Base = orderkeys not ≡0 (mod 10); updates = orderkeys ≡0 (mod 3) —
+    // overlapping but not nested, so all three MERGE cases (update,
+    // insert, untouched) are non-empty at every sf.
+    "q_upsert_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus"), lit(0L).as("pri"))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 110).cast("long").as("cents"),
+          lit("U").as("o_orderstatus"), lit(1L).as("pri"))
+      base.unionByName(upd)
+        .groupBy("o_orderkey")
+        .agg(max_by(col("o_custkey"), col("pri")).as("o_custkey"),
+          max_by(col("cents"), col("pri")).as("cents"),
+          max_by(col("o_orderstatus"), col("pri")).as("status"),
+          count(lit(1)).as("n_versions"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -63,6 +93,24 @@ object SetOps {
       """SELECT c_custkey AS o_custkey FROM customer
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_totalprice > 300000
-         ORDER BY o_custkey"""
+         ORDER BY o_custkey""",
+    "q_upsert_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderstatus, 0 AS pri
+           FROM orders WHERE o_orderkey % 10 <> 0
+         ), upd AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 110) AS BIGINT) AS cents,
+                  'U' AS o_orderstatus, 1 AS pri
+           FROM orders WHERE o_orderkey % 3 = 0
+         ), u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+         SELECT o_orderkey,
+                arg_max(o_custkey, pri) AS o_custkey,
+                arg_max(cents, pri) AS cents,
+                arg_max(o_orderstatus, pri) AS status,
+                count(*) AS n_versions
+         FROM u GROUP BY o_orderkey ORDER BY o_orderkey"""
   )
 }

@@ -447,6 +447,69 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Bigram PMI — pointwise mutual information of adjacent word pairs,
+    // the association statistic behind collocation mining and phrase
+    // vocabularies (word2vec-style preprocessing). Corpus passes are the
+    // q_text_ngrams bigram shape; the unigram table is VOCABULARY-sized so
+    // both join legs broadcast — the only corpus-scale shuffle is the
+    // bigram count groupBy (map-side combined). The log's argument is a
+    // ratio of two EXACT BIGINT products (c_ab·N_u², n_bi·c_a·c_b — no
+    // intermediate float division), so both engines hand libm the
+    // identical double; the 1e-6 round then absorbs any last-ulp libm
+    // difference (same contract as q_tfidf_top_terms).
+    "q_bigram_pmi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = split(col("text"), " ")
+      val words = docs
+        .select(explode(w).as("word")).filter(length(col("word")) > 0)
+      val uni = words.groupBy("word").agg(count(lit(1)).as("c"))
+      val bg = docs.select(explode(zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val totals = uni.agg(sum("c").as("n_u")).crossJoin(
+        bi.agg(sum("c_ab").as("n_bi")))
+      bi.filter(col("c_ab") >= 20)
+        .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          (round(log((col("c_ab") * col("n_u") * col("n_u")).cast("double")
+            / (col("n_bi") * col("c_a") * col("c_b")).cast("double")) * 1e6) / 1e6)
+            .as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
+    // Fuzzy-KEY dedup: edit-distance near-duplicates over a short
+    // normalized key (the first 80 chars — the title/URL-shaped field),
+    // with candidate pairs generated by blocking on (lang, 8-char key
+    // prefix). This is classic record-linkage blocking: the corpus only
+    // shuffles its block key + 80-char key (never full text), blocks are
+    // equi-join buckets, and the quadratic Levenshtein runs only WITHIN a
+    // block. Complements the token-set family (minhash/jaccard measure
+    // overlap; edit distance catches char-level noise — OCR typos, UTM
+    // suffixes — that token sets miss). Prefix blocking is recall-lossy by
+    // design (an edit inside the first 8 chars escapes the block) — the
+    // documented trade; full-text fuzzy dedup is q_minhash_neardup's job.
+    "q_fuzzy_key_dedup" -> ((s, d) => {
+      val k = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 80).as("key"))
+        .withColumn("blk", substring(col("key"), 1, 8))
+      val a = k.select(col("lang").as("al"), col("blk").as("ab"),
+        col("doc_id").as("doc_a"), col("key").as("ka"))
+      val b = k.select(col("lang").as("bl"), col("blk").as("bb"),
+        col("doc_id").as("doc_b"), col("key").as("kb"))
+      a.join(b, col("al") === col("bl") && col("ab") === col("bb")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
@@ -488,6 +551,39 @@ object TextOps {
                               for i in generate_series(1, len(w)-1)]) AS bigram
                FROM (SELECT string_split(text, ' ') AS w FROM documents))
          GROUP BY bigram ORDER BY cnt DESC, bigram""",
+    "q_bigram_pmi" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         words AS (SELECT unnest(w) AS word FROM ws),
+         uni AS (SELECT word, count(*) AS c FROM words
+                 WHERE length(word) > 0 GROUP BY word),
+         bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in generate_series(1, len(w)-1)]) AS p
+                FROM ws),
+         bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab
+                FROM bg GROUP BY 1, 2),
+         tot AS (SELECT (SELECT sum(c) FROM uni) AS n_u,
+                        (SELECT sum(c_ab) FROM bi) AS n_bi)
+         SELECT w1, w2, c_ab,
+                round(ln(CAST(c_ab * n_u * n_u AS DOUBLE)
+                         / CAST(n_bi * ua.c * ub.c AS DOUBLE)) * 1e6) / 1e6
+                  AS pmi
+         FROM bi
+         JOIN uni ua ON bi.w1 = ua.word
+         JOIN uni ub ON bi.w2 = ub.word
+         CROSS JOIN tot
+         WHERE c_ab >= 20
+         ORDER BY w1, w2""",
+    "q_fuzzy_key_dedup" ->
+      """WITH k AS (SELECT doc_id, lang, substring(text, 1, 80) AS key
+                    FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+         FROM k a JOIN k b
+           ON a.lang = b.lang
+          AND substring(a.key, 1, 8) = substring(b.key, 1, 8)
+          AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.key, b.key) <= 20
+         ORDER BY doc_a, doc_b""",
     "q_text_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,

@@ -76,6 +76,29 @@ object WindowOps {
         .orderBy("event_id")
     }),
 
+    // RANGE-framed window: per user, activity within the TRAILING HOUR of
+    // each event — frame membership is defined by the ordering VALUE
+    // (micros within 3.6e9 of the current row), not a row count, so it is
+    // insensitive to how many events share a timestamp (all peers always
+    // included — no tie-break needed for determinism). This is the
+    // time-decayed feature shape (rolling engagement, rate-limit counters)
+    // that ROWS frames can't express. The summed metric is integer CENTS:
+    // a range frame can span hundreds of rows, and engines disagree on
+    // float summation order inside sliding frames, so doubles are scaled
+    // to exact longs before the frame sum.
+    "q_window_range_frame" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("hr_events"),
+          sum("cents").over(w).as("hr_cents"))
+        .orderBy("event_id")
+    }),
+
     // Global sort + limit → TakeOrderedAndProject (no full sort at scale).
     "q_sort_limit" -> ((s, d) => {
       Tables.orders(s, d)
@@ -101,6 +124,14 @@ object WindowOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                count(*) OVER w AS hr_events,
+                sum(CAST(round("value" * 100) AS BIGINT)) OVER w AS hr_cents
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_window_rank" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
                 round(c_acctbal, 2) AS bal,
