@@ -16,6 +16,67 @@ case class KnobEvent(id: Long, n: Long, ts: Timestamp)
 /** Latest accepted state per knob (reference knobs.go:58). */
 case class KnobState(id: Long, n: Long, tsMicros: Long)
 
+/** One closed session: emitted by [[SessionTotalsProcessor]] when the
+  * watermark passes the key's idle-gap timer. `closeMs` is the event-time
+  * instant the session closed (last event + gap), epoch millis. */
+case class SessionTotal(id: Long, total: Long, nEvents: Long, closeMs: Long)
+
+/** [[SessionTotalsProcessor]]'s per-key state: running aggregate plus the
+  * currently-armed timer (so the next batch can disarm it). */
+case class SessionAgg(total: Long, nEvents: Long, timerMs: Long)
+
+/** `transformWithState` processor behind [[StreamOps.sessionTotalsTws]]:
+  * gap-based sessionization with a per-key ValueState aggregate and one
+  * re-armable event-time timer. All state lives in the keyed state store
+  * (RocksDB column families) — nothing driver-side, so a 1000-executor
+  * cluster shards keys exactly like every other stateful stage here.
+  */
+class SessionTotalsProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, KnobEvent, SessionTotal] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var agg: streaming.ValueState[SessionAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState("agg", Encoders.product[SessionAgg],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[KnobEvent],
+      timers: TimerValues): Iterator[SessionTotal] = {
+    val prev = if (agg.exists()) agg.get() else SessionAgg(0L, 0L, -1L)
+    var total = prev.total
+    var n = prev.nEvents
+    var maxMs = Long.MinValue
+    rows.foreach { e =>
+      total += e.n; n += 1
+      maxMs = math.max(maxMs, e.ts.getTime)
+    }
+    // One live timer per key: disarm the previous deadline, re-arm at the
+    // newest event + gap. (Late rows under the watermark can only EXTEND
+    // the session — same monotone-close semantics as session_window.)
+    val deadline = math.max(prev.timerMs, maxMs + gapMs)
+    if (prev.timerMs >= 0 && deadline != prev.timerMs)
+      getHandle.deleteTimer(prev.timerMs)
+    if (deadline != prev.timerMs) getHandle.registerTimer(deadline)
+    agg.update(SessionAgg(total, n, deadline))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionTotal] = {
+    val out =
+      if (agg.exists()) {
+        val a = agg.get()
+        Iterator.single(SessionTotal(key, a.total, a.nEvents,
+          expired.getExpiryTimeInMs))
+      } else Iterator.empty
+    agg.clear()
+    out
+  }
+}
+
 /** Structured Streaming twins of the reference pipeline's stateful stages.
   *
   * Semantics upgrades vs the reference, deliberate (SURVEY.md §0.2/§7.3):
@@ -93,6 +154,19 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates("id", "n", "ts")
 
+  /** Redelivery-tolerant dedup: identity is the PAYLOAD (id, n) only, so a
+    * broker retry that re-stamps the message with a fresh timestamp — the
+    * at-least-once failure mode [[dedup]]'s full-identity key misses — is
+    * still dropped, as long as the copies arrive within the watermark
+    * delay of each other. `dropDuplicatesWithinWatermark` keeps each key
+    * only as long as the watermark requires (state evicted at wm passage),
+    * so state is bounded by the redelivery horizon, not the stream's
+    * lifetime key cardinality. */
+  def dedupPayload(events: Dataset[KnobEvent],
+      watermark: String = "30 seconds"): Dataset[KnobEvent] =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("id", "n")
+
   /** Session windows per key (SURVEY.md §2B streaming rows): counts per
     * activity burst separated by `gap` of silence. */
   def sessionCounts(
@@ -107,6 +181,32 @@ object StreamOps {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("id"), col("cnt"))
       .as[(Timestamp, Timestamp, Long, Long)]
+  }
+
+  /** Session totals via `transformWithState` — the arbitrary-state API
+    * (Spark 4): typed [[org.apache.spark.sql.streaming.ValueState]] plus
+    * EVENT-TIME TIMERS, the pair session_window's declarative form can't
+    * give you (emit-on-close with custom payloads, per-key timer
+    * extension, state you can enrich mid-session). Each key accumulates
+    * (sum, count) in a ValueState; every batch re-arms the key's one
+    * timer at maxSeenTs + gap; when the WATERMARK passes the armed time
+    * the timer fires, the session is emitted once (Append semantics) and
+    * the state cleared. State per key is O(1) and timer-scoped — an idle
+    * key costs nothing after its flush. Requires the RocksDB state store
+    * provider (transformWithState's storage contract — the v2 state
+    * format with column families).
+    */
+  def sessionTotalsTws(
+      events: Dataset[KnobEvent],
+      gapMs: Long = 5000L,
+      watermark: String = "30 seconds"): Dataset[SessionTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.id)
+      .transformWithState(new SessionTotalsProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** R13 streaming form: the reducer's ever-growing global total

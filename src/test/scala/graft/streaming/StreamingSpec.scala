@@ -81,6 +81,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupPayload drops a redelivery re-stamped with a fresh timestamp") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.dedupPayload(input.toDS()).writeStream
+      .format("memory").queryName("deduppl_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(KnobEvent(1, 5, ts(100)))
+      q.processAllAvailable()
+      // broker retry: same payload (id=1, n=5), NEW timestamp — the case
+      // full-identity dedup("id","n","ts") would double-count
+      input.addData(KnobEvent(1, 5, ts(103)))
+      // genuinely different payload on the same key survives
+      input.addData(KnobEvent(1, 6, ts(104)))
+      q.processAllAvailable()
+      val rows = spark.table("deduppl_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(rows == Seq((1L, 5L), (1L, 6L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("transformWithState sessionization: timer flush, state cleared, re-sessioned") {
+    // The arbitrary-state API end-to-end: ValueState aggregate + event-time
+    // timers under the RocksDB provider (transformWithState's required
+    // backend). Sessions close when the WATERMARK passes lastEvent+gap —
+    // assert exact totals/counts/close times, then that a post-flush event
+    // opens a FRESH session (state really cleared, timer really re-armed).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.sessionTotalsTws(input.toDS(), gapMs = 5000L)
+      .writeStream.format("memory").queryName("tws_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def sessions() = spark.table("tws_sink").as[SessionTotal].collect().toSet
+      // session 1: key 1 gets (5, 4) at ts 100/102, key 2 gets 3 at ts 101
+      input.addData(KnobEvent(1, 5, ts(100)), KnobEvent(2, 3, ts(101)),
+        KnobEvent(1, 4, ts(102)))
+      q.processAllAvailable()
+      // watermark trails one batch: push event time forward twice so the
+      // wm (maxTs - 30s) passes the armed deadlines (107s / 106s)
+      input.addData(KnobEvent(9, 1, ts(200)))
+      q.processAllAvailable()
+      input.addData(KnobEvent(9, 1, ts(201)))
+      q.processAllAvailable()
+      assert(sessions() == Set(SessionTotal(1, 9, 2, 107000L),
+        SessionTotal(2, 3, 1, 106000L)), s"got ${sessions()}")
+      // key 1 again AFTER its flush: must be a brand-new session
+      input.addData(KnobEvent(1, 7, ts(300)))
+      q.processAllAvailable()
+      input.addData(KnobEvent(9, 1, ts(400)))
+      q.processAllAvailable()
+      input.addData(KnobEvent(9, 1, ts(401)))
+      q.processAllAvailable()
+      assert(sessions().contains(SessionTotal(1, 7, 1, 305000L)),
+        s"got ${sessions()}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("pipeline: constant knobs produce n-per-window counts (reference invariant)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
