@@ -140,6 +140,48 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact scan from a filtered dim (might_contain in plan)") {
+    import spark.implicits._
+    // Runtime row-level filtering: when a join's build side carries a
+    // selective predicate, Catalyst plants a bloom filter built from the
+    // dim's join keys onto the FACT side's scan, discarding non-joining
+    // rows before the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~1% that survives
+    // the dim filter. Thresholds are lowered to fixture scale (the
+    // defaults want a 10 MB creation side); broadcast is disabled since
+    // the optimization targets shuffle joins.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    spark.range(0, 200000)
+      .select((col("id") % 1000).as("k"), col("id").as("payload"))
+      .write.parquet(s"$dir/fact")
+    spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+      .write.parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+        // selective, non-key predicate; startsWith (not LIKE 'dim_7%' —
+        // its `_` wildcard blocks the StartsWith simplification, and only
+        // isLikelySelective predicates qualify a creation side)
+        .filter(col("name").startsWith("dim_7"))
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length == 22200) // 111 dim keys × 200 fact rows
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape
