@@ -124,10 +124,46 @@ object DataflowOps {
         .withColumn("running_value", round(sum("value").over(w), 2))
         .select("event_id", "user_id", "ts_us", "running_value")
         .orderBy("event_id")
+    }),
+
+    // Time-series gap fill: per-user DAILY event counts with missing days
+    // zero-filled across each user's own active span — the densification
+    // pass a downstream forecaster/feature-builder needs. The grid is
+    // generated from the AGGREGATED frame (one row per user-day, O(users ×
+    // days) ≪ O(events)), so the sequence explode and the fill join never
+    // touch raw events — at 100 TB the only full-data pass is the first
+    // compacting groupBy; everything after runs on the compacted key space.
+    // Day = floor(epoch_us / 86400e6): pure integer division, identical in
+    // both engines, no session-timezone dependence.
+    "q_gap_fill" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+      val grid = counts.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      grid.join(counts, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("user_id", "day")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The single-window DuckDB form is the spec; Spark reproduces it with
+    // the compacted-grid join above.
+    "q_gap_fill" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM c GROUP BY 1),
+         g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM s)
+         SELECT g.user_id, g.day, coalesce(c.cnt, 0) AS cnt
+         FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
+         ORDER BY g.user_id, g.day""",
     "q_explode_fanout" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
                 unnest(generate_series(1, CAST(n_nationkey AS BIGINT) + 1)) AS i,

@@ -154,6 +154,38 @@ object SimilarityOps {
         .limit(20)
     }),
 
+    // Batch KNN join: top-5 cosine neighbors for EVERY probe in a probe
+    // set (vec_id < 10), not just one — the "embed a query batch, retrieve
+    // for each" retrieval shape. One broadcast (probes are O(batch), the
+    // corpus is never shuffled with its vectors: only (probe_id, vec_id,
+    // cos) triples leave the scan) + ONE window per probe_id. The rk <= k
+    // filter over row_number triggers Catalyst's WindowGroupLimit rewrite:
+    // a map-side PARTIAL per-probe top-k prunes each input partition to k
+    // rows per probe BEFORE the exchange (ScalePatternsSpec asserts the
+    // Partial mode is in the plan), so the shuffle carries at most
+    // k × probes × partitions rows — the distributed two-stage top-k,
+    // planned by the optimizer rather than hand-wired.
+    "q_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nProbes = 10
+      val k = 5
+      val e = vecs(s, d)
+      val probes = broadcast(e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("p")))
+      val scored = e.filter(col("vec_id") >= nProbes)
+        .crossJoin(probes)
+        .select(col("probe_id"), col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+      val perProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(perProbe)).filter(col("rk") <= k)
+        .select(col("probe_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // MinHash/LSH near-duplicate pairs: signature agreement ≥ 0.5 among
     // band-bucket candidates. Approximate (no oracle) but deterministic:
     // xxhash64 is a fixed function, so the driver's rows-only check is
@@ -658,6 +690,30 @@ object SimilarityOps {
            FROM embeddings e, probe
            WHERE e.vec_id <> 0)
          ORDER BY cos DESC, vec_id LIMIT 20""",
+    // Brute-force per-probe ranking — the semantic spec the WindowGroupLimit
+    // two-stage plan must reproduce exactly (same rounded cosine, same
+    // vec_id tie-break).
+    "q_knn_join" ->
+      """WITH probes AS (
+           SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+           WHERE vec_id < 10),
+         scored AS (
+           SELECT pr.probe_id, e.vec_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> e.embedding[i]::DOUBLE * pr.p[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> pr.p[i]::DOUBLE * pr.p[i]::DOUBLE))))
+             * 1000000) / 1000000 AS cos
+           FROM embeddings e, probes pr
+           WHERE e.vec_id >= 10)
+         SELECT probe_id, rk, vec_id, cos FROM (
+           SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
     // The xxhash64-based sketches, long thought inexpressible in DuckDB,
     // are oracle-checked via a bit-exact XXH64 replication in HUGEINT
     // arithmetic (see XxhashSql) — a hash match proves the ENTIRE sketch

@@ -513,6 +513,57 @@ object TextOps {
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
+    // Context-window chunking: split every document into 20-word chunks
+    // with a 15-word stride (5-word overlap) — the packing step before
+    // tokenize-and-train. Pure scan-side explode: chunk count derives
+    // in-row from the word count (integer arithmetic so both engines agree
+    // on the boundary doc lengths), the slice runs per emitted chunk, and
+    // nothing shuffles — at 100 TB this is a map-only pass whose output
+    // feeds the tokenizer. Short docs (< 20 words) produce exactly one
+    // whole-doc chunk.
+    "q_chunk_overlap" -> ((s, d) => {
+      val cw = 20
+      val stride = 15
+      Tables.orderedOnce(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        // 1 + ceil(max(len-cw, 0) / stride) in pure integer math: the last
+        // chunk starts at the largest i*stride < len so trailing words are
+        // never dropped and a len==cw doc gets exactly one chunk.
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L),
+            expr(s"(greatest(size(ws) - $cw, 0) + ${stride - 1}) div $stride")
+              .cast("long"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("ws"),
+            (col("chunk_id") * stride + 1).cast("int"), lit(cw)), " ").as("chunk"),
+          size(slice(col("ws"),
+            (col("chunk_id") * stride + 1).cast("int"), lit(cw)))
+            .cast("long").as("n_words")),
+        col("doc_id"), col("chunk_id"))
+    }),
+
+    // Per-domain cap: keep at most 5 documents per (lang, source) — the
+    // anti-overrepresentation pass a web-corpus mix runs so one hot domain
+    // cannot dominate training. Selection is by the same deterministic
+    // multiplicative hash as q_sample_stratified (reproducible, engine-
+    // neutral), and the rk <= cap filter over row_number triggers the
+    // WindowGroupLimit map-side prune: each input partition forwards at
+    // most cap rows per key to the one exchange, so a 100 TB corpus with a
+    // million-doc domain shuffles 5 rows for it, not a million.
+    "q_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 5
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("source"), col("rk"))
+    }),
+
     "q_doc_fingerprint" -> ((s, d) => {
       // Materialize the split ONCE: referencing `split(text)` inside the
       // lambda would re-tokenize the document on every element_at — O(n²)
@@ -536,6 +587,27 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same integer chunk-count formula, same 1-based clipped slice
+    // semantics (DuckDB list[a:b] inclusive == Spark slice(start, len)).
+    "q_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         x AS (SELECT doc_id, ws,
+                 unnest(generate_series(0,
+                   (greatest(len(ws) - 20, 0) + 14) // 15)) AS chunk_id
+               FROM w)
+         SELECT doc_id, chunk_id,
+           array_to_string(ws[chunk_id*15 + 1 : chunk_id*15 + 20], ' ')
+             AS chunk,
+           len(ws[chunk_id*15 + 1 : chunk_id*15 + 20]) AS n_words
+         FROM x ORDER BY doc_id, chunk_id""",
+    "q_domain_cap" ->
+      """SELECT doc_id, lang, source, rk FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, source, rk""",
     "q_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
                 count(*) AS n_copies

@@ -120,10 +120,41 @@ object WindowOps {
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
+    }),
+
+    // Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    // (retention/engagement analytics). The day − row_number() trick turns
+    // each consecutive run into a constant group key, so islands fall out
+    // of one ordinary groupBy — no iterative logic. One shuffle on user_id
+    // serves the window; the two aggregates after it run on O(user-days)
+    // then O(islands) rows. Input is the DISTINCT user-day frame, so raw
+    // event volume only affects the first compacting aggregate.
+    "q_streaks" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("best_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+         g AS (SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                   ORDER BY day) AS grp
+               FROM d),
+         runs AS (SELECT user_id, grp, count(*) AS len
+                  FROM g GROUP BY 1, 2)
+         SELECT user_id, max(len) AS best_streak, count(*) AS n_streaks
+         FROM runs GROUP BY user_id ORDER BY user_id""",
     "q_window_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 count(*) OVER w AS hr_events,

@@ -182,6 +182,27 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn join plans a map-side partial WindowGroupLimit before the exchange") {
+    // q_knn_join's comment claims Catalyst rewrites the rk <= k filter
+    // over row_number into a two-stage top-k: a PARTIAL WindowGroupLimit
+    // on the scan side prunes each input partition to k rows per probe
+    // BEFORE the shuffle, then a Final limit after it. At 100 TB the
+    // difference is shuffling k × probes × partitions rows vs the whole
+    // probes × corpus cross product — assert the rewrite actually engages
+    // so a regression (e.g. a rank expression Catalyst can't match)
+    // cannot silently fall back to the full-shuffle window.
+    val df = SparkEntry.queries("q_knn_join")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window-group-limit in knn plan:\n$plan")
+    val rows = df.collect()
+    // 10 probes × exactly 5 neighbors, ranks 1..5 in emitted order
+    assert(rows.length == 50)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 10L).flatMap(p => (1L to 5L).map(r => (p, r))))
+    spark.catalog.clearCache()
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape
