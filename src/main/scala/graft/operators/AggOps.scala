@@ -271,10 +271,63 @@ object AggOps {
           max_by(col("event_type"), ord).as("last_event_type"),
           max(unix_micros(col("ts"))).as("last_ts_us"))
         .orderBy("user_id")
+    }),
+
+    // Statistical aggregates (corr, sample stddev) with cross-engine
+    // float discipline: built-in corr()/stddev_samp() stream doubles in
+    // partition order, so their low bits differ per engine AND per run.
+    // Instead the five moment sums run in EXACT decimal (order-
+    // independent), and the statistics are assembled from them in one
+    // identical double expression — the only doubles compared are the two
+    // final defensive rounds. The groupBy still partial-aggregates
+    // map-side; at 100 TB the shuffle carries 6 decimals per group.
+    "q_corr_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          (round((col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt(col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            / sqrt(col("n") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))
+            * 1e6) / 1e6).as("corr_qty_price"),
+          (round(sqrt((col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n") * (col("n") - 1)).cast("double"))
+            * 1e6) / 1e6).as("stddev_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Identical moment sums in exact decimal, identical double assembly.
+    "q_corr_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt(n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             / sqrt(n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+             * 1000000) / 1000000 AS corr_qty_price,
+           round(sqrt((n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             / (n * (n - 1))::DOUBLE) * 1000000) / 1000000 AS stddev_qty
+         FROM m ORDER BY l_returnflag""",
     "q_agg_count_by_key" ->
       """SELECT l_returnflag, count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

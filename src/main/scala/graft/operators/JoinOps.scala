@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Tables.Q
+import graft.functions.Num.round2
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2B "Joins").
@@ -113,6 +114,27 @@ object JoinOps {
         .orderBy("band")
     }),
 
+    // 5-table star join (TPC-H Q5 shape): revenue per nation for one
+    // region. The dimension chain region→nation is O(1)+O(25) — Catalyst
+    // broadcasts both and the region filter PRUNES NATIONS BEFORE the
+    // fact tables join (join reorder + predicate pushdown through the
+    // star). customer⋈orders⋈lineitem are the real shuffles, on their
+    // natural keys. Revenue sums in exact decimal (q_decimal_agg
+    // treatment): round2 per row, then an order-independent decimal sum.
+    "q_star_revenue" -> ((s, d) => {
+      val revenue = round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,2)")
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose join
     // key is NULL match the NULL group instead of silently dropping — the
     // semantics a pipeline needs when "unknown" is itself a category
@@ -185,6 +207,20 @@ object JoinOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Per-row round to cents, then an exact decimal sum — aggregation
+    // order cannot matter in either engine.
+    "q_star_revenue" ->
+      """SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) / 100
+             AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM region
+         JOIN nation   ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders   ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
     "q_join_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey, o_custkey,
                 round(o_totalprice, 2) AS o_price

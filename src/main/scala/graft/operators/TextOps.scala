@@ -513,6 +513,39 @@ object TextOps {
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
+    // Unigram LM quality score: mean per-word log-probability of each
+    // document under the corpus's own unigram distribution — the cheap
+    // "LM perplexity" filter signal (CCNet-style) that flags gibberish
+    // (rare-token soup scores far below fluent text). Float discipline:
+    // each term's ln(c/N) is computed from EXACT integer counts (both
+    // engines hand libm the identical double, the q_bigram_pmi move) and
+    // immediately scaled to a BIGINT, so the per-document sum is integer —
+    // aggregation-order-independent, safe to shuffle. Plan shape: tf is
+    // in-row (termFreqInRow, no corpus-wide (doc,term) groupBy), the
+    // vocabulary join is a vocabulary-sized build side, and the one corpus
+    // shuffle is the per-doc integer sum.
+    "q_unigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val n = vocab.agg(sum("c").as("n_corpus"))
+      val tf = termFreqInRow(docs.select(col("doc_id"),
+        array_sort(split(col("text"), " ")).as("ws")))
+      tf.join(broadcast(vocab.withColumnRenamed("word", "term")), "term")
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf") * round(log(col("c").cast("double")
+            / col("n_corpus").cast("double")) * 1e6).cast("long")).as("s"),
+          sum("tf").as("n_words"))
+        .select(col("doc_id"), col("n_words"),
+          (round(col("s").cast("double") / col("n_words").cast("double")
+            / 1e6 * 10000) / 10000).as("logprob_per_word"))
+        .orderBy("doc_id")
+    }),
+
     // Context-window chunking: split every document into 20-word chunks
     // with a 15-word stride (5-word overlap) — the packing step before
     // tokenize-and-train. Pure scan-side explode: chunk count derives
@@ -587,6 +620,27 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same scaled-integer term logs (exact-count doubles into ln, rounded
+    // to BIGINT before any sum), so the only floats compared are the two
+    // final defensive rounds.
+    "q_unigram_logprob" ->
+      """WITH x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         vocab AS (SELECT word, count(*) AS c FROM x
+                   WHERE length(word) > 0 GROUP BY 1),
+         tot AS (SELECT sum(c) AS n FROM vocab),
+         tf AS (SELECT doc_id, word AS term, count(*) AS tf FROM x
+                WHERE length(word) > 0 GROUP BY 1, 2),
+         term AS (SELECT t.doc_id, t.tf,
+                    t.tf * round(ln(v.c::DOUBLE / tot.n::DOUBLE)
+                      * 1000000)::BIGINT AS tl
+                  FROM tf t JOIN vocab v ON t.term = v.word, tot),
+         doc AS (SELECT doc_id, sum(tl) AS s, sum(tf) AS n_words
+                 FROM term GROUP BY 1)
+         SELECT doc_id, n_words,
+           round(s::DOUBLE / n_words::DOUBLE / 1000000 * 10000) / 10000
+             AS logprob_per_word
+         FROM doc ORDER BY doc_id""",
     // Same integer chunk-count formula, same 1-based clipped slice
     // semantics (DuckDB list[a:b] inclusive == Spark slice(start, len)).
     "q_chunk_overlap" ->
