@@ -27,9 +27,12 @@ object SparkEntry {
     (SqlOps.queries, SqlOps.oracleSql)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed corpus-preparation pipeline (quality gate → exact dedup
+    * → domain cap → chunk accounting) — the engine's headline use case in
+    * one Catalyst plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_count_by_key")(spark, "/root/testdata/sf0.001")
+    queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *

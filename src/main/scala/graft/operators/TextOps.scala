@@ -513,6 +513,37 @@ object TextOps {
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
+    // The composed corpus-preparation pipeline — quality gate → exact
+    // dedup → per-domain cap → chunk accounting — as ONE Catalyst plan,
+    // the way a production run would submit it (no materialization
+    // between stages; the optimizer sees the whole chain). Stage shapes
+    // are the proven singles: length gate is scan-side, dedup ships only
+    // (digest, min id), the cap is WindowGroupLimit-pruned, and chunk
+    // counts come from the integer formula (q_chunk_overlap) WITHOUT
+    // exploding — the explode only exists when chunk text is the output.
+    "q_corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .filter(col("n_words") >= 30)
+      val keep = gated
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val capWin = Window.partitionBy("lang", "source")
+        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+          col("doc_id"))
+      gated.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("rk", row_number().over(capWin)).filter(col("rk") <= 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("1 + (greatest(n_words - 20, 0) + 14) div 15"))
+            .as("n_chunks"),
+          sum("n_words").as("n_words_kept"))
+        .orderBy("lang")
+    }),
+
     // Unigram LM quality score: mean per-word log-probability of each
     // document under the corpus's own unigram distribution — the cheap
     // "LM perplexity" filter signal (CCNet-style) that flags gibberish
@@ -620,6 +651,24 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_pipeline" ->
+      """WITH gated AS (
+           SELECT doc_id, lang, source, text,
+             len(string_split(text, ' '))::BIGINT AS n_words
+           FROM documents WHERE len(string_split(text, ' ')) >= 30),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated
+                  GROUP BY sha256(lower(trim(text)))),
+         ded AS (SELECT gated.* FROM gated JOIN keep USING (doc_id)),
+         capped AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY lang, source
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+             FROM ded)
+           WHERE rk <= 10)
+         SELECT lang, count(*) AS n_docs,
+           sum(1 + (greatest(n_words - 20, 0) + 14) // 15) AS n_chunks,
+           sum(n_words) AS n_words_kept
+         FROM capped GROUP BY lang ORDER BY lang""",
     // Same scaled-integer term logs (exact-count doubles into ln, rounded
     // to BIGINT before any sum), so the only floats compared are the two
     // final defensive rounds.
