@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,7 +50,8 @@ class SyntheticEventsSource extends TableProvider {
     new SyntheticEventsTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("seed", "42").toLong)
+      properties.getOrDefault("seed", "42").toLong,
+      properties.getOrDefault("rowsPerBatch", "1000").toLong)
 }
 
 object SyntheticEventsSource {
@@ -79,18 +81,19 @@ object SyntheticEventsSource {
     Math.floorMod(mix(seed ^ id) >>> 20, 1000000L) / 100.0
 }
 
-private class SyntheticEventsTable(rows: Long, partitions: Int, seed: Long)
-    extends Table with SupportsRead {
+private class SyntheticEventsTable(rows: Long, partitions: Int, seed: Long,
+    rowsPerBatch: Long) extends Table with SupportsRead {
   override def name(): String = s"synthetic_events($rows rows)"
   override def schema(): StructType = SyntheticEventsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, partitions, seed)
+    new SyntheticScanBuilder(rows, partitions, seed, rowsPerBatch)
 }
 
-private class SyntheticScanBuilder(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownFilters
+private class SyntheticScanBuilder(rows: Long, partitions: Int, seed: Long,
+    rowsPerBatch: Long) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var lo = 0L          // inclusive event_id lower bound
@@ -119,14 +122,21 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, seed: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new SyntheticScan(rows, partitions, seed, lo, hi, typeEq, required)
+    new SyntheticScan(rows, partitions, seed, lo, hi, typeEq, required,
+      rowsPerBatch)
 }
 
 private case class SyntheticRange(start: Long, end: Long) extends InputPartition
 
+/** event_id high-water mark — the only state a deterministic generator
+  * needs (the broker-cursor role of a Pub/Sub ack position). */
+private case class SynthOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
 private class SyntheticScan(rows: Long, partitions: Int, seed: Long,
-    lo: Long, hi: Long, typeEq: Option[String], required: StructType)
-    extends Scan with Batch {
+    lo: Long, hi: Long, typeEq: Option[String], required: StructType,
+    rowsPerBatch: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -151,6 +161,57 @@ private class SyntheticScan(rows: Long, partitions: Int, seed: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(seed, typeEq, required)
+
+  /** Micro-batch face of the same generator: offsets are event_id
+    * high-water marks, batches advance by `rowsPerBatch` under admission
+    * control (maxRows ReadLimit — the backpressure contract a broker
+    * connector implements), and each batch's id range splits across
+    * `partitions` readers exactly like the batch path. Deterministic
+    * replay: any (start, end] range regenerates identical rows, which is
+    * the whole recovery story — no WAL needed, the offset IS the data.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl
+        with SupportsTriggerAvailableNow {
+      override def initialOffset(): Offset = SynthOffset(0L)
+      override def deserializeOffset(json: String): Offset =
+        SynthOffset(json.toLong)
+      override def getDefaultReadLimit: ReadLimit =
+        ReadLimit.maxRows(rowsPerBatch)
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "admission-control latestOffset(start, limit) is used")
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s = start.asInstanceOf[SynthOffset].v
+        val step = limit match {
+          case rl: streaming.ReadMaxRows => rl.maxRows()
+          case _                         => rowsPerBatch
+        }
+        SynthOffset(math.min(s + step, rows))
+      }
+      override def reportLatestOffset(): Offset = SynthOffset(rows)
+      override def prepareForTriggerAvailableNow(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[SynthOffset].v
+        val e = end.asInstanceOf[SynthOffset].v
+        val n = e - s
+        if (n <= 0) Array.empty
+        else {
+          // honor batch-style pushdown if the planner applied it to this
+          // scan: clamp every micro-batch range to the pushed [lo, hi)
+          val per = math.max(1L, (n + partitions - 1) / partitions)
+          (s until e by per)
+            .map(b => SyntheticRange(math.max(b, lo),
+              math.min(math.min(b + per, e), hi)))
+            .filter(r => r.start < r.end)
+            .toArray[InputPartition]
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SyntheticReaderFactory(seed, typeEq, required)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
 }
 
 private class SyntheticReaderFactory(seed: Long, typeEq: Option[String],

@@ -59,6 +59,31 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(two.count() == 10000)
   }
 
+  test("micro-batch stream: admission control paces batches, replay is exact") {
+    // the same generator as a streaming connector: offsets are event_id
+    // high-water marks, each batch admits rowsPerBatch ids, and
+    // processAllAvailable drains to the `rows` cap and stops
+    val q = spark.readStream.format("graft.sources.SyntheticEventsSource")
+      .option("rows", 10000).option("partitions", 4)
+      .option("seed", 42).option("rowsPerBatch", 1500)
+      .load()
+      .writeStream.format("memory").queryName("synth_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("synth_stream")
+      assert(got.count() == 10000)
+      // ≥ ceil(10000/1500) = 7 batches — admission control actually paced
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 7, s"expected >= 7 paced batches, got $batches")
+      // streamed rows ARE the batch rows: the offset range fully
+      // determines content, so the two paths must agree bit-for-bit
+      val batch = load().collect().map(_.toString).sorted
+      val streamed = got.collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch), "stream != batch replay")
+    } finally q.stop()
+  }
+
   test("the source composes with ordinary relational ops") {
     // per-user counts over the generated load — the reference's
     // count-by-key pipeline shape running on the v2 source
