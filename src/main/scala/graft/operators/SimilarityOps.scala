@@ -132,6 +132,13 @@ object SimilarityOps {
     * this frame is what an ingest pipeline PERSISTS: band keys are 24
     * bytes/doc/band, so new batches join against stored bands without
     * ever re-reading corpus text. */
+  /** The persistable LSH band index of a corpus — what an ingest pipeline
+    * stores (bucketed by the band-join key) so incremental batches join
+    * against it without ever re-shuffling corpus state. Exposed for
+    * ScalePatternsSpec's bucketed-band-index proof. */
+  private[graft] def bandIndex(s: SparkSession, d: String): DataFrame =
+    bandsOf(minhashSigs(s, d))
+
   private def bandsOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(B - 1)),

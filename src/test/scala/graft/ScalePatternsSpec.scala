@@ -182,6 +182,45 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed LSH band index: incremental batch joins corpus state without shuffling it") {
+    // The q_dedup_incremental scale story made concrete: the stored
+    // corpus's band index is BUCKETED on the band-join key, so a new
+    // batch's (band, bh) probes join it with the corpus side reading
+    // straight from its buckets — the only exchange in the plan belongs
+    // to the (small) batch side. At 100 TB that is the difference between
+    // an ingest tick costing O(batch) and re-shuffling the corpus index
+    // on every arrival.
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS band_idx")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-warehouse/band_idx"))
+    val bands = SimilarityOps.bandIndex(spark, TestSpark.sf)
+    bands.write.mode("overwrite").bucketBy(8, "band", "bh")
+      .sortBy("band", "bh").saveAsTable("band_idx")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = spark.table("band_idx")
+      // an incoming "batch": a slice of the same index, NOT bucketed.
+      // localCheckpoint stands in for "the batch arrived materialized" —
+      // without it the count below would also see the exchange inside the
+      // batch's own signature aggregation, which is not what's under test.
+      val batch = bands.filter($"doc_id" >= 450)
+        .withColumnRenamed("doc_id", "new_id").localCheckpoint(true)
+      val probes = corpus.join(batch, Seq("band", "bh"))
+        .filter($"doc_id" < $"new_id")
+      val plan = probes.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected only the batch-side exchange, found $exchanges:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(probes.count() > 0) // planted near-dups share bands
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("knn join plans a map-side partial WindowGroupLimit before the exchange") {
     // q_knn_join's comment claims Catalyst rewrites the rk <= k filter
     // over row_number into a two-stage top-k: a PARTIAL WindowGroupLimit
