@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleGenerator}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleGenerator, TopKBy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `cosine_sim(a, b)` — codegen'd cosine similarity ([[CosineSimilarity]])
   *  - `dot_product(a, b)` — codegen'd dot product ([[DotProduct]])
   *  - `shingles(text, n)` — word n-gram UDTF ([[ShingleGenerator]])
+  *  - `top_k_by(payload, ord, k)` — bounded-heap top-k aggregate ([[TopKBy]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+      (children: Seq[Expression]) =>
+        TopKBy(children(0), children(1), children(2))
+        .toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),

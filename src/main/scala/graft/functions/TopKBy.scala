@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `top_k_by(payload, ord, k)` — bounded top-k-per-group aggregate: keeps
+  * the k rows with the LARGEST `ord` (ties broken toward the smaller
+  * `payload`), returned as `array<struct<ord, payload>>` in rank order.
+  *
+  * Why a custom TypedImperativeAggregate: Spark's two stock answers to
+  * "top k per group" both carry unbounded cost on hot groups —
+  * `collect_list` + sort ships EVERY group member through the shuffle
+  * (OOM on a million-row key), and the window row_number form sorts each
+  * partition even though only k rows survive (WindowGroupLimit prunes map-
+  * side, but still sorts per partition). This aggregate's state is a
+  * k-bounded min-heap: O(k) memory per group REGARDLESS of group size,
+  * partial-aggregated map-side and merged heap-into-heap, so the shuffle
+  * carries at most k pairs per (partition, group). At 100 TB with a
+  * power-law key (one user with 10^8 events), the heap aggregate is the
+  * only shape whose state does not scale with the hot key.
+  *
+  * Determinism: (ord DESC, payload ASC) is a total order over distinct
+  * (ord, payload) pairs, so the kept set and its order are independent of
+  * partitioning — required by the oracle hash-compare.
+  */
+case class TopKBy(
+    payload: Expression,
+    ord: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]]
+  with TernaryLike[Expression] {
+
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"top_k_by: k must be an integer literal, got $other")
+  }
+
+  // dequeue() must yield the WORST kept pair (the eviction candidate):
+  // worst = smallest ord, then largest payload.
+  private val evictionOrder: Ordering[(Long, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  /** a strictly better than b under (ord DESC, payload ASC). */
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty(evictionOrder)
+
+  private def offer(buf: mutable.PriorityQueue[(Long, Long)],
+      cand: (Long, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(cand)
+    else if (better(cand, buf.head)) { buf.dequeue(); buf.enqueue(cand) }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Long, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val o = ord.eval(input)
+    val p = payload.eval(input)
+    if (o != null && p != null)
+      offer(buf, (o.asInstanceOf[Long], p.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, Long)],
+      other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+    val sorted = buf.toArray.sortBy(t => (-t._1, t._2))
+    new GenericArrayData(sorted.map(t => InternalRow(t._1, t._2)))
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (o, p) => out.writeLong(o); out.writeLong(p) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.enqueue((in.readLong(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", LongType, nullable = false),
+    StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def first: Expression = payload
+  override def second: Expression = ord
+  override def third: Expression = kExpr
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKBy =
+    copy(payload = newFirst, ord = newSecond, kExpr = newThird)
+}

@@ -44,6 +44,25 @@ object ExtensionOps {
         .orderBy("doc_id")
     }),
 
+    // The custom TypedImperativeAggregate surface: top-3 orders per
+    // customer via the k-bounded heap aggregate (functions/TopKBy) —
+    // same result set as the window form (q_topk_per_group) but with O(k)
+    // state per group instead of a per-partition sort, partial-merged
+    // map-side. Price rides as exact cents so the heap's total order and
+    // the restored double are engine-identical.
+    "q_topk_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(expr("top_k_by(o_orderkey, cents, 3)").as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.payload").as("o_orderkey"),
+          (col("col.ord").cast("double") / 100).as("price"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // Scalar UDF surface: heuristic language-ID over documents. Oracle:
     // the same bigram-profile scoring re-expressed as DuckDB list lambdas,
     // GENERATED from LangId.profiles so the two cannot drift.
@@ -66,6 +85,18 @@ object ExtensionOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_similarity_topk_expr" -> SimilarityOps.oracleSql("q_similarity_topk"),
+    // The window form is the semantic spec the bounded-heap aggregate
+    // must reproduce exactly (same cents order, same orderkey tie-break).
+    "q_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, cents::DOUBLE / 100 AS price
+         FROM (
+           SELECT o_custkey, o_orderkey,
+             round(o_totalprice * 100)::BIGINT AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey)
+               AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
     // Replicates LangId.detect: lowercase, strip non-letters, per-word
     // character bigrams, fraction-in-profile score, argmax with the
     // (score, lang) max tie-break — counts suffice for the argmax since

@@ -164,6 +164,42 @@ class ExtensionsSpec extends AnyFunSuite {
       .toSeq == Seq(Some(7L), None, None, None, None))
   }
 
+  test("top_k_by matches the window row_number form exactly, including ties") {
+    import spark.implicits._
+    // planted ties: several payloads share ord values — the (ord DESC,
+    // payload ASC) tie-break must agree with the window spec
+    val rows = (1L to 500L).map(i => (i % 7, i, (i % 13) * 10))
+    val df = rows.toDF("g", "payload", "ord")
+    val viaAgg = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("top_k_by(payload, ord, 4)").as("top"))
+      .select($"g", org.apache.spark.sql.functions.posexplode($"top"))
+      .select($"g", ($"pos" + 1).as("rn"), $"col.ord".as("ord"),
+        $"col.payload".as("payload"))
+      .collect().map(_.toString).sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy($"ord".desc, $"payload")
+    val viaWindow = df
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w)
+        .cast("int"))
+      .filter($"rn" <= 4).select($"g", $"rn", $"ord", $"payload")
+      .collect().map(_.toString).sorted
+    assert(viaAgg.sameElements(viaWindow), "heap aggregate diverged from window spec")
+  }
+
+  test("top_k_by plans a partial ObjectHashAggregate (map-side heap merge)") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i % 3, i, i * 2)).toDF("g", "p", "o")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("top_k_by(p, o, 5)").as("top"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate:\n$plan")
+    assert(plan.contains("partial_topkby"),
+      s"no map-side partial aggregation:\n$plan")
+    // a 1000-row hot group still returns exactly k rows
+    assert(df.collect().forall(_.getSeq[Any](1).length == 5))
+  }
+
   test("lang-id detects the dominant language of real sentences") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog near the riverbank") == "en")
     assert(LangId.detect("der schnelle braune fuchs springt und die hunde schlafen unter dem baum") == "de")
