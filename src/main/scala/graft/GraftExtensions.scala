@@ -18,6 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.functions.SimplifySelfCosine)
+    // point >= lo AND point < hi against a broadcast-small interval side:
+    // binary-search probe instead of nested-loop (plans/BroadcastRangeJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

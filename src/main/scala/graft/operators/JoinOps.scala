@@ -98,9 +98,13 @@ object JoinOps {
     }),
 
     // Non-equi (theta) range join: orders banded by price. The band table is
-    // derived from region (5 rows) so it exists in both engines; Spark plans
-    // BroadcastNestedLoopJoin with the fact side streamed once — the correct
-    // physical shape when one side is O(1).
+    // derived from region (5 rows) so it exists in both engines. Planned by
+    // the engine's own RangeJoinStrategy (plans/BroadcastRangeJoin): the
+    // interval side is collected + lo-sorted once and each fact row probes
+    // by binary search — O(rows log bands) instead of the stock
+    // BroadcastNestedLoopJoin's O(rows × bands), with the fact side still
+    // streamed exactly once. The oracle hash-compare proves the custom
+    // operator bit-identical to the relational spec.
     "q_join_theta_range" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val bands = Tables.region(s, d).select(

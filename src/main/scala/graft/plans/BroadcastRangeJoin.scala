@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BindReferences, Expression, GreaterThanOrEqual, JoinedRow, LessThan, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Broadcast range join — the custom planner-strategy tier of the
+  * extension surface (SURVEY.md §4; the guide's preference order (c)).
+  *
+  * Spark plans an inner join whose only condition is
+  * `point >= lo AND point < hi` as BroadcastNestedLoopJoin: every fact
+  * row is tested against EVERY interval — O(rows × intervals). With 5
+  * price bands that is fine; with 10^5 histogram buckets, tariff windows,
+  * or IP ranges it is the join that never finishes. This strategy plans
+  * the same logical shape as [[BroadcastRangeJoinExec]]: collect the
+  * interval side (it must be broadcast-small — the strategy fires only
+  * under the session's autoBroadcastJoinThreshold, mirroring Spark's own
+  * broadcast decision), sort by `lo` once, and probe each fact row by
+  * BINARY SEARCH + a prefix-max-hi early stop — O(rows × (log intervals
+  * + matches)). Results are bit-identical to the nested-loop plan (the
+  * DuckDB oracle for q_join_theta_range keeps proving it every round).
+  */
+object RangeJoinStrategy extends SparkStrategy {
+  /** Split a condition of shape `p >= lo && p < hi` (either operand
+    * order) where p references only `left` and lo/hi only `right`. */
+  private def matchRange(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+    def fromLeft(e: Expression) = e.references.subsetOf(left.outputSet) &&
+      e.references.nonEmpty
+    def fromRight(e: Expression) = e.references.subsetOf(right.outputSet) &&
+      e.references.nonEmpty
+    cond match {
+      case And(GreaterThanOrEqual(p1, lo), LessThan(p2, hi))
+          if p1.semanticEquals(p2) && fromLeft(p1) && fromRight(lo) &&
+            fromRight(hi) =>
+        Some((p1, lo, hi))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _)
+        if right.stats.sizeInBytes <=
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold =>
+      matchRange(cond, left, right) match {
+        case Some((point, lo, hi)) =>
+          BroadcastRangeJoinExec(planLater(left), planLater(right),
+            point, lo, hi) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Inner join of `left` against broadcast intervals `[lo, hi)` from
+  * `right`, probing by binary search over the lo-sorted interval array.
+  * Overlapping intervals are handled with a prefix-max-hi array: the
+  * backward scan from the insertion point stops as soon as no earlier
+  * interval can still cover the probe — one step for disjoint bands,
+  * never a full scan.
+  */
+case class BroadcastRangeJoinExec(left: SparkPlan, right: SparkPlan,
+    point: Expression, lo: Expression, hi: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val ordering = TypeUtils.getInterpretedOrdering(point.dataType)
+    val loBound = BindReferences.bindReference(lo, right.output)
+    val hiBound = BindReferences.bindReference(hi, right.output)
+    // interval side: collected once on the driver (the strategy only
+    // fires under the broadcast threshold), sorted by lo, prefix-max hi
+    val rightRows = right.executeCollect().map(_.copy())
+    val sorted = rightRows
+      .map(r => (loBound.eval(r), hiBound.eval(r), r))
+      .filter(t => t._1 != null && t._2 != null)
+      .sortWith((a, b) => ordering.lt(a._1, b._1))
+    val los = sorted.map(_._1)
+    val his = sorted.map(_._2)
+    val rows = sorted.map(_._3)
+    val prefixMaxHi = new Array[Any](his.length)
+    var i = 0
+    while (i < his.length) {
+      prefixMaxHi(i) =
+        if (i == 0) his(0)
+        else if (ordering.gt(his(i), prefixMaxHi(i - 1))) his(i)
+        else prefixMaxHi(i - 1)
+      i += 1
+    }
+    val bc = sparkContext.broadcast((los, his, rows, prefixMaxHi))
+    val pointBound = BindReferences.bindReference(point, left.output)
+    val outputAttrs = output
+    left.execute().mapPartitions { iter =>
+      val (blos, bhis, brows, bmax) = bc.value
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      iter.flatMap { lrow =>
+        val p = pointBound.eval(lrow)
+        if (p == null || blos.isEmpty) Iterator.empty
+        else {
+          // binary search: first index with lo > p
+          var a = 0; var b = blos.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (ordering.lteq(blos(m), p)) a = m + 1 else b = m
+          }
+          // scan backwards while some earlier interval can still reach p
+          val out = Iterator.unfold(a - 1) { j =>
+            if (j < 0 || ordering.lteq(bmax(j), p)) None
+            else Some((j, j - 1))
+          }.filter(j => ordering.gt(bhis(j), p))
+          out.map(j => proj(joined(lrow, brows(j))))
+        }
+      }
+    }
+  }
+}
