@@ -61,8 +61,15 @@ object TextProbe {
     // optional args after nDocs filter which queries run (dev loop)
     val only = args.drop(1).toSet
     def want(n: String) = only.isEmpty || only(n)
+    // q_domain_cap / q_corpus_pipeline here are the HOT-KEY stress: the
+    // synthetic corpus is one (lang, source) domain, so the cap window
+    // collapses onto a single key — WindowGroupLimit's map-side prune is
+    // what keeps the exchange at 5 rows per input partition instead of
+    // the whole corpus.
     Seq("q_pii_redact", "q_repetition", "q_tfidf_top_terms",
-      "q_bm25_top_terms", "q_decontaminate").filter(want).foreach(run)
+      "q_bm25_top_terms", "q_decontaminate", "q_chunk_overlap",
+      "q_unigram_logprob", "q_domain_cap", "q_corpus_pipeline")
+      .filter(want).foreach(run)
     if (!want("q_line_dedup")) { spark.stop(); return }
     // line dedup last, with the twin canary: doc 0 and doc nDocs share
     // words 1..57, i.e. pseudo-lines 1..11 (1-based 5-token chunks) of doc 0
