@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BindReferences, Expression, GreaterThanOrEqual, JoinedRow, LessThan, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BindReferences, Expression, GreaterThan, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -25,31 +25,66 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * DuckDB oracle for q_join_theta_range keeps proving it every round).
   */
 object RangeJoinStrategy extends SparkStrategy {
-  /** Split a condition of shape `p >= lo && p < hi` (either operand
-    * order) where p references only `left` and lo/hi only `right`. */
+  /** One bound of an interval condition: which side it bounds and whether
+    * the comparison is inclusive. */
+  private sealed trait Bound
+  private case class Lower(p: Expression, lo: Expression, incl: Boolean)
+    extends Bound
+  private case class Upper(p: Expression, hi: Expression, incl: Boolean)
+    extends Bound
+
+  /** Split a conjunction of one lower and one upper bound on the same
+    * left-side point against right-side limits — every operand order and
+    * inclusivity Catalyst produces (`>= <`, `> <=`, BETWEEN's `>= <=`,
+    * and the flipped `lo <= p` spellings). */
   private def matchRange(cond: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+      right: LogicalPlan): Option[(Expression, Expression, Expression, Boolean, Boolean)] = {
     def fromLeft(e: Expression) = e.references.subsetOf(left.outputSet) &&
       e.references.nonEmpty
     def fromRight(e: Expression) = e.references.subsetOf(right.outputSet) &&
       e.references.nonEmpty
+    def bound(e: Expression): Option[Bound] = e match {
+      case GreaterThanOrEqual(p, b) if fromLeft(p) && fromRight(b) =>
+        Some(Lower(p, b, incl = true))
+      case LessThanOrEqual(b, p) if fromLeft(p) && fromRight(b) =>
+        Some(Lower(p, b, incl = true))
+      case GreaterThan(p, b) if fromLeft(p) && fromRight(b) =>
+        Some(Lower(p, b, incl = false))
+      case LessThan(b, p) if fromLeft(p) && fromRight(b) =>
+        Some(Lower(p, b, incl = false))
+      case LessThanOrEqual(p, b) if fromLeft(p) && fromRight(b) =>
+        Some(Upper(p, b, incl = true))
+      case GreaterThanOrEqual(b, p) if fromLeft(p) && fromRight(b) =>
+        Some(Upper(p, b, incl = true))
+      case LessThan(p, b) if fromLeft(p) && fromRight(b) =>
+        Some(Upper(p, b, incl = false))
+      case GreaterThan(b, p) if fromLeft(p) && fromRight(b) =>
+        Some(Upper(p, b, incl = false))
+      case _ => None
+    }
     cond match {
-      case And(GreaterThanOrEqual(p1, lo), LessThan(p2, hi))
-          if p1.semanticEquals(p2) && fromLeft(p1) && fromRight(lo) &&
-            fromRight(hi) =>
-        Some((p1, lo, hi))
+      case And(a, b) => (bound(a), bound(b)) match {
+        case (Some(Lower(p1, lo, li)), Some(Upper(p2, hi, hi_)))
+            if p1.semanticEquals(p2) => Some((p1, lo, hi, li, hi_))
+        case (Some(Upper(p1, hi, hi_)), Some(Lower(p2, lo, li)))
+            if p1.semanticEquals(p2) => Some((p1, lo, hi, li, hi_))
+        case _ => None
+      }
       case _ => None
     }
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // batch-only: a micro-batch plan must keep Spark's streaming join
+    // execs (state store, watermark semantics) — stand down on streaming
     case Join(left, right, Inner, Some(cond), _)
-        if right.stats.sizeInBytes <=
+        if !left.isStreaming && !right.isStreaming &&
+          right.stats.sizeInBytes <=
           org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold =>
       matchRange(cond, left, right) match {
-        case Some((point, lo, hi)) =>
+        case Some((point, lo, hi, loIncl, hiIncl)) =>
           BroadcastRangeJoinExec(planLater(left), planLater(right),
-            point, lo, hi) :: Nil
+            point, lo, hi, loIncl, hiIncl) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -64,7 +99,8 @@ object RangeJoinStrategy extends SparkStrategy {
   * never a full scan.
   */
 case class BroadcastRangeJoinExec(left: SparkPlan, right: SparkPlan,
-    point: Expression, lo: Expression, hi: Expression)
+    point: Expression, lo: Expression, hi: Expression,
+    loInclusive: Boolean, hiInclusive: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -107,17 +143,22 @@ case class BroadcastRangeJoinExec(left: SparkPlan, right: SparkPlan,
         val p = pointBound.eval(lrow)
         if (p == null || blos.isEmpty) Iterator.empty
         else {
-          // binary search: first index with lo > p
+          // binary search: first index whose LOWER bound fails for p
+          // (inclusive: first lo > p; strict: first lo >= p)
           var a = 0; var b = blos.length
           while (a < b) {
             val m = (a + b) >>> 1
-            if (ordering.lteq(blos(m), p)) a = m + 1 else b = m
+            val loOk = if (loInclusive) ordering.lteq(blos(m), p)
+                       else ordering.lt(blos(m), p)
+            if (loOk) a = m + 1 else b = m
           }
+          def hiOk(h: Any): Boolean =
+            if (hiInclusive) ordering.gteq(h, p) else ordering.gt(h, p)
           // scan backwards while some earlier interval can still reach p
           val out = Iterator.unfold(a - 1) { j =>
-            if (j < 0 || ordering.lteq(bmax(j), p)) None
+            if (j < 0 || !hiOk(bmax(j))) None
             else Some((j, j - 1))
-          }.filter(j => ordering.gt(bhis(j), p))
+          }.filter(j => hiOk(bhis(j)))
           out.map(j => proj(joined(lrow, brows(j))))
         }
       }

@@ -50,6 +50,32 @@ class RangeJoinSpec extends AnyFunSuite {
       s"custom ${customRows.length} rows vs stock ${stock.length}")
   }
 
+  test("closed, strict, and flipped interval spellings all match the stock plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val intervals = Seq(
+      (0L, 0.0, 10.0), (1L, 0.0, 5.0), (2L, 2.0, 3.0), (3L, 5.0, 12.0)
+    ).toDF("band_id", "lo", "hi")
+    val points = (0 until 300).map(i => (i.toLong, i * 0.1)).toDF("pid", "p")
+    val conds: Seq[(String, () => Column)] = Seq(
+      ("between (>= <=)", () => points("p").between(intervals("lo"), intervals("hi"))),
+      ("strict lower (> <)", () => points("p") > intervals("lo") && points("p") < intervals("hi")),
+      ("half-open closed hi (> <=)", () => points("p") > intervals("lo") && points("p") <= intervals("hi")),
+      ("flipped operands", () => intervals("lo") <= points("p") && intervals("hi") > points("p")))
+    for ((label, cond) <- conds) {
+      def join() = points.join(intervals, cond()).select("pid", "band_id")
+      val custom = join()
+      assert(custom.queryExecution.executedPlan.toString
+        .contains("BroadcastRangeJoin"), s"$label: strategy did not claim")
+      val customRows = custom.collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stock = try join().collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(customRows.sameElements(stock),
+        s"$label: custom ${customRows.length} vs stock ${stock.length}")
+    }
+  }
+
   test("null points and null interval bounds produce no matches") {
     import spark.implicits._
     val intervals = Seq((0L, Some(0.0), Some(10.0)), (1L, None, Some(5.0)),
