@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   * Determinism: (ord DESC, payload ASC) is a total order over distinct
   * (ord, payload) pairs, so the kept set and its order are independent of
   * partitioning — required by the oracle hash-compare.
+  *
+  * Contract: `payload` and `ord` must be BIGINT (encode doubles as
+  * scaled integers first — exactly what the oracle-compare discipline
+  * already requires of ordering keys) and `k` must be a literal (it is
+  * evaluated at planning time to size the heap). Generalizing to
+  * arbitrary orderable types means swapping the two Longs for an
+  * InternalRow + TypeUtils ordering; the bounded-state shape is the
+  * point here.
   */
 case class TopKBy(
     payload: Expression,
