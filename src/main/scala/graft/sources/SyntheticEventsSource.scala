@@ -57,9 +57,16 @@ class SyntheticEventsSource extends TableProvider {
 object SyntheticEventsSource {
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
     StructField("user_id", LongType, nullable = false),
     StructField("event_type", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Event time: one event per millisecond from a fixed epoch — pure
+    * function of the id, so watermarks over the streamed rows behave
+    * exactly like replayed history. */
+  val BaseMicros: Long = 1704067200000000L // 2024-01-01T00:00:00Z
+  def tsOf(id: Long): Long = BaseMicros + id * 1000L
 
   val EventTypes: Array[String] =
     Array("click", "error", "purchase", "signup", "view")
@@ -224,6 +231,7 @@ private class SyntheticReaderFactory(seed: Long, typeEq: Option[String],
       private val cols: Array[Long => Any] = required.fields.map { f =>
         f.name match {
           case "event_id"   => (i: Long) => i
+          case "ts"         => (i: Long) => tsOf(i) // micros == TimestampType
           case "user_id"    => (i: Long) => userOf(seed, i)
           case "event_type" => (i: Long) => UTF8String.fromString(typeOf(seed, i))
           case "value"      => (i: Long) => valueOf(seed, i)

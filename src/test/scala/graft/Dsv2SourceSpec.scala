@@ -46,7 +46,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(scan.contains("PushedType=click"),
       s"type filter not pushed:\n$scan")
     // same rows as filtering the unfiltered read post-hoc
-    val expected = load().collect().count(_.getString(2) == "click")
+    val expected = load().collect().count(_.getAs[String]("event_type") == "click")
     assert(pushed.count() == expected && expected > 0)
   }
 
@@ -81,6 +81,28 @@ class Dsv2SourceSpec extends AnyFunSuite {
       val batch = load().collect().map(_.toString).sorted
       val streamed = got.collect().map(_.toString).sorted
       assert(streamed.sameElements(batch), "stream != batch replay")
+    } finally q.stop()
+  }
+
+  test("custom connector feeds a watermarked windowed aggregate end-to-end") {
+    // the connector's event-time column (1 event/ms from a fixed epoch)
+    // through the full streaming stack: watermark, 1-second tumbling
+    // windows, stateful aggregation — 10000 events = exactly 10 windows
+    // of 1000
+    val q = spark.readStream.format("graft.sources.SyntheticEventsSource")
+      .option("rows", 10000).option("partitions", 4)
+      .option("seed", 42).option("rowsPerBatch", 2500)
+      .load()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 second")).count()
+      .writeStream.format("memory").queryName("synth_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val wins = spark.table("synth_win").collect()
+      assert(wins.length == 10, s"expected 10 windows, got ${wins.length}")
+      assert(wins.forall(_.getLong(1) == 1000L),
+        s"uneven windows: ${wins.mkString(", ")}")
     } finally q.stop()
   }
 
