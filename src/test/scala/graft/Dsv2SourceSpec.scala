@@ -106,6 +106,29 @@ class Dsv2SourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("v2 sink: batch and streaming writes count only committed rows") {
+    import graft.sources.CountingSink
+    CountingSink.reset("t_batch"); CountingSink.reset("t_stream")
+    // batch path: task counts surface only through the driver commit
+    load(rows = 3000).write.format("graft.sources.CountingSink")
+      .option("name", "t_batch").mode("append").save()
+    assert(CountingSink.total("t_batch") == 3000)
+    // streaming path: per-epoch commits accumulate to the drained total
+    val q = spark.readStream.format("graft.sources.SyntheticEventsSource")
+      .option("rows", 5000).option("rowsPerBatch", 1500)
+      .load()
+      .writeStream.format("graft.sources.CountingSink")
+      .option("name", "t_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(CountingSink.total("t_stream") == 5000,
+        s"streamed total ${CountingSink.total("t_stream")}")
+    } finally q.stop()
+  }
+
   test("the source composes with ordinary relational ops") {
     // per-user counts over the generated load — the reference's
     // count-by-key pipeline shape running on the v2 source
