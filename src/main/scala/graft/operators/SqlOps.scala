@@ -42,6 +42,28 @@ object SqlOps {
       """)
     }),
 
+    // WITH RECURSIVE through Spark's own parser/executor (new in Spark
+    // 4): ancestor-chain depth over a deterministic binary-heap parent
+    // relation (parent(n) = (n-1) div 2, root 0) built from nation. The
+    // recursion is the UnionLoop iterative plan — each step is a
+    // distributed batch, so a 100 TB hierarchy walks in O(depth) rounds,
+    // the same shape as GraphOps' star contraction. Only the integer-
+    // division spelling differs per engine (div vs //).
+    "q_sql_org_depth" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("""
+        WITH RECURSIVE up(node, anc, depth) AS (
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM nation
+          UNION ALL
+          SELECT node, (anc - 1) div 2, depth + 1 FROM up WHERE anc > 0
+        )
+        SELECT node, max(depth) AS depth
+        FROM up GROUP BY node ORDER BY node
+      """)
+    }),
+
     // Exact decimal money math: quantities cast to DECIMAL(18,2) before
     // summing, so the result is EXACT in both engines regardless of
     // aggregation order — the no-compromise alternative to Num.round2 for
@@ -70,6 +92,14 @@ object SqlOps {
          GROUP BY o_orderkey, c_mktsegment
          ORDER BY revenue DESC, o_orderkey
          LIMIT 50""",
+    "q_sql_org_depth" ->
+      """WITH RECURSIVE up(node, anc, depth) AS (
+           SELECT n_nationkey::BIGINT, n_nationkey::BIGINT, 0::BIGINT
+           FROM nation
+           UNION ALL
+           SELECT node, (anc - 1) // 2, depth + 1 FROM up WHERE anc > 0)
+         SELECT node, max(depth) AS depth
+         FROM up GROUP BY node ORDER BY node""",
     "q_decimal_agg" ->
       """SELECT o_orderstatus,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
