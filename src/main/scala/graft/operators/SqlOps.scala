@@ -64,6 +64,25 @@ object SqlOps {
       """)
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — "for each row,
+    // a dependent top-1 query". Catalyst decorrelates the lateral into a
+    // join + per-key limit rather than executing the subquery per row, so
+    // the shape stays distributed at any fact size. Same SQL text runs on
+    // DuckDB as the oracle.
+    "q_sql_lateral_top1" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey, o.o_orderkey, o.price
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, round(o_totalprice * 100) / 100 AS price
+          FROM orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) o
+        ORDER BY c_custkey
+      """)
+    }),
+
     // Exact decimal money math: quantities cast to DECIMAL(18,2) before
     // summing, so the result is EXACT in both engines regardless of
     // aggregation order — the no-compromise alternative to Num.round2 for
@@ -100,6 +119,15 @@ object SqlOps {
            SELECT node, (anc - 1) // 2, depth + 1 FROM up WHERE anc > 0)
          SELECT node, max(depth) AS depth
          FROM up GROUP BY node ORDER BY node""",
+    "q_sql_lateral_top1" ->
+      """SELECT c_custkey, o.o_orderkey, o.price
+         FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, round(o_totalprice * 100) / 100 AS price
+           FROM orders WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+         ) o
+         ORDER BY c_custkey""",
     "q_decimal_agg" ->
       """SELECT o_orderstatus,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
