@@ -55,6 +55,25 @@ case class TopKBy(
       s"top_k_by: k must be an integer literal, got $other")
   }
 
+  /** Misuse fails at ANALYSIS, not as a runtime ClassCastException in an
+    * executor: both data columns must be BIGINT and k a foldable
+    * positive integer. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (payload.dataType != LongType || ord.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by(payload, ord, k): payload and ord must be BIGINT, got " +
+          s"${payload.dataType.simpleString} / ${ord.dataType.simpleString}")
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("top_k_by: k must be a literal")
+    else kExpr.eval() match {
+      case i: Int if i > 0  => TypeCheckResult.TypeCheckSuccess
+      case l: Long if l > 0 => TypeCheckResult.TypeCheckSuccess
+      case v => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: k must be a positive integer literal, got $v")
+    }
+  }
+
   // dequeue() must yield the WORST kept pair (the eviction candidate):
   // worst = smallest ord, then largest payload.
   private val evictionOrder: Ordering[(Long, Long)] =

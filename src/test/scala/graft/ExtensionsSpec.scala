@@ -200,6 +200,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getSeq[Any](1).length == 5))
   }
 
+  test("top_k_by rejects wrong types and non-literal k at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 2.5)).toDF("g", "s", "d")
+    // string payload / double ord → analysis failure, not executor CCE
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(org.apache.spark.sql.functions.expr("top_k_by(s, d, 3)"))
+        .collect()
+    }
+    assert(e1.getMessage.contains("BIGINT"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(org.apache.spark.sql.functions.expr("top_k_by(g, g, g)"))
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("lang-id detects the dominant language of real sentences") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog near the riverbank") == "en")
     assert(LangId.detect("der schnelle braune fuchs springt und die hunde schlafen unter dem baum") == "de")
