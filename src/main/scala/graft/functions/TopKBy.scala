@@ -74,10 +74,20 @@ case class TopKBy(
     }
   }
 
-  // dequeue() must yield the WORST kept pair (the eviction candidate):
-  // worst = smallest ord, then largest payload.
-  private val evictionOrder: Ordering[(Long, Long)] =
-    Ordering.by(t => (-t._1, t._2))
+  // One ordering, two uses: compare(a, b) > 0 iff a is WORSE than b under
+  // (ord DESC, payload ASC). PriorityQueue's max-heap head is then the
+  // worst kept pair (the eviction candidate), and sorted-ascending emits
+  // best-first (rank order). Explicit Long.compare, NOT negation —
+  // Long.MinValue negates to itself, so an Ordering.by(-_._1) would treat
+  // the smallest possible ord as the largest and corrupt both the kept
+  // set and the emitted order.
+  private val worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+  private val evictionOrder: Ordering[(Long, Long)] = worstFirst
 
   /** a strictly better than b under (ord DESC, payload ASC). */
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =
@@ -108,7 +118,7 @@ case class TopKBy(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
-    val sorted = buf.toArray.sortBy(t => (-t._1, t._2))
+    val sorted = buf.toArray.sorted(worstFirst) // ascending = best-first
     new GenericArrayData(sorted.map(t => InternalRow(t._1, t._2)))
   }
 

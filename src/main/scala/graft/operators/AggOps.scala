@@ -433,8 +433,8 @@ object AggOps {
          SELECT r.g AS g,
                 CAST(sum(CAST(least(greatest(r.x, b.lo), b.hi)
                   AS DECIMAL(18,2))) AS DOUBLE) AS wsum,
-                sum(CAST(r.x < b.lo AS BIGINT)) AS n_clip_lo,
-                sum(CAST(r.x > b.hi AS BIGINT)) AS n_clip_hi,
+                CAST(sum(CAST(r.x < b.lo AS BIGINT)) AS BIGINT) AS n_clip_lo,
+                CAST(sum(CAST(r.x > b.hi AS BIGINT)) AS BIGINT) AS n_clip_hi,
                 count(*) AS n
          FROM (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem) r
          JOIN bounds b USING (g)

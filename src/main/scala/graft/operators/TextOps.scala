@@ -666,8 +666,9 @@ object TextOps {
              FROM ded)
            WHERE rk <= 10)
          SELECT lang, count(*) AS n_docs,
-           sum(1 + (greatest(n_words - 20, 0) + 14) // 15) AS n_chunks,
-           sum(n_words) AS n_words_kept
+           CAST(sum(1 + (greatest(n_words - 20, 0) + 14) // 15) AS BIGINT)
+             AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS n_words_kept
          FROM capped GROUP BY lang ORDER BY lang""",
     // Same scaled-integer term logs (exact-count doubles into ln, rounded
     // to BIGINT before any sum), so the only floats compared are the two
@@ -684,7 +685,8 @@ object TextOps {
                     t.tf * round(ln(v.c::DOUBLE / tot.n::DOUBLE)
                       * 1000000)::BIGINT AS tl
                   FROM tf t JOIN vocab v ON t.term = v.word, tot),
-         doc AS (SELECT doc_id, sum(tl) AS s, sum(tf) AS n_words
+         doc AS (SELECT doc_id, sum(tl) AS s,
+                   CAST(sum(tf) AS BIGINT) AS n_words
                  FROM term GROUP BY 1)
          SELECT doc_id, n_words,
            round(s::DOUBLE / n_words::DOUBLE / 1000000 * 10000) / 10000

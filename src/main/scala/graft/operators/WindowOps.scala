@@ -158,7 +158,8 @@ object WindowOps {
     "q_window_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 count(*) OVER w AS hr_events,
-                sum(CAST(round("value" * 100) AS BIGINT)) OVER w AS hr_cents
+                CAST(sum(CAST(round("value" * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS hr_cents
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

@@ -39,11 +39,35 @@ class CountingSink extends TableProvider {
 
 object CountingSink {
   private val totals = new ConcurrentHashMap[String, AtomicLong]()
+  // Highest streaming epoch already folded into each named total. Spark
+  // may re-deliver the last epoch's commit() after a query restart
+  // (commit log written, sink commit re-run); an idempotent sink must
+  // treat a repeated (name, epochId) as already done or the batch is
+  // double-counted and "exactly-once" silently degrades to at-least-once.
+  // java.lang.Long, NOT scala Long: the compute() callback must see a real
+  // null for an absent key — a primitive-typed lambda unboxes null to 0L
+  // and would silently treat epoch 0 as already committed.
+  private val lastEpoch = new ConcurrentHashMap[String, java.lang.Long]()
   def total(name: String): Long =
     Option(totals.get(name)).map(_.get()).getOrElse(0L)
-  def reset(name: String): Unit = totals.remove(name)
+  def reset(name: String): Unit = { totals.remove(name); lastEpoch.remove(name) }
   private[sources] def add(name: String, n: Long): Unit =
     totals.computeIfAbsent(name, _ => new AtomicLong()).addAndGet(n)
+  /** Epoch-idempotent add: folds n into the total only if epochId has not
+    * been committed for this name before. Returns true if applied. */
+  private[graft] def addEpoch(name: String, epochId: Long, n: Long): Boolean = {
+    val applied = new Array[Boolean](1)
+    lastEpoch.compute(name, (_, prev) => {
+      if (prev == null || epochId > prev.longValue()) {
+        applied(0) = true; java.lang.Long.valueOf(epochId)
+      } else prev
+    })
+    if (applied(0)) add(name, n)
+    applied(0)
+  }
+  /** Test hook: observed high-water epoch for a name (MinValue if none). */
+  private[graft] def committedEpoch(name: String): Long =
+    Option(lastEpoch.get(name)).map(_.longValue()).getOrElse(Long.MinValue)
 }
 
 private class CountingSinkTable(name: String) extends Table with SupportsWrite {
@@ -76,8 +100,11 @@ private class CountingWrite(name: String) extends Write {
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new CountingWriterFactory
+    // Keyed by epochId so a post-restart re-delivery of the last epoch's
+    // commit is a no-op — exactly-once ACROSS restarts, not just within
+    // one uninterrupted run.
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      CountingSink.add(name,
+      CountingSink.addEpoch(name, epochId,
         messages.map(_.asInstanceOf[CountMessage].n).sum)
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }

@@ -105,6 +105,7 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, seed: Long,
 
   private var lo = 0L          // inclusive event_id lower bound
   private var hi = rows        // exclusive upper bound
+  private var contradictory = false // unsatisfiable pushed conjunction
   private var typeEq: Option[String] = None
   private var pushed = Array.empty[Filter]
   private var required: StructType = SyntheticEventsSource.schema
@@ -117,10 +118,19 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, seed: Long,
       case LessThanOrEqual("event_id", v: Long)    => hi = math.min(hi, v + 1); true
       case EqualTo("event_id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); true
-      case EqualTo("event_type", v: String)        => typeEq = Some(v); true
+      case EqualTo("event_type", v: String) =>
+        typeEq match {
+          // Two conflicting equalities (type='a' AND type='b') can never
+          // match: Spark trusts fully-pushed filters and will NOT
+          // re-apply them, so keeping only the last value would return
+          // the wrong rows. Accept both but mark the scan empty.
+          case Some(prev) if prev != v => contradictory = true; true
+          case _                       => typeEq = Some(v); true
+        }
       case _                                       => false
     }
     pushed = accepted
+    if (contradictory) hi = lo // empty range: no partitions planned
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -128,9 +138,11 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, seed: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SyntheticScan(rows, partitions, seed, lo, hi, typeEq, required,
+  override def build(): Scan = {
+    val h = if (contradictory) lo else hi // empty scan on contradiction
+    new SyntheticScan(rows, partitions, seed, lo, h, typeEq, required,
       rowsPerBatch)
+  }
 }
 
 private case class SyntheticRange(start: Long, end: Long) extends InputPartition

@@ -50,6 +50,35 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(pushed.count() == expected && expected > 0)
   }
 
+  test("conflicting pushed event_type equalities yield the empty set") {
+    // Both conjuncts are fully pushed (Spark will NOT re-apply them), so
+    // the scan itself must resolve the contradiction: type='a' AND
+    // type='b' can never match. A source that kept only the last value
+    // would wrongly return that type's rows.
+    val df = load().filter(col("event_type") === "click")
+      .filter(col("event_type") === "error")
+    assert(df.count() == 0, "contradictory pushed equalities must be empty")
+    assert(df.rdd.getNumPartitions == 0, "no splits should be scheduled")
+    // a repeated IDENTICAL equality is not a contradiction
+    val same = load().filter(col("event_type") === "click")
+      .filter(col("event_type") === "click")
+    assert(same.count() > 0)
+  }
+
+  test("streaming sink commit is idempotent per epoch (restart re-delivery)") {
+    import graft.sources.CountingSink
+    CountingSink.reset("t_epoch")
+    // simulate Spark re-delivering the last epoch's commit after restart:
+    // same (name, epoch) must fold in exactly once
+    assert(CountingSink.addEpoch("t_epoch", 0L, 100L))
+    assert(CountingSink.addEpoch("t_epoch", 1L, 50L))
+    assert(!CountingSink.addEpoch("t_epoch", 1L, 50L), "re-delivered epoch applied twice")
+    assert(!CountingSink.addEpoch("t_epoch", 0L, 100L), "stale epoch applied")
+    assert(CountingSink.total("t_epoch") == 150L)
+    assert(CountingSink.committedEpoch("t_epoch") == 1L)
+    CountingSink.reset("t_epoch")
+  }
+
   test("column pruning reaches the reader (ReadSchema shrinks)") {
     val two = load().select("event_id", "user_id")
     val scan = two.queryExecution.executedPlan.toString

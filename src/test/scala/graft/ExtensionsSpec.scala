@@ -186,6 +186,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaAgg.sameElements(viaWindow), "heap aggregate diverged from window spec")
   }
 
+  test("top_k_by treats Long.MinValue ord as the smallest, not the largest") {
+    import spark.implicits._
+    // -Long.MinValue == Long.MinValue, so any negation-based ordering
+    // ranks it LARGEST; the explicit comparator must rank it smallest
+    val df = Seq(
+      (0L, 10L, Long.MinValue), (0L, 11L, 5L), (0L, 12L, 3L), (0L, 13L, 1L))
+      .toDF("g", "payload", "ord")
+    val top = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("top_k_by(payload, ord, 2)").as("t"))
+      .select(org.apache.spark.sql.functions.explode($"t"))
+      .select($"col.ord", $"col.payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq == Seq((5L, 11L), (3L, 12L)),
+      s"MinValue ord corrupted the kept set: ${top.mkString(", ")}")
+    // and MinValue still survives when k covers it
+    val all = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("top_k_by(payload, ord, 4)").as("t"))
+      .select(org.apache.spark.sql.functions.explode($"t"))
+      .select($"col.ord").collect().map(_.getLong(0))
+    assert(all.last == Long.MinValue, "MinValue must rank last, not first")
+  }
+
   test("top_k_by plans a partial ObjectHashAggregate (map-side heap merge)") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i % 3, i, i * 2)).toDF("g", "p", "o")

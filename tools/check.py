@@ -5,9 +5,17 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the same sfDir parquet
-tables, and compares: schema (column names), row count, and values (columns
-sorted by name, rows in emitted order, doubles rounded to 6 places,
-timestamps normalized to epoch microseconds).
+tables, and compares: schema (column names), ARROW-LEVEL COLUMN TYPES, row
+count, and values (columns sorted by name, rows in emitted order, doubles
+rounded to 6 places, timestamps normalized to epoch microseconds).
+
+The type gate exists because the driver's hash is type-sensitive while the
+old pandas normalization here was not: DuckDB types an uncast integer sum()
+as HUGEINT -> arrow decimal128(38,0) where Spark emits int64, and round 8
+shipped four oracles that passed locally and hash-failed on the driver.
+Any oracle column whose arrow type disagrees with Spark's (after width/name
+canonicalization that mirrors value identity, NOT lossy pandas coercion) is
+now a local FAIL, with a loud hint when the culprit is an uncast aggregate.
 
 Dev tool only — the Scala library does not depend on this.
 """
@@ -19,6 +27,49 @@ from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def canon_type(t):
+    """Canonical form for an arrow type: collapses representation-only
+    differences (string vs large_string, timestamp tz spelling) but keeps
+    everything that changes the hashed value domain (decimal vs int,
+    int width, float width)."""
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def type_gate(name, spark_schema, duck_schema):
+    """Returns a list of human-readable type mismatches (empty = pass)."""
+    sp = {f.name: f.type for f in spark_schema}
+    du = {f.name: f.type for f in duck_schema}
+    errs = []
+    for col in sorted(set(sp) & set(du)):
+        cs, cd = canon_type(sp[col]), canon_type(du[col])
+        if cs != cd:
+            hint = ""
+            if pa.types.is_decimal(du[col]) and not pa.types.is_decimal(sp[col]):
+                hint = "  <-- uncast integer aggregate in oracle SQL? add CAST(... AS BIGINT)"
+            errs.append(f"column {col}: spark={sp[col]} duck={du[col]}{hint}")
+    return errs
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -76,16 +127,22 @@ def main():
             # row order relies on Verify's coalesce(1); a multi-file output
             # would silently break the ordered compare — fail loudly instead
             assert len(parts) == 1, f"{name}: expected 1 part file, got {len(parts)}"
+            spark_schema = pq.read_schema(parts[0])
+            duck_tbl = con.execute(sql).fetch_arrow_table()
             spark_df = pd.concat(
                 [pd.read_parquet(f) for f in parts], ignore_index=True)
-            duck_df = con.execute(sql).fetchdf()
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         sc, sr = norm_df(spark_df)
         dc, dr = norm_df(duck_df)
-        if sc != dc:
+        type_errs = type_gate(name, spark_schema, duck_tbl.schema)
+        if type_errs:
+            print(f"FAIL {name}: arrow type mismatch:\n  " + "\n  ".join(type_errs))
+            n_fail += 1
+        elif sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
         elif len(sr) != len(dr):
