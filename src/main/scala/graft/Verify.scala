@@ -25,6 +25,13 @@ object Verify {
       // intermediates (the near-dup family) must not leave corpus-sized
       // cache frames registered for the remaining 50+ queries of the run
     }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(only))
+    spark.stop()
+  }
+
+  /** The oracle map rendered as the JSON file the driver consumes; shared
+    * with the type-sweep spec so both gates serialize identically. */
+  def oracleJson(only: Set[String] = Set.empty): String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,10 +44,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

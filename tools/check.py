@@ -107,7 +107,31 @@ def norm_df(df):
     return list(df.columns), rows
 
 
+def describe_mode(sf_dir, oracle_json):
+    """--describe <sfDir> <oracle_sql.json>: print {name: {col: duckdb_type}}
+    from DESCRIBE (plan-only, nothing executes). Lets the Scala test suite
+    sweep every oracle's output types against the Spark query's analyzed
+    schema without running a single query."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads(Path(oracle_json).read_text())
+    out = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+            out[name] = {r[0]: r[1] for r in rows}
+        except Exception as e:
+            out[name] = {"__error__": str(e)}
+    print(json.dumps(out))
+
+
 def main():
+    if sys.argv[1] == "--describe":
+        describe_mode(sys.argv[2], sys.argv[3])
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
