@@ -58,6 +58,53 @@ object TextOps {
       .select(keep ++ Seq(col("p.term").as("term"), col("p.tf").as("tf")): _*)
   }
 
+  /** Hard bound on fuzzy-dedup block membership. Blocks larger than this
+    * are EXCLUDED from pair generation (visible via
+    * [[fuzzyKeyDroppedBlocks]] — never a silent truncation of a block's
+    * pair list): within-block work is then ≤ FuzzyMaxBlock² Levenshtein
+    * calls per block no matter how hot the prefix. At 100 TB a single
+    * "https://" or "the " prefix otherwise turns one block quadratic in
+    * corpus size. 256 is ~3× the largest organic block at sf0.1 (78). */
+  val FuzzyMaxBlock = 256
+
+  private def fuzzyKeyed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 80).as("key"))
+      .withColumn("blk", substring(col("key"), 1, 8))
+
+  private def fuzzyBlockSizes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fuzzyKeyed(docs).groupBy("lang", "blk").agg(count(lit(1)).as("bn"))
+
+  /** Edit-distance near-duplicate pairs over the 80-char key, blocked on
+    * (lang, 8-char prefix), with oversized blocks excluded (see
+    * [[FuzzyMaxBlock]]). The block-size pass ships only (lang, blk,
+    * count) — map-side combined, O(distinct blocks) — and the semi-join
+    * against small blocks prunes the hot block BEFORE the self-join, so
+    * the quadratic stage never sees it. */
+  def fuzzyKeyPairs(docs: org.apache.spark.sql.DataFrame,
+      maxBlock: Int = FuzzyMaxBlock): org.apache.spark.sql.DataFrame = {
+    val k = fuzzyKeyed(docs)
+    val small = fuzzyBlockSizes(docs).filter(col("bn") <= maxBlock)
+      .select("lang", "blk")
+    val kept = k.join(small, Seq("lang", "blk"), "left_semi")
+    val a = kept.select(col("lang").as("al"), col("blk").as("ab"),
+      col("doc_id").as("doc_a"), col("key").as("ka"))
+    val b = kept.select(col("lang").as("bl"), col("blk").as("bb"),
+      col("doc_id").as("doc_b"), col("key").as("kb"))
+    a.join(b, col("al") === col("bl") && col("ab") === col("bb")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
+      .filter(col("dist") <= 20)
+  }
+
+  /** The blocks [[fuzzyKeyPairs]] refused to pair — the loud half of the
+    * cap. A production run unions this into its run report; the planted
+    * hot-prefix test asserts on it. */
+  def fuzzyKeyDroppedBlocks(docs: org.apache.spark.sql.DataFrame,
+      maxBlock: Int = FuzzyMaxBlock): org.apache.spark.sql.DataFrame =
+    fuzzyBlockSizes(docs).filter(col("bn") > maxBlock)
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
     // keep the smallest doc_id, count copies. The digest (64 bytes) is the
@@ -493,22 +540,11 @@ object TextOps {
     // suffixes — that token sets miss). Prefix blocking is recall-lossy by
     // design (an edit inside the first 8 chars escapes the block) — the
     // documented trade; full-text fuzzy dedup is q_minhash_neardup's job.
-    "q_fuzzy_key_dedup" -> ((s, d) => {
-      val k = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          substring(col("text"), 1, 80).as("key"))
-        .withColumn("blk", substring(col("key"), 1, 8))
-      val a = k.select(col("lang").as("al"), col("blk").as("ab"),
-        col("doc_id").as("doc_a"), col("key").as("ka"))
-      val b = k.select(col("lang").as("bl"), col("blk").as("bb"),
-        col("doc_id").as("doc_b"), col("key").as("kb"))
-      a.join(b, col("al") === col("bl") && col("ab") === col("bb")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
-        .filter(col("dist") <= 20)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Blocks are CAPPED at FuzzyMaxBlock members (see fuzzyKeyPairs): a
+    // web-corpus hot prefix ("https://", "the ") would otherwise make one
+    // block quadratic.
+    "q_fuzzy_key_dedup" -> ((s, d) =>
+      fuzzyKeyPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
 
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
@@ -750,14 +786,19 @@ object TextOps {
          CROSS JOIN tot
          WHERE c_ab >= 20
          ORDER BY w1, w2""",
+    // Block cap mirrors FuzzyMaxBlock: oversized (lang, prefix) blocks
+    // are excluded from pairing on BOTH sides.
     "q_fuzzy_key_dedup" ->
-      """WITH k AS (SELECT doc_id, lang, substring(text, 1, 80) AS key
-                    FROM documents)
+      s"""WITH k AS (SELECT doc_id, lang, substring(text, 1, 80) AS key,
+                      substring(text, 1, 8) AS blk
+                    FROM documents),
+         small AS (SELECT lang, blk FROM k GROUP BY lang, blk
+                   HAVING count(*) <= $FuzzyMaxBlock),
+         kept AS (SELECT k.* FROM k JOIN small USING (lang, blk))
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-         FROM k a JOIN k b
-           ON a.lang = b.lang
-          AND substring(a.key, 1, 8) = substring(b.key, 1, 8)
+         FROM kept a JOIN kept b
+           ON a.lang = b.lang AND a.blk = b.blk
           AND a.doc_id < b.doc_id
          WHERE levenshtein(a.key, b.key) <= 20
          ORDER BY doc_a, doc_b""",

@@ -104,4 +104,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) < 0.0), "log-probabilities must be negative")
     spark.catalog.clearCache()
   }
+
+  test("fuzzy-key dedup: a planted hot prefix is capped, not quadratic") {
+    import spark.implicits._
+    // 10k docs share one 8-char prefix ("https://"): uncapped blocking
+    // would self-join that block into ~50M Levenshtein pairs. The cap
+    // must exclude it BEFORE the join while a small organic block of
+    // near-identical keys still pairs.
+    val hot = (1L to 10000L).map(i => (i, "en", s"https://site-$i.example/path/$i rest of document $i"))
+    val ctrl = Seq(
+      (20001L, "en", "controlA key one two three"),
+      (20002L, "en", "controlA key one two thre"),
+      (20003L, "en", "controlA key one two threX"))
+    val docs = (hot ++ ctrl).toDF("doc_id", "lang", "text")
+    val pairs = graft.operators.TextOps.fuzzyKeyPairs(docs).collect()
+    // only the 3 control docs pair: C(3,2) = 3 pairs, all within distance
+    assert(pairs.length == 3, s"expected 3 control pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) >= 20001L && r.getLong(1) >= 20001L),
+      "hot-block pair leaked through the cap")
+    // the cap is loud: the dropped block is reported, with its true size
+    val dropped = graft.operators.TextOps.fuzzyKeyDroppedBlocks(docs).collect()
+    assert(dropped.length == 1 && dropped.head.getString(1) == "https://"
+      && dropped.head.getLong(2) == 10000L,
+      s"dropped-block report wrong: ${dropped.mkString(", ")}")
+  }
 }
