@@ -160,6 +160,21 @@ object Bench {
     // capture is the stdout one.
     System.err.println(line)
     println(line)
+    // The retained tail is the LAST ~2000 chars: at 97 queries the full
+    // per-query line alone exceeds that, so round 8's artifact lost its
+    // head ("metric","value" — parsed:null). Emit a compact summary as
+    // the FINAL line — total, slowest 10, throughput — so whatever else
+    // is cut, the last complete JSON line in the tail always parses and
+    // always carries the total. The full per-query detail stays in the
+    // earlier line (its tail end usually survives too) and in
+    // target/bench.json.
+    val slowest = results.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, (med, _, _)) => "\"" + k + "\":" + ms(med) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
+    System.err.println(summary)
+    println(summary)
     spark.stop()
   }
 }
