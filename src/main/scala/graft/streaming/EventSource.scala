@@ -47,6 +47,27 @@ class FileEventSource(dir: String) extends EventSource {
   }
 }
 
+/** Wire-protocol source: subscribes to a [[MiniBroker]] (or anything
+  * speaking its SUB/MSG/ACK protocol) over TCP via the DSv2 connector
+  * [[graft.sources.SocketEventsSource]] — the reference's
+  * subscription+Receive+Ack contract (util/util.go:45-70, flood.go:59-85)
+  * running over an actual socket. Epoch commits become cumulative acks,
+  * so an un-committed batch is re-delivered after restart: at-least-once,
+  * like the reference. */
+class SocketEventSource(host: String, port: Int, topic: String,
+    subscription: String, maxRowsPerBatch: Long = 10000L) extends EventSource {
+  override def stream(spark: SparkSession): Dataset[KnobEvent] = {
+    implicit val enc: org.apache.spark.sql.Encoder[KnobEvent] =
+      Encoders.product[KnobEvent]
+    spark.readStream.format("graft.sources.SocketEventsSource")
+      .option("host", host).option("port", port)
+      .option("topic", topic).option("subscription", subscription)
+      .option("maxRowsPerBatch", maxRowsPerBatch)
+      .load()
+      .as[KnobEvent]
+  }
+}
+
 /** Synthetic deterministic load for soak/perf runs: `rate-micro-batch`
   * emits exactly `rowsPerBatch` rows per micro-batch, and value → event is
   * a pure function, so replays are batch-for-batch identical (unlike the
