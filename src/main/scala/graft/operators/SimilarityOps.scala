@@ -374,43 +374,72 @@ object SimilarityOps {
 
   /** The embedding-space members of [[queries]] (split out only so the
     * map literal stays within one screen per family). */
+  /** Sketch-band candidate pairs with exact cosine — shared by
+    * q_embed_neardup (top-50 face) and q_embed_dedup_canonical (the
+    * SemDeDup corpus face). 2 bands of 4 sketch bits: a pair is a
+    * candidate if ≥1 band matches (~12% of random pairs; clustered
+    * neighbors nearly always). The pair-dedup runs on BARE IDS — vectors
+    * are re-attached afterwards, never shuffled through the distinct
+    * (that mistake cost 79 s at sf0.1; this shape runs in ~1 s). Cosine
+    * via the native codegen'd expression — same left-to-right arithmetic
+    * as the HOF form (bit-identical results), one fused loop instead of
+    * three lambda-dispatched array traversals per pair. */
+  private def embedCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val planes = AnnPlanes.planes
+    val e = vecs(s, d)
+    def sketchBit(m: Int): Column = {
+      val plane = array(planes(m).map(lit): _*)
+      when(dot(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+    }
+    val sk = e.select(col("vec_id"), col("v"),
+      (0 until 8).map(sketchBit).reduce(_ + _).as("sketch"))
+    val banded = sk.select(col("vec_id"),
+        explode(sequence(lit(0), lit(1))).as("band"), col("sketch"))
+      .select(col("vec_id"), col("band"),
+        expr("shiftright(sketch, band * 4)").bitwiseAND(15).as("bv"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (round(expr("cosine_sim(va, vb)") * 1000000) / 1000000).as("cos"))
+  }
+
   private def vectorQueries: Map[String, Q] = Map(
     // Embedding-cosine near-dup: top-50 most similar vector pairs among
     // sketch-band candidates. On clustered production embeddings the band
     // join prunes hard; exact cosine runs only within buckets.
-    "q_embed_neardup" -> ((s, d) => {
-      val planes = AnnPlanes.planes
-      val e = vecs(s, d)
-      def sketchBit(m: Int): Column = {
-        val plane = array(planes(m).map(lit): _*)
-        when(dot(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
-      }
-      val sk = e.select(col("vec_id"), col("v"),
-        (0 until 8).map(sketchBit).reduce(_ + _).as("sketch"))
-      // 2 bands of 4 sketch bits: a pair is a candidate if ≥1 band matches
-      // (~12% of random pairs; clustered neighbors nearly always). The
-      // pair-dedup runs on BARE IDS — vectors are re-attached afterwards,
-      // never shuffled through the distinct (that mistake cost 79 s at
-      // sf0.1; this shape runs in ~1 s).
-      val banded = sk.select(col("vec_id"),
-          explode(sequence(lit(0), lit(1))).as("band"), col("sketch"))
-        .select(col("vec_id"), col("band"),
-          expr("shiftright(sketch, band * 4)").bitwiseAND(15).as("bv"))
-      val pairs = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
-      // cosine via the native codegen'd expression — same left-to-right
-      // arithmetic as the HOF form (bit-identical results), one fused loop
-      // instead of three lambda-dispatched array traversals per pair.
-      pairs
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          (round(expr("cosine_sim(va, vb)") * 1000000) / 1000000).as("cos"))
+    "q_embed_neardup" -> ((s, d) =>
+      embedCosinePairs(s, d)
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
-        .limit(50)
+        .limit(50)),
+
+    // Semantic dedup, the SemDeDup shape (Abbas et al. 2023,
+    // arXiv:2303.09540: embed → bucket → intra-bucket cosine → keep one
+    // per semantic-duplicate group). Buckets here are the hyperplane
+    // sketch bands (the same sub-quadratic candidate structure the paper
+    // gets from k-means cells), the duplicate relation is cosine ≥ τ on
+    // candidates only, groups close transitively via the O(log n)
+    // large/small-star components, and the canonical corpus keeps each
+    // group's minimum vec_id — an anti-join against the (broadcastable)
+    // dropped-member set. Every stage is a proven scale shape from the
+    // text-dedup family, re-keyed to embedding space. τ = 0.35 sits ~3σ
+    // above the random-vector cosine spread of the fixture, so the pairs
+    // are genuinely clustered, not noise.
+    "q_embed_dedup_canonical" -> ((s, d) => {
+      val dropped = GraphOps.connectedComponents(
+          embedCosinePairs(s, d).filter(col("cos") >= 0.35)
+            .select("vec_a", "vec_b"))
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("vec_id"))
+      vecs(s, d)
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
     }),
 
     // IVF ANN: k-means-lite coarse quantizer (8 cells, 2 Lloyd's
@@ -680,6 +709,36 @@ object SimilarityOps {
         s"THEN ${1 << m} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Sketch-band candidate pairs + exact cosine as a reusable CTE chain
+    * ending in `epairs(vec_a, vec_b, cos)` — the oracle twin of
+    * [[embedCosinePairs]], shared by q_embed_neardup and
+    * q_embed_dedup_canonical. Band 0 = sketch % 16, band 1 = sketch // 16.
+    */
+  private def embedPairCtes: String =
+    s"""sk AS (
+           SELECT vec_id, embedding, $sketchSql AS sketch FROM embeddings
+         ),
+         cpairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS va, b.embedding AS vb
+           FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+             AND ((a.sketch % 16 = b.sketch % 16)
+               OR (a.sketch // 16 = b.sketch // 16))
+         ),
+         epairs AS (
+           SELECT vec_a, vec_b,
+             round(dot / (na * nb) * 1000000) / 1000000 AS cos
+           FROM (
+             SELECT vec_a, vec_b,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> va[i]::DOUBLE * vb[i]::DOUBLE)) AS dot,
+               sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> va[i]::DOUBLE * va[i]::DOUBLE))) AS na,
+               sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> vb[i]::DOUBLE * vb[i]::DOUBLE))) AS nb
+             FROM cpairs)
+         )"""
+
   val oracleSql: Map[String, String] = Map(
     // Same arithmetic, same order: per-element double products summed left
     // to right, then the scaled-integer round (see Num.round2 rationale).
@@ -805,29 +864,30 @@ object SimilarityOps {
          ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // Sketch-band candidates (≥1 of 2 four-bit bands agrees), exact cosine
-    // on candidate pairs only — band 0 = sketch % 16, band 1 = sketch // 16.
+    // on candidate pairs only.
     "q_embed_neardup" ->
-      s"""WITH sk AS (
-           SELECT vec_id, embedding, $sketchSql AS sketch FROM embeddings
+      s"""WITH $embedPairCtes
+         SELECT vec_a, vec_b, cos FROM epairs
+         ORDER BY cos DESC, vec_a, vec_b LIMIT 50""",
+
+    // Same candidate pairs, thresholded, closed transitively (the
+    // q_neardup_groups recursion re-keyed to vectors), canonical = every
+    // vector except non-minimum group members.
+    "q_embed_dedup_canonical" ->
+      s"""WITH RECURSIVE $embedPairCtes,
+         e AS (SELECT vec_a AS a, vec_b AS b FROM epairs WHERE cos >= 0.35
+               UNION ALL
+               SELECT vec_b, vec_a FROM epairs WHERE cos >= 0.35),
+         reach(src, dst) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
          ),
-         pairs AS (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             a.embedding AS va, b.embedding AS vb
-           FROM sk a JOIN sk b ON a.vec_id < b.vec_id
-             AND ((a.sketch % 16 = b.sketch % 16)
-               OR (a.sketch // 16 = b.sketch // 16))
-         )
-         SELECT vec_a, vec_b, round(dot / (na * nb) * 1000000) / 1000000 AS cos
-         FROM (
-           SELECT vec_a, vec_b,
-             list_sum(list_transform(generate_series(1, 64),
-               i -> va[i]::DOUBLE * vb[i]::DOUBLE)) AS dot,
-             sqrt(list_sum(list_transform(generate_series(1, 64),
-               i -> va[i]::DOUBLE * va[i]::DOUBLE))) AS na,
-             sqrt(list_sum(list_transform(generate_series(1, 64),
-               i -> vb[i]::DOUBLE * vb[i]::DOUBLE))) AS nb
-           FROM pairs)
-         ORDER BY cos DESC, vec_a, vec_b LIMIT 50"""
+         grp AS (SELECT src AS vec_id, min(dst) AS group_id
+                 FROM reach GROUP BY src)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM grp WHERE vec_id <> group_id)
+         ORDER BY vec_id"""
   )
 }
 

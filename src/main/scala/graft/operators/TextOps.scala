@@ -105,6 +105,32 @@ object TextOps {
       maxBlock: Int = FuzzyMaxBlock): org.apache.spark.sql.DataFrame =
     fuzzyBlockSizes(docs).filter(col("bn") > maxBlock)
 
+  /** Per-document duplicated-span fraction (q_substring_dedup's core):
+    * the share of each doc's `k`-word windows that occur verbatim in at
+    * least one OTHER document. Input needs (doc_id, text). */
+  def substringDupStats(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val gated = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = gated.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+        i => sha2(array_join(slice(col("w"), i, lit(k)), " "), 256))).as("gh"))
+    val perDoc = grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val shared = perDoc.groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val dup = perDoc.join(shared, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(sum("cnt").as("dup_grams"))
+    gated
+      .select(col("doc_id"), (size(col("w")) - (k - 1)).cast("long").as("n_grams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double")
+          / col("n_grams").cast("double") * 10000) / 10000)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
     // keep the smallest doc_id, count copies. The digest (64 bytes) is the
@@ -546,6 +572,22 @@ object TextOps {
     "q_fuzzy_key_dedup" -> ((s, d) =>
       fuzzyKeyPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
 
+    // Substring-level dedup signal (the Lee et al. 2022, arXiv:2107.06499
+    // shape: training corpora carry long VERBATIM spans repeated across
+    // documents, which exact-doc and near-doc dedup both miss): for each
+    // document, the fraction of its 20-word windows that also occur
+    // verbatim in ANOTHER document. Their suffix array is a single-node
+    // structure; the Spark-shaped equivalent is a rolling-window digest
+    // inventory — every window hashed IN-ROW (one HOF, no UDF), then one
+    // (doc, digest)-distinct shuffle and a digest-keyed semi-join back.
+    // Shuffle volume is O(windows) digests, never text. At 100 TB the
+    // digest would be a 128-bit binary hash; sha256 hex here keeps the
+    // DuckDB oracle bit-exact (the q_doc_fingerprint precedent).
+    // Within-doc repeats do NOT count (q_repetition's job): a window is
+    // duplicated iff its digest appears in >= 2 DISTINCT docs.
+    "q_substring_dedup" -> ((s, d) =>
+      substringDupStats(Tables.documents(s, d)).orderBy("doc_id")),
+
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
@@ -802,6 +844,27 @@ object TextOps {
           AND a.doc_id < b.doc_id
          WHERE levenshtein(a.key, b.key) <= 20
          ORDER BY doc_a, doc_b""",
+    // Same 20-word windows (DuckDB list[a:b] is 1-based inclusive ==
+    // Spark slice(w, i, 20) — the q_chunk_overlap correspondence), same
+    // cross-doc-distinct duplication rule.
+    "q_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 20),
+         x AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, len(ws) - 19)) AS i FROM w),
+         g AS (SELECT doc_id,
+                 sha256(array_to_string(ws[i : i + 19], ' ')) AS gh FROM x),
+         pd AS (SELECT doc_id, gh, count(*) AS cnt FROM g GROUP BY 1, 2),
+         sh AS (SELECT gh FROM pd GROUP BY gh HAVING count(*) >= 2),
+         dup AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dup_grams
+                 FROM pd JOIN sh USING (gh) GROUP BY 1)
+         SELECT w.doc_id AS doc_id, CAST(len(ws) - 19 AS BIGINT) AS n_grams,
+                COALESCE(dup.dup_grams, 0) AS dup_grams,
+                round(COALESCE(dup.dup_grams, 0)::DOUBLE
+                  / (len(ws) - 19)::DOUBLE * 10000) / 10000 AS dup_frac
+         FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
+         ORDER BY w.doc_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,

@@ -105,6 +105,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("substring dedup: only windows inside a cross-doc shared span count") {
+    import spark.implicits._
+    // docs A and B share a verbatim 25-word span with different
+    // surroundings; doc C is unrelated. Exactly the 25-20+1 = 6 windows
+    // fully inside the span are duplicated; windows crossing the span
+    // edge differ between A and B and must NOT count.
+    val span = (1 to 25).map(i => s"shared$i").mkString(" ")
+    val a = s"alpha1 alpha2 alpha3 $span omega1 omega2"
+    val b = s"beta1 beta2 $span gamma1 gamma2 gamma3 gamma4"
+    val c = (1 to 40).map(i => s"unique$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val stats = graft.operators.TextOps.substringDupStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // A: 3+25+2 = 30 words -> 11 windows; B: 2+25+4 = 31 -> 12; C: 40 -> 21
+    assert(stats(1L) == ((11L, 6L)), s"doc A wrong: ${stats(1L)}")
+    assert(stats(2L) == ((12L, 6L)), s"doc B wrong: ${stats(2L)}")
+    assert(stats(3L) == ((21L, 0L)), s"doc C wrong: ${stats(3L)}")
+    // within-doc repetition alone is NOT substring duplication: a 20-word
+    // phrase repeated twice gives windows 1 and 21 the SAME digest (cnt=2
+    // in one doc), but only one distinct doc carries it
+    val rep = (1 to 2).flatMap(_ => (1 to 20).map(i => s"loop$i")).mkString(" ")
+    val solo = Seq((9L, rep)).toDF("doc_id", "text")
+    val soloStats = graft.operators.TextOps.substringDupStats(solo).collect()
+    assert(soloStats.head.getLong(2) == 0L,
+      "within-doc repeats must not count as cross-doc duplication")
+  }
+
   test("fuzzy-key dedup: a planted hot prefix is capped, not quadratic") {
     import spark.implicits._
     // 10k docs share one 8-char prefix ("https://"): uncapped blocking
