@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleGenerator, TopKBy}
+import graft.functions.{CosineSimilarity, DotProduct, FreqCandidates, ShingleGenerator, TopKBy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `dot_product(a, b)` — codegen'd dot product ([[DotProduct]])
   *  - `shingles(text, n)` — word n-gram UDTF ([[ShingleGenerator]])
   *  - `top_k_by(payload, ord, k)` — bounded-heap top-k aggregate ([[TopKBy]])
+  *  - `freq_candidates(item, capacity)` — Misra–Gries frequent-items
+  *    sketch ([[FreqCandidates]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -34,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
       (children: Seq[Expression]) =>
         TopKBy(children(0), children(1), children(2))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_candidates"),
+      new ExpressionInfo(classOf[FreqCandidates].getName, "freq_candidates"),
+      (children: Seq[Expression]) =>
+        FreqCandidates(children(0), children(1))
         .toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("shingles"),

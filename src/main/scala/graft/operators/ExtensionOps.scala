@@ -63,6 +63,34 @@ object ExtensionOps {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Exact heavy hitters (words above 1% of the corpus) in the 2-pass
+    // sketch-then-verify shape: pass 1 folds the corpus into a
+    // Misra–Gries sketch (freq_candidates, O(capacity) state per
+    // partition, merged map-side) whose membership is GUARANTEED to
+    // contain every item with frequency > N/(cap+1); pass 2 exact-counts
+    // ONLY the ≤100 candidates (broadcast semi-join filters map-side) and
+    // applies the integer threshold cnt*100 > N. The full-vocabulary
+    // groupBy never happens — at 100 TB that is the difference between
+    // shuffling ~10⁹ distinct tokens and shuffling 100. Output is exact
+    // and deterministic even though the sketch's extra (non-heavy)
+    // members vary with partition order — the verify pass is what the
+    // oracle hashes.
+    "q_heavy_hitters" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val tot = words.agg(count(lit(1)).as("n"))
+      val cand = words.agg(expr("freq_candidates(word, 100)").as("cs"))
+        .select(explode(col("cs")).as("c"))
+        .select(col("c.item").as("word"))
+      words.join(broadcast(cand), Seq("word"), "left_semi")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 100 > col("n"))
+        .select(col("word"), col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     // Scalar UDF surface: heuristic language-ID over documents. Oracle:
     // the same bigram-profile scoring re-expressed as DuckDB list lambdas,
     // GENERATED from LangId.profiles so the two cannot drift.
@@ -85,6 +113,17 @@ object ExtensionOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_similarity_topk_expr" -> SimilarityOps.oracleSql("q_similarity_topk"),
+    // The sketch is a pruning pass only; the final exact counts + integer
+    // threshold are what the oracle can (and does) state directly.
+    "q_heavy_hitters" ->
+      """WITH x AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM x
+               WHERE length(word) > 0 GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+         SELECT word, cnt FROM c, t
+         WHERE cnt * 100 > n
+         ORDER BY cnt DESC, word""",
     // The window form is the semantic spec the bounded-heap aggregate
     // must reproduce exactly (same cents order, same orderkey tie-break).
     "q_topk_agg" ->

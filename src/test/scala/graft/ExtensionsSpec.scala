@@ -240,6 +240,64 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("freq_candidates keeps every item above the N/(cap+1) guarantee") {
+    import spark.implicits._
+    // planted zipf-ish stream: item i appears 1000/i times (i = 1..50)
+    // plus 5000 singletons; cap 20 ⇒ every item with freq > N/21 MUST
+    // survive any partitioning. Shuffle the rows and spread them over
+    // many partitions so the merge path is genuinely exercised.
+    val rows = scala.util.Random.shuffle(
+      (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"hot$i")) ++
+        (1 to 5000).map(i => s"one$i"))
+    val df = rows.toDF("w").repartition(17)
+    val n = rows.length
+    val kept = df.agg(org.apache.spark.sql.functions
+        .expr("freq_candidates(w, 20)").as("cs"))
+      .select(org.apache.spark.sql.functions.explode($"cs").as("c"))
+      .select($"c.item").collect().map(_.getString(0)).toSet
+    assert(kept.size <= 20, s"sketch exceeded capacity: ${kept.size}")
+    val exact = rows.groupBy(identity).view.mapValues(_.size)
+    val mustKeep = exact.collect {
+      case (w, c) if c.toLong * 21 > n => w
+    }.toSet
+    assert(mustKeep.nonEmpty && mustKeep.subsetOf(kept),
+      s"guarantee violated: missing ${mustKeep -- kept}")
+  }
+
+  test("q_heavy_hitters equals the exact full-vocabulary answer") {
+    val got = SparkEntry.queries("q_heavy_hitters")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    val words = Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.length($"w") > 0)
+      .as[String].collect()
+    val n = words.length
+    val expect = words.groupBy(identity).view.mapValues(_.size)
+      .collect { case (w, c) if c.toLong * 100 > n => (w, c.toLong) }
+      .toArray.sortBy { case (w, c) => (-c, w) }
+    assert(got.sameElements(expect),
+      s"2-pass result diverged from exact: got ${got.take(3).mkString(",")}")
+  }
+
+  test("freq_candidates rejects wrong types and non-literal cap at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("g", "s")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(org.apache.spark.sql.functions.expr("freq_candidates(g, 3)"))
+        .collect()
+    }
+    assert(e1.getMessage.contains("STRING"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(org.apache.spark.sql.functions.expr("freq_candidates(s, g)"))
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("lang-id detects the dominant language of real sentences") {
     assert(LangId.detect("the quick brown fox jumps over the lazy dog near the riverbank") == "en")
     assert(LangId.detect("der schnelle braune fuchs springt und die hunde schlafen unter dem baum") == "de")
