@@ -67,25 +67,26 @@ object ExtensionOps {
     // sketch-then-verify shape: pass 1 folds the corpus into a
     // Misra–Gries sketch (freq_candidates, O(capacity) state per
     // partition, merged map-side) whose membership is GUARANTEED to
-    // contain every item with frequency > N/(cap+1); pass 2 exact-counts
-    // ONLY the ≤100 candidates (broadcast semi-join filters map-side) and
-    // applies the integer threshold cnt*100 > N. The full-vocabulary
-    // groupBy never happens — at 100 TB that is the difference between
-    // shuffling ~10⁹ distinct tokens and shuffling 100. Output is exact
-    // and deterministic even though the sketch's extra (non-heavy)
-    // members vary with partition order — the verify pass is what the
-    // oracle hashes.
+    // contain every item with frequency > N/(cap+1), computing the total
+    // N in the SAME aggregate so the corpus is scanned exactly twice —
+    // the minimum for exact answers; pass 2 exact-counts ONLY the ≤100
+    // candidates (broadcast inner join filters map-side, N rides along
+    // on the broadcast rows) and applies the integer threshold
+    // cnt*100 > N. The full-vocabulary groupBy never happens — at 100 TB
+    // that is the difference between shuffling ~10⁹ distinct tokens and
+    // shuffling 100. Output is exact and deterministic even though the
+    // sketch's extra (non-heavy) members vary with partition order — the
+    // verify pass is what the oracle hashes.
     "q_heavy_hitters" -> ((s, d) => {
       val words = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
-      val tot = words.agg(count(lit(1)).as("n"))
-      val cand = words.agg(expr("freq_candidates(word, 100)").as("cs"))
-        .select(explode(col("cs")).as("c"))
-        .select(col("c.item").as("word"))
-      words.join(broadcast(cand), Seq("word"), "left_semi")
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tot))
+      val cand = words
+        .agg(expr("freq_candidates(word, 100)").as("cs"), count(lit(1)).as("n"))
+        .select(explode(col("cs")).as("c"), col("n"))
+        .select(col("c.item").as("word"), col("n"))
+      words.join(broadcast(cand), Seq("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
         .filter(col("cnt") * 100 > col("n"))
         .select(col("word"), col("cnt"))
         .orderBy(col("cnt").desc, col("word"))

@@ -242,6 +242,26 @@ class ScalePatternsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("heavy hitters scans the corpus exactly twice and never shuffles the vocabulary") {
+    // q_heavy_hitters' claim is structural: pass 1 folds words into the
+    // Misra–Gries sketch AND the total count in ONE map-side
+    // ObjectHashAggregate (so no third scan for N), pass 2 exact-counts
+    // only the broadcast candidates. At 100 TB the difference is
+    // shuffling ~10⁹ distinct tokens vs ≤100 — assert the fused partial
+    // sketch, the broadcast build of the candidate side, and the
+    // two-scan bound so a regression (e.g. a separate count(*) branch or
+    // a non-broadcast join) cannot silently reintroduce a corpus pass.
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_freqcandidates") && plan.contains("partial_count"),
+      s"sketch and total count are not fused into one partial aggregate:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"candidate side is not broadcast:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected exactly 2 corpus scans, got $scans:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("salted join returns exactly the unsalted result on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one hot key — the classic straggler shape
