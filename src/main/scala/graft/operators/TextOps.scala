@@ -250,6 +250,30 @@ object TextOps {
         col("doc_id"))
     }),
 
+    // Epoch-weighted upsampling — the other half of corpus mixing:
+    // q_sample_stratified hard-downsamples the dominant language; training
+    // mixtures also REPLICATE scarce domains (epoch weights > 1, the
+    // LLaMA/Pile recipe). Each doc is replicated epochs(lang) times via an
+    // in-row explode(sequence(...)) — map-only, no shuffle, no
+    // driver-side state, so it scales as a pure scan at any corpus size —
+    // and every copy gets a deterministic interleave key from the same
+    // multiplicative hash family as the sampler, so the emitted training
+    // order MIXES the epochs instead of clustering the replicas and is
+    // reproducible across runs and engines. The final global sort is the
+    // only exchange in the plan.
+    "q_mixture_upsample" -> ((s, d) => {
+      val epochs = when(col("lang") === "en", 1L)
+        .when(col("lang").isin("de", "es", "fr"), 2L)
+        .otherwise(4L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("epoch", explode(sequence(lit(1L), epochs)))
+        .withColumn("mix_key",
+          pmod((col("doc_id") * lit(1000L) + col("epoch")) * lit(2654435761L),
+            lit(1000000L)))
+        .orderBy(col("mix_key"), col("doc_id"), col("epoch"))
+    }),
+
     // Token-budget selection: rank by quality, keep the prefix that fits a
     // token budget — "fill the training mix greedily". The global cumsum
     // is a distributed two-pass prefix sum: range-partition by the total
@@ -892,6 +916,21 @@ object TextOps {
                      WHEN 'de' THEN 800 WHEN 'es' THEN 800 WHEN 'fr' THEN 800
                      ELSE 1000 END
          ORDER BY doc_id""",
+    // unnest over the scalar-list generate_series is DuckDB's spelling of
+    // the in-row sequence explode (the table-function form can't take a
+    // correlated bound); the interleave key is pure BIGINT arithmetic on
+    // both engines.
+    "q_mixture_upsample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  unnest(generate_series(1, CASE WHEN lang = 'en' THEN 1
+                                  WHEN lang IN ('de','es','fr') THEN 2
+                                  ELSE 4 END)) AS epoch
+           FROM documents)
+         SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch,
+                ((doc_id * 1000 + epoch) * 2654435761) % 1000000 AS mix_key
+         FROM r
+         ORDER BY mix_key, doc_id, epoch""",
     // The monotone cumsum means "cum <= budget" is a prefix of the quality
     // order; DuckDB's single window is the semantic spec the distributed
     // two-pass prefix sum must reproduce exactly.

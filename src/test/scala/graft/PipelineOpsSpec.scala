@@ -132,6 +132,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       "within-doc repeats must not count as cross-doc duplication")
   }
 
+  test("mixture upsample: replica counts follow the epoch weights, keys deterministic") {
+    val out = run("q_mixture_upsample")
+      .select("doc_id", "lang", "epoch", "mix_key").collect()
+    // every (doc_id, epoch) appears exactly once and epochs are 1..f(lang)
+    val perDoc = out.groupBy(_.getLong(0))
+    val factor = Map("en" -> 1L, "de" -> 2L, "es" -> 2L, "fr" -> 2L)
+    perDoc.foreach { case (id, rows) =>
+      val f = factor.getOrElse(rows.head.getString(1), 4L)
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to f),
+        s"doc $id: epochs ${rows.map(_.getLong(2)).toSeq} for factor $f")
+    }
+    // totals reconcile with the per-lang weights against the raw table
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = docs.map { case (l, n) => n * factor.getOrElse(l, 4L) }.sum
+    assert(out.length.toLong == expect, s"${out.length} rows, expected $expect")
+    // the interleave key is a pure function of (doc_id, epoch) — rerunning
+    // must produce the identical training order
+    val again = run("q_mixture_upsample")
+      .select("doc_id", "lang", "epoch", "mix_key").collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)),
+      "mixture order is not reproducible across runs")
+  }
+
   test("fuzzy-key dedup: a planted hot prefix is capped, not quadratic") {
     import spark.implicits._
     // 10k docs share one 8-char prefix ("https://"): uncapped blocking
