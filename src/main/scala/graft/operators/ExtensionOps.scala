@@ -92,6 +92,26 @@ object ExtensionOps {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    // Deterministic per-domain uniform sample — "show me k docs from every
+    // domain" at corpus scale. Ranking by a multiplicative hash of doc_id
+    // is a uniform draw that is reproducible across runs/engines (same
+    // hash family as q_sample_stratified), and top_k_by keeps it O(k)
+    // state per group with map-side partials — no per-group sort, no
+    // window over the whole corpus, immune to a hot domain (the same
+    // reason q_topk_agg uses it). ord is the NEGATED hash because
+    // top_k_by keeps largest-ord with payload-ascending tiebreak.
+    "q_sample_per_group" -> ((s, d) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), (-h).as("neg_h"))
+        .groupBy("lang")
+        .agg(expr("top_k_by(doc_id, neg_h, 5)").as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.payload").as("doc_id"))
+        .orderBy("lang", "rn")
+    }),
+
     // Scalar UDF surface: heuristic language-ID over documents. Oracle:
     // the same bigram-profile scoring re-expressed as DuckDB list lambdas,
     // GENERATED from LangId.profiles so the two cannot drift.
@@ -125,6 +145,17 @@ object ExtensionOps {
          SELECT word, cnt FROM c, t
          WHERE cnt * 100 > n
          ORDER BY cnt DESC, word""",
+    // hash-ascending row_number is the window spelling of the negated-ord
+    // bounded heap; ties break payload-ascending on both engines.
+    "q_sample_per_group" ->
+      """SELECT lang, rn, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC)
+               AS rn
+           FROM documents)
+         WHERE rn <= 5
+         ORDER BY lang, rn""",
     // The window form is the semantic spec the bounded-heap aggregate
     // must reproduce exactly (same cents order, same orderkey tie-break).
     "q_topk_agg" ->

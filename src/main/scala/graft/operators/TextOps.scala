@@ -265,13 +265,13 @@ object TextOps {
       val epochs = when(col("lang") === "en", 1L)
         .when(col("lang").isin("de", "es", "fr"), 2L)
         .otherwise(4L)
-      Tables.documents(s, d)
+      Tables.orderedOnce(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
         .withColumn("epoch", explode(sequence(lit(1L), epochs)))
         .withColumn("mix_key",
           pmod((col("doc_id") * lit(1000L) + col("epoch")) * lit(2654435761L),
-            lit(1000000L)))
-        .orderBy(col("mix_key"), col("doc_id"), col("epoch"))
+            lit(1000000L))),
+        col("mix_key"), col("doc_id"), col("epoch"))
     }),
 
     // Token-budget selection: rank by quality, keep the prefix that fits a
