@@ -146,6 +146,29 @@ object StreamOps {
       .as[(Timestamp, Long, Long)]
   }
 
+  /** Streaming trending keys: the `freq_candidates` Misra–Gries sketch
+    * running over tumbling event-time windows — "what's hot right now"
+    * with O(cap) aggregation state per window regardless of key
+    * cardinality, the streaming face of q_heavy_hitters. The sketch's
+    * mergeable-summaries merge rule is exactly what Spark's partial →
+    * state-store → final aggregation path needs: membership stays a
+    * guaranteed superset of every key above windowMass/(cap+1) across
+    * batches, and counts are lower bounds. Exact counts, when needed,
+    * are a batch verify pass over the emitted candidates (precisely
+    * q_heavy_hitters' second pass). Requires [[graft.GraftExtensions]]
+    * on the session (registers the function).
+    */
+  def trendingKeys(
+      events: Dataset[KnobEvent],
+      window: String = "10 seconds",
+      watermark: String = "30 seconds",
+      cap: Int = 8): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(expr(s"freq_candidates(CAST(id AS STRING), $cap)").as("candidates"))
+      .select(col("window.start").as("w_start"), col("candidates"))
+
   /** Streaming dedup within the watermark horizon — the upgrade over the
     * reference's double-count-on-redelivery (SURVEY.md §0.2). Key is the
     * full logical identity of a message.

@@ -65,6 +65,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingKeys surfaces dominant keys per window and merges sketch state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.trendingKeys(input.toDS(), "10 seconds", cap = 4).writeStream
+      .format("memory").queryName("trend_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // window [100,110): key 7 has 6 of 10 events > 10/(cap+1)=2 — the
+      // sketch MUST keep it, and ranked first
+      input.addData(
+        (1 to 6).map(i => KnobEvent(7, 1, ts(100 + i % 9))) ++
+          (1 to 3).map(i => KnobEvent(8, 1, ts(101 + i % 9))) ++
+          Seq(KnobEvent(99, 1, ts(103))): _*)
+      q.processAllAvailable()
+      val first = spark.table("trend_sink").collect()
+      assert(first.length == 1)
+      val cands = first.head.getSeq[org.apache.spark.sql.Row](1)
+      assert(cands.length <= 4, s"sketch exceeded cap: $cands")
+      assert(cands.head.getString(0) == "7", s"dominant key not first: $cands")
+      // a later batch lands in the SAME window: the stored sketch state
+      // must merge, not reset — key 8 overtakes 7 (9 vs 6) in the update
+      input.addData((1 to 6).map(i => KnobEvent(8, 1, ts(102 + i % 7))): _*)
+      q.processAllAvailable()
+      val updated = spark.table("trend_sink").collect()
+        .filter(_.getTimestamp(0).getTime / 1000 == 100)
+        .map(_.getSeq[org.apache.spark.sql.Row](1))
+      assert(updated.exists(cs =>
+        cs.nonEmpty && cs.head.getString(0) == "8" && cs.head.getLong(1) >= 7L),
+        s"cross-batch merge lost counts: ${updated.toSeq}")
+    } finally q.stop()
+  }
+
   test("dedup drops exact duplicate deliveries within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
