@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * vocabulary, so the full-vocabulary groupBy that q_heavy_hitters exists
   * to avoid is cheap there — the sketch's advantage only shows when the
   * vocabulary is web-scale. This main builds a corpus shaped like real
-  * text: ~60 words/doc where each position is one of 50 hot words with
+  * text: ~60 words/doc where each position is one of TEN hot words with
   * probability ~1/5 and otherwise a corpus-unique token, i.e. ~48 distinct
   * tokens per doc and ~`0.8 * 60 * nDocs` distinct tokens overall (9.6M at
-  * the 200k default). It then times
+  * the 200k default). (Ten, not fifty: the hot index below is pmod(h, 50)
+  * CONDITIONED on pmod(h, 5) == 0, so only the ten multiples of 5 occur —
+  * each hot word carries ~2% of the corpus, deliberately above the 1%
+  * heavy-hitter threshold. Hashing the index independently would spread
+  * the 20% hot mass over 50 words at 0.4% each and the probe would have
+  * nothing to find.) It then times
   *
   *  - `naive`: the textbook plan — groupBy over the full vocabulary, then
   *    the 1% threshold. Shuffles every distinct token.
@@ -32,8 +37,10 @@ object HeavyProbe {
 
     val dir = s"/tmp/graft_heavy_$nDocs"
     val wordsPerDoc = 60
-    // position j of doc i: hot word h<0..49> when xxhash64 lands in the
-    // 1-in-5 band, else the unique token u<doc>_<pos> (never repeats)
+    // position j of doc i: hot word h<0,5,..,45> (ten values — pmod(h,50)
+    // restricted to the pmod(h,5)==0 band, see scaladoc) when xxhash64
+    // lands in the 1-in-5 band, else the unique token u<doc>_<pos>
+    // (never repeats)
     val pos = (j: Int) => {
       val h = xxhash64(concat(col("id"), lit(s"_$j")))
       when(pmod(h, lit(5)) === 0, concat(lit("h"), pmod(h, lit(50))))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.functions.{lit, pmod, round}
 
 /** Cross-engine-deterministic numeric helpers.
   *
@@ -21,4 +21,23 @@ object Num {
   /** Round to 2 decimals, deterministically across Spark and DuckDB.
     * Oracle-side equivalent: `round(x * 100) / 100`. */
   def round2(c: Column): Column = round(c * 100) / 100
+
+  /** The deterministic multiplicative-hash family used by the sampling /
+    * capping / mixing queries (Knuth's 2654435761 = ⌊2³² / φ⌋), made
+    * OVERFLOW-SAFE: the id is reduced mod 2³¹ BEFORE the multiply, so the
+    * product is at most (2³¹−1)·2654435761 ≈ 5.7×10¹⁸ < 2⁶³−1 on every
+    * engine. Without the reduction the two oracle engines diverge exactly
+    * when the corpus gets big (id ≳ 2⁶³/2654435761 ≈ 3.47×10⁹): Spark
+    * under ANSI (the 4.x default) RAISES on int64 overflow, non-ANSI
+    * wraps silently, and DuckDB promotes to HUGEINT or raises — three
+    * different answers for one query. For ids < 2³¹ the reduction is the
+    * identity, so fixture-scale results are bit-identical to the unreduced
+    * form. Oracle-side spelling: `((id % 2147483648) * 2654435761) % m`.
+    *
+    * The mod-2³¹ fold truncates to the LOW 31 bits, which for sequential
+    * ids (the corpus case) keeps the draw equidistributed; ids whose
+    * entropy lives above bit 31 should be pre-mixed (xxhash64) instead.
+    */
+  def mulHash(id: Column, m: Long): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(m))
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Tables.Q
-import graft.functions.LangId
+import graft.functions.{LangId, Num}
 import org.apache.spark.sql.functions._
 
 /** Queries exercising the engine's custom extension surface: the native
@@ -100,8 +100,10 @@ object ExtensionOps {
     // window over the whole corpus, immune to a hot domain (the same
     // reason q_topk_agg uses it). ord is the NEGATED hash because
     // top_k_by keeps largest-ord with payload-ascending tiebreak.
+    // Num.mulHash reduces doc_id mod 2^31 before the multiply so the
+    // product cannot overflow int64 at any corpus size (see Num scaladoc).
     "q_sample_per_group" -> ((s, d) => {
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val h = Num.mulHash(col("doc_id"), 4294967296L)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), (-h).as("neg_h"))
         .groupBy("lang")
@@ -151,7 +153,8 @@ object ExtensionOps {
       """SELECT lang, rn, doc_id FROM (
            SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC)
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296
+                 ASC, doc_id ASC)
                AS rn
            FROM documents)
          WHERE rn <= 5

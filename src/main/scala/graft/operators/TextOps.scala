@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Tables.Q
+import graft.functions.Num
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -245,7 +246,7 @@ object TextOps {
         .when(col("lang").isin("de", "es", "fr"), 800)
         .otherwise(1000)
       Tables.orderedOnce(Tables.documents(s, d)
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < keepPermille)
+        .filter(Num.mulHash(col("doc_id"), 1000) < keepPermille)
         .select(col("doc_id"), col("lang"), col("source")),
         col("doc_id"))
     }),
@@ -268,8 +269,14 @@ object TextOps {
       Tables.orderedOnce(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
         .withColumn("epoch", explode(sequence(lit(1L), epochs)))
+        // Composite key (doc_id, epoch) folded overflow-safely: doc_id is
+        // reduced mod 2147483 so key = id*1000+epoch stays < 2^31 and the
+        // 2654435761 product < 2^63 on both engines (the Num.mulHash
+        // bound, restated for the composite input). Identity for fixture-
+        // scale ids, so results are unchanged below 2.1M docs.
         .withColumn("mix_key",
-          pmod((col("doc_id") * lit(1000L) + col("epoch")) * lit(2654435761L),
+          pmod((pmod(col("doc_id"), lit(2147483L)) * lit(1000L)
+              + col("epoch")) * lit(2654435761L),
             lit(1000000L))),
         col("mix_key"), col("doc_id"), col("epoch"))
     }),
@@ -639,8 +646,7 @@ object TextOps {
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       val capWin = Window.partitionBy("lang", "source")
-        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
-          col("doc_id"))
+        .orderBy(Num.mulHash(col("doc_id"), 1000000007L), col("doc_id"))
       gated.join(keep, Seq("doc_id"), "left_semi")
         .withColumn("rk", row_number().over(capWin)).filter(col("rk") <= 10)
         .groupBy("lang")
@@ -725,8 +731,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val cap = 5
       val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
-          col("doc_id"))
+        .orderBy(Num.mulHash(col("doc_id"), 1000000007L), col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
@@ -769,7 +774,7 @@ object TextOps {
          capped AS (
            SELECT * FROM (
              SELECT *, row_number() OVER (PARTITION BY lang, source
-               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 1000000007, doc_id) AS rk
              FROM ded)
            WHERE rk <= 10)
          SELECT lang, count(*) AS n_docs,
@@ -817,7 +822,7 @@ object TextOps {
       """SELECT doc_id, lang, source, rk FROM (
            SELECT doc_id, lang, source,
              row_number() OVER (PARTITION BY lang, source
-               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 1000000007, doc_id) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, source, rk""",
     "q_dedup_exact" ->
@@ -911,7 +916,7 @@ object TextOps {
          ORDER BY doc_id"""),
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (doc_id * 2654435761) % 1000 <
+         WHERE ((doc_id % 2147483648) * 2654435761) % 1000 <
            CASE lang WHEN 'en' THEN 300
                      WHEN 'de' THEN 800 WHEN 'es' THEN 800 WHEN 'fr' THEN 800
                      ELSE 1000 END
@@ -928,7 +933,7 @@ object TextOps {
                                   ELSE 4 END)) AS epoch
            FROM documents)
          SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch,
-                ((doc_id * 1000 + epoch) * 2654435761) % 1000000 AS mix_key
+                (((doc_id % 2147483) * 1000 + epoch) * 2654435761) % 1000000 AS mix_key
          FROM r
          ORDER BY mix_key, doc_id, epoch""",
     // The monotone cumsum means "cum <= budget" is a prefix of the quality
