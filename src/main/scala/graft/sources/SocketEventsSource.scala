@@ -1,13 +1,12 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedReader, IOException, InputStreamReader, PrintWriter}
 import java.net.Socket
 import java.nio.charset.StandardCharsets
 import java.util
 import java.util.Base64
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
-
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -19,31 +18,51 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Wire-protocol streaming connector: a DataSource V2 micro-batch source
-  * that subscribes to a [[graft.streaming.MiniBroker]] over TCP and turns
-  * its push stream into Spark micro-batches — the engine twin of the
-  * reference's broker subscription (reference util/util.go:45-70
-  * `GetOrCreateSubscription`, flood.go:59-85 `Receive` callback +
-  * `m.Ack()`). Where the reference acks each message inside its callback,
-  * a Spark source acks at epoch COMMIT — the broker's cumulative-ack verb
-  * maps exactly onto `MicroBatchStream.commit(end)`, giving at-least-once
-  * across restarts: an epoch that fails before commit is never acked, so
-  * the broker re-delivers it (with the SAME topic-stable seqs, so the
-  * replayed batch is deterministic and the client dedups by seq).
+  * that reads a [[graft.streaming.MiniBroker]] topic over TCP — the
+  * engine twin of the reference's broker subscription (reference
+  * util/util.go:45-70 `GetOrCreateSubscription`, flood.go:59-85 `Receive`
+  * callback + `m.Ack()`), in the EXECUTOR-PARALLEL shape the reference
+  * deploys (deploy:75-76 runs flood×8/mapper×8, each process pulling its
+  * own slice of the topic):
+  *
+  *  - The DRIVER holds one CONTROL connection used only for metadata:
+  *    `STAT` answers (latest seq, cumulative ack) for admission control
+  *    and the initial offset, `ACK` commits an epoch. No data row ever
+  *    flows through it — the round-9 driver-side receive loop is gone.
+  *  - Each micro-batch plans `numPartitions` input partitions; partition
+  *    i's READER — on whatever executor hosts the task — pulls its slice
+  *    with `FETCH topic i numPartitions start end` over a pooled,
+  *    executor-local connection (the Kafka consumer-cache shape, one
+  *    lease per (broker, topic, shard) per executor JVM, reused across
+  *    micro-batches).
+  *  - Sharding is `seq % numPartitions`, derived from the offset range:
+  *    partitions are disjoint by construction, their union is exactly
+  *    (start, end], and a replayed epoch re-fetches byte-identical
+  *    slices — determinism the push design had to buy with client-side
+  *    seq dedup.
+  *
+  * Offsets are the topic's global seq (one Long), checkpointed by Spark;
+  * `commit(end)` sends the cumulative ACK, which is also what lets the
+  * broker TRIM retention below the laggiest subscription. At-least-once
+  * across restarts holds structurally: the broker retains everything
+  * above the last committed ack, and every fetch range replays from the
+  * checkpoint exactly.
+  *
+  * Failure behavior (round-9 ADVICE: the old receiver thread died
+  * silently and the query stalled forever): a dead broker now fails
+  * loudly — the control client reconnects once and then lets the error
+  * propagate out of latestOffset; a broken fetch lease is evicted,
+  * reconnected once (FETCH is idempotent over the retained log), and
+  * otherwise fails the task for Spark to retry.
   *
   * Payload: base64-wrapped JSON `{"id":..,"n":..,"ts_us":..}` (the
   * reference's KnobsMessage shape, util/util.go:17-20, with the float
   * epoch upgraded to integer micros). Malformed payloads are counted and
-  * skipped — the reference's log-and-continue containment (knobs.go:85-90).
+  * skipped — the reference's log-and-continue containment
+  * (knobs.go:85-90).
   *
-  * Scale honesty: the receive loop runs on the DRIVER and micro-batch
-  * slices ship inside InputPartitions — the same shape as Spark's own
-  * socket source, right for a wire-protocol demonstrator and bounded by
-  * admission control (`maxRowsPerBatch` ReadLimit), but a production
-  * broker connector gives each EXECUTOR its own partition lease the way
-  * the Kafka source does. The protocol already supports that (N clients,
-  * N subscriptions); the single-socket client is the sandbox-sized face.
-  *
-  * Options: `host`, `port`, `topic`, `subscription`, `maxRowsPerBatch`.
+  * Options: `host`, `port`, `topic`, `subscription`, `maxRowsPerBatch`,
+  * `numPartitions`.
   */
 class SocketEventsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -55,7 +74,8 @@ class SocketEventsSource extends TableProvider {
       properties.get("port").toInt,
       properties.getOrDefault("topic", "events"),
       properties.getOrDefault("subscription", "spark"),
-      properties.getOrDefault("maxRowsPerBatch", "10000").toLong)
+      properties.getOrDefault("maxRowsPerBatch", "10000").toLong,
+      properties.getOrDefault("numPartitions", "4").toInt)
 }
 
 object SocketEventsSource {
@@ -65,14 +85,25 @@ object SocketEventsSource {
     StructField("ts", TimestampType, nullable = false)))
 
   /** Malformed-payload count per subscription — the loud half of the
-    * log-and-continue containment. */
-  val malformed = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+    * log-and-continue containment. Executor-local state: exact in local
+    * mode (the test harness); on a real cluster each executor counts its
+    * own partitions' rejects, which is the per-worker log counter shape
+    * the reference has (knobs.go:85-90) — a global number would ride a
+    * custom DSv2 metric instead. */
+  val malformed = new ConcurrentHashMap[String, AtomicLong]()
   def malformedCount(subscription: String): Long =
     Option(malformed.get(subscription)).map(_.get()).getOrElse(0L)
 
+  /** Thread names that executed a FETCH-backed partition read — the
+    * partition-local-read proof the connector spec asserts on (in local
+    * mode every entry must be an executor task-launch worker, never a
+    * driver receiver thread; there is no driver receiver thread left to
+    * record). */
+  val readerThreads: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
+
   /** Strict 3-field extraction; None on anything missing/non-integer.
-    * Hand-rolled scan, not a regex: the receiver parses every message on
-    * one thread, and Match allocation was the top cost in the soak (the
+    * Hand-rolled scan, not a regex: every partition reader parses its
+    * whole slice, and Match allocation was the top cost in the soak (the
     * scan is ~6× faster; field order stays free). */
   def parse(json: String): Option[(Long, Long, Long)] = {
     def field(name: String): Option[Long] = {
@@ -96,86 +127,137 @@ object SocketEventsSource {
   }
 }
 
+/** One line-framed request/response connection to the broker. Not
+  * thread-safe — callers own synchronization (the pool locks per lease;
+  * the control path locks the stream). */
+private[sources] final class BrokerClient(host: String, port: Int) {
+  private val sock = new Socket(host, port)
+  private val out = new PrintWriter(sock.getOutputStream, false)
+  private val in = new BufferedReader(
+    new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+
+  def send(line: String): Unit = {
+    out.println(line)
+    out.flush()
+    if (out.checkError()) throw new IOException(s"broker write failed: $line")
+  }
+
+  /** Next line; IOException on EOF so callers' reconnect paths fire. */
+  def readLine(): String = {
+    val l = in.readLine()
+    if (l == null) throw new IOException("broker connection closed")
+    l
+  }
+
+  def close(): Unit = try sock.close() catch { case _: Throwable => () }
+}
+
+/** Executor-local fetch-lease cache: one connection per (broker, topic,
+  * shard) per JVM, reused across micro-batches (the Kafka consumer-cache
+  * shape — re-dialing per batch would put a TCP handshake on every epoch
+  * of every partition). Borrow/release, not scoped callbacks: the reader
+  * STREAMS rows off the lease while the engine consumes them, so the
+  * lease is held across the whole partition read and returned clean
+  * (EOF seen) or evicted (mid-stream abandon/failure — the connection
+  * would still carry unread MSG lines and poison the next FETCH).
+  */
+private[sources] object SocketFetchPool {
+  private val pool = new ConcurrentHashMap[String, BrokerClient]()
+
+  /** Exclusive borrow: the pooled lease if idle, else a fresh dial. */
+  def borrow(host: String, port: Int, lease: String): (String, BrokerClient) = {
+    val key = s"$host:$port/$lease"
+    val existing = pool.remove(key)
+    (key, if (existing != null) existing else new BrokerClient(host, port))
+  }
+
+  /** Return a CLEAN lease (response fully drained). If a concurrent
+    * borrower re-dialed the same key meanwhile, keep one and close the
+    * other. */
+  def release(key: String, c: BrokerClient): Unit =
+    if (pool.putIfAbsent(key, c) != null) c.close()
+
+  /** Close leases against one broker endpoint (driver stop() housekeeping
+    * in local mode; a real cluster relies on fail-and-evict the way the
+    * Kafka consumer cache handles stale members). */
+  def closeMatching(host: String, port: Int): Unit = {
+    val prefix = s"$host:$port/"
+    pool.keySet().forEach { k =>
+      if (k.startsWith(prefix)) {
+        val c = pool.remove(k)
+        if (c != null) c.close()
+      }
+    }
+  }
+}
+
 private class SocketEventsTable(host: String, port: Int, topicName: String,
-    subName: String, maxRows: Long) extends Table with SupportsRead {
+    subName: String, maxRows: Long, nParts: Int) extends Table with SupportsRead {
   override def name(): String = s"socket_events($topicName/$subName)"
   override def schema(): StructType = SocketEventsSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new SocketScan(host, port, topicName, subName, maxRows)
+    () => new SocketScan(host, port, topicName, subName, maxRows, nParts)
 }
 
 private case class SeqOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-/** A micro-batch slice: rows travel WITH the partition (driver-received
-  * wire source; see the scale-honesty note on [[SocketEventsSource]]).
-  * Columns are PRIMITIVE long arrays, not tuples: the slice is java-
-  * serialized driver→executor every batch, and boxed tuples serialize
-  * object-by-object (~30 s for a 500 k-row batch in the soak) where
-  * primitive arrays are a block copy (the same batch in ~1 s). */
-private case class SocketSlice(ids: Array[Long], ns: Array[Long],
-    ts: Array[Long]) extends InputPartition
-
 private class SocketScan(host: String, port: Int, topicName: String,
-    subName: String, maxRows: Long) extends Scan {
+    subName: String, maxRows: Long, nParts: Int) extends Scan {
   override def readSchema(): StructType = SocketEventsSource.schema
   override def description(): String =
-    s"socket_events $topicName/$subName@$host:$port"
+    s"socket_events $topicName/$subName@$host:$port x$nParts"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SocketMicroBatchStream(host, port, topicName, subName, maxRows)
+    new SocketMicroBatchStream(host, port, topicName, subName, maxRows, nParts)
 }
 
+/** One planned shard of one micro-batch: a (range, shard) DESCRIPTOR —
+  * ~6 fields, no rows. The reader fetches the actual data from the broker
+  * on the executor (contrast: the round-9 design shipped the rows inside
+  * the partition from a driver-side buffer). */
+private case class SocketFetchPartition(host: String, port: Int,
+    topic: String, sub: String, shard: Int, nShards: Int,
+    after: Long, upTo: Long) extends InputPartition
+
 private class SocketMicroBatchStream(host: String, port: Int,
-    topicName: String, subName: String, maxRows: Long)
+    topicName: String, subName: String, maxRows: Long, nParts: Int)
   extends MicroBatchStream with SupportsAdmissionControl {
 
-  // (seq, (id, n, tsMicros)) in seq order; covers (ackedPrefix, highWater]
-  private val buf = new ArrayBuffer[(Long, (Long, Long, Long))]()
-  @volatile private var highWater = 0L
-  @volatile private var stopped = false
+  // Control connection (driver): STAT + ACK, metadata only. Guarded by
+  // this stream's monitor; reconnects once, then fails the query loudly —
+  // never a silent stall (round-9 ADVICE).
+  private var control: BrokerClient = _
+  @volatile private var lastLatest = 0L
 
-  private val sock = new Socket(host, port)
-  private val out = new PrintWriter(sock.getOutputStream, false)
-  private val in = new BufferedReader(
-    new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+  private def withControl[T](f: BrokerClient => T): T = synchronized {
+    if (control == null) control = new BrokerClient(host, port)
+    try f(control)
+    catch {
+      case _: IOException =>
+        control.close()
+        control = new BrokerClient(host, port)
+        f(control)
+    }
+  }
 
-  out.println(s"SUB $topicName $subName"); out.flush()
+  /** `STAT` → (latest topic seq, subscription's cumulative ack). */
+  private def stat(): (Long, Long) = withControl { c =>
+    c.send(s"STAT $topicName $subName")
+    val resp = c.readLine()
+    val parts = resp.trim.split("\\s+")
+    if (parts.length != 3 || parts(0) != "SEQ")
+      throw new IOException(s"unexpected STAT response: $resp")
+    (parts(1).toLong, parts(2).toLong)
+  }
 
-  private val receiver = new Thread(() => {
-    try {
-      var line = in.readLine()
-      while (!stopped && line != null) {
-        val parts = line.trim.split("\\s+")
-        if (parts.length == 3 && parts(0) == "MSG") {
-          val seq = parts(1).toLong
-          val payload = new String(Base64.getDecoder.decode(parts(2)),
-            StandardCharsets.UTF_8)
-          SocketEventsSource.parse(payload) match {
-            case Some(row) => buf.synchronized {
-              // seqs are topic-stable: drop anything already buffered or
-              // already surfaced (re-delivery after reconnect)
-              if (seq > highWater) { buf += ((seq, row)); highWater = seq }
-            }
-            case None =>
-              SocketEventsSource.malformed
-                .computeIfAbsent(subName, _ => new AtomicLong())
-                .incrementAndGet()
-              // a malformed message still advances the seq domain, or the
-              // batch range (start, end] preceding it could never fill
-              buf.synchronized { if (seq > highWater) highWater = seq }
-          }
-        }
-        line = in.readLine()
-      }
-    } catch { case _: java.io.IOException => () /* socket closed */ }
-  }, s"socket-events-receiver-$subName")
-  receiver.setDaemon(true)
-  receiver.start()
-
-  override def initialOffset(): Offset = SeqOffset(0L)
+  /** A brand-new query run starts after the subscription's cumulative
+    * ack — the broker, not the client, remembers (re-delivery of the
+    * unacked suffix; a checkpointed restart uses its own offsets and
+    * never calls this). */
+  override def initialOffset(): Offset = SeqOffset(stat()._2)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRows)
 
@@ -184,61 +266,137 @@ private class SocketMicroBatchStream(host: String, port: Int,
       "admission-control latestOffset(start, limit) is used")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].v
+    val (latest, _) = stat()
+    lastLatest = latest
     val cap = limit match {
       case rl: streaming.ReadMaxRows => rl.maxRows()
       case _                         => maxRows
     }
-    SeqOffset(math.max(s, math.min(highWater, s + cap)))
+    SeqOffset(math.max(s, math.min(latest, s + cap)))
   }
-  override def reportLatestOffset(): Offset = SeqOffset(highWater)
+  override def reportLatestOffset(): Offset = SeqOffset(lastLatest)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].v
     val e = end.asInstanceOf[SeqOffset].v
-    // restart replay: the checkpointed end may outrun what the reconnect
-    // has re-delivered so far — wait for the broker to catch us up
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (highWater < e && System.nanoTime() < deadline && !stopped)
-      Thread.sleep(10)
-    require(highWater >= e,
-      s"broker did not re-deliver up to seq $e (highWater=$highWater)")
-    val rows = buf.synchronized {
-      buf.view.filter { case (seq, _) => seq > s && seq <= e }
-        .map(_._2).toArray
-    }
-    if (rows.isEmpty) Array.empty
-    else {
-      val nSlices = math.min(16, math.max(1, rows.length / 4096))
-      val per = (rows.length + nSlices - 1) / nSlices
-      rows.grouped(per).map { g =>
-        SocketSlice(g.map(_._1), g.map(_._2), g.map(_._3)): InputPartition
-      }.toArray
-    }
+    if (e <= s) Array.empty
+    else (0 until nParts).map { i =>
+      SocketFetchPartition(host, port, topicName, subName, i, nParts, s, e)
+        : InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (p: InputPartition) => new PartitionReader[InternalRow] {
-      private val s = p.asInstanceOf[SocketSlice]
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < s.ids.length }
-      override def get(): InternalRow = InternalRow(s.ids(i), s.ns(i), s.ts(i))
-      override def close(): Unit = ()
-    }
+    new SocketFetchReaderFactory
 
   /** Epoch commit → cumulative ACK: the broker forgets responsibility for
-    * everything ≤ end, and the client drops its buffered prefix. This is
-    * the one place acking is SAFE — the reference's m.Ack() moment. */
+    * everything ≤ end and may trim retention up to the laggiest
+    * subscription. This is the one place acking is SAFE — the
+    * reference's m.Ack() moment. */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[SeqOffset].v
-    out.synchronized { out.println(s"ACK $subName $e"); out.flush() }
-    buf.synchronized {
-      val keep = buf.filter(_._1 > e)
-      buf.clear(); buf ++= keep
-    }
+    withControl(_.send(s"ACK $topicName $subName $e"))
   }
 
   override def stop(): Unit = {
-    stopped = true
-    try sock.close() catch { case _: Throwable => () }
+    synchronized { if (control != null) control.close() }
+    // local-mode housekeeping: executors share this JVM, so the fetch
+    // leases against this broker can be torn down here (cluster mode
+    // relies on fail-and-evict, see SocketFetchPool)
+    SocketFetchPool.closeMatching(host, port)
+  }
+}
+
+private class SocketFetchReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SocketFetchReader(p.asInstanceOf[SocketFetchPartition])
+}
+
+/** Executor-side shard reader: STREAMS the shard's slice of the epoch off
+  * the FETCH lease — each next() parses the next MSG line, so network
+  * read, base64+JSON decode, and engine consumption overlap instead of
+  * double-buffering the slice (measured ~2× on the 1-lease soak).
+  * Failure contract: a stale pooled lease is re-dialed once, but only
+  * while ZERO lines have been consumed (the FETCH replays from scratch);
+  * after rows start flowing a connection loss fails the TASK, and
+  * Spark's task retry replays the idempotent FETCH — deterministic
+  * ranges make the replay byte-identical, so at-least-once holds without
+  * client-side dedup. */
+private class SocketFetchReader(p: SocketFetchPartition)
+  extends PartitionReader[InternalRow] {
+
+  private var leaseKey: String = _
+  private var client: BrokerClient = _
+  private var started = false
+  private var sawAnyLine = false
+  private var sawEof = false
+  private var cur: InternalRow = _
+
+  private def fetchLine: String =
+    s"FETCH ${p.topic} ${p.shard} ${p.nShards} ${p.after} ${p.upTo}"
+
+  private def ensureStarted(): Unit = if (!started) {
+    started = true
+    SocketEventsSource.readerThreads.add(Thread.currentThread().getName)
+    val (k, c) = SocketFetchPool.borrow(p.host, p.port,
+      s"${p.topic}#${p.shard}/${p.nShards}")
+    leaseKey = k
+    client = c
+    try client.send(fetchLine)
+    catch { case _: IOException => redial() }
+  }
+
+  /** Replace a dead lease with a fresh dial and replay the FETCH — legal
+    * only before any line of the response was consumed. */
+  private def redial(): Unit = {
+    client.close()
+    client = new BrokerClient(p.host, p.port)
+    client.send(fetchLine)
+  }
+
+  override def next(): Boolean = {
+    ensureStarted()
+    while (!sawEof) {
+      val line =
+        try client.readLine()
+        catch {
+          case e: IOException =>
+            if (sawAnyLine) throw e // mid-stream: fail the task, replay
+            redial()
+            client.readLine()
+        }
+      sawAnyLine = true
+      if (line.startsWith("EOF")) {
+        sawEof = true
+      } else {
+        val parts = line.trim.split("\\s+")
+        if (parts.length == 3 && parts(0) == "MSG") {
+          val payload = new String(Base64.getDecoder.decode(parts(2)),
+            StandardCharsets.UTF_8)
+          SocketEventsSource.parse(payload) match {
+            case Some((id, n, tsUs)) =>
+              cur = InternalRow(id, n, tsUs)
+              return true
+            case None =>
+              SocketEventsSource.malformed
+                .computeIfAbsent(p.sub, _ => new AtomicLong())
+                .incrementAndGet()
+          }
+        } else if (parts(0) == "ERR") {
+          // a broker-side refusal (trimmed range, timeout) is not a
+          // transient socket fault: fail the task without any retry,
+          // Spark surfaces it
+          throw new IllegalStateException(s"broker refused fetch: $line")
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur
+
+  override def close(): Unit = if (started) {
+    if (sawEof) SocketFetchPool.release(leaseKey, client)
+    else client.close() // dirty lease: unread lines would poison reuse
   }
 }

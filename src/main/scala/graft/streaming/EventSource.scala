@@ -47,15 +47,19 @@ class FileEventSource(dir: String) extends EventSource {
   }
 }
 
-/** Wire-protocol source: subscribes to a [[MiniBroker]] (or anything
-  * speaking its SUB/MSG/ACK protocol) over TCP via the DSv2 connector
+/** Wire-protocol source: reads a [[MiniBroker]] topic (or anything
+  * speaking its STAT/FETCH/ACK protocol) over TCP via the DSv2 connector
   * [[graft.sources.SocketEventsSource]] — the reference's
   * subscription+Receive+Ack contract (util/util.go:45-70, flood.go:59-85)
-  * running over an actual socket. Epoch commits become cumulative acks,
-  * so an un-committed batch is re-delivered after restart: at-least-once,
+  * running over actual sockets, executor-parallel: `numPartitions`
+  * shard leases pull disjoint `seq % n` slices per micro-batch, the way
+  * the reference scales its ingest horizontally (deploy:75-76,
+  * flood×8/mapper×8). Epoch commits become cumulative acks, so an
+  * un-committed batch is re-delivered after restart: at-least-once,
   * like the reference. */
 class SocketEventSource(host: String, port: Int, topic: String,
-    subscription: String, maxRowsPerBatch: Long = 10000L) extends EventSource {
+    subscription: String, maxRowsPerBatch: Long = 10000L,
+    numPartitions: Int = 4) extends EventSource {
   override def stream(spark: SparkSession): Dataset[KnobEvent] = {
     implicit val enc: org.apache.spark.sql.Encoder[KnobEvent] =
       Encoders.product[KnobEvent]
@@ -63,6 +67,7 @@ class SocketEventSource(host: String, port: Int, topic: String,
       .option("host", host).option("port", port)
       .option("topic", topic).option("subscription", subscription)
       .option("maxRowsPerBatch", maxRowsPerBatch)
+      .option("numPartitions", numPartitions)
       .load()
       .as[KnobEvent]
   }

@@ -7,6 +7,7 @@ import java.util.Base64
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** In-process message broker speaking a line-based wire protocol — the
@@ -15,45 +16,89 @@ import scala.collection.mutable.ArrayBuffer
   * `GetOrCreateSubscription`; flood.go:59-85 `Receive` + `m.Ack()`).
   * Nothing here is Spark-specific: it is the *other end of the wire* that
   * [[graft.sources.SocketEventsSource]] connects to, so the connector's
-  * protocol handling (framing, re-delivery, cumulative ack) is exercised
-  * over a real TCP socket rather than an in-JVM queue.
+  * protocol handling (framing, re-delivery, cumulative ack, partition
+  * leases) is exercised over a real TCP socket rather than an in-JVM
+  * queue.
   *
   * Protocol (UTF-8 lines):
-  *  - client → `SUB <topic> <subscription>` — get-or-create both (the
-  *    util.go:45-70 chain), then the broker pushes every retained message
-  *    with seq > the subscription's cumulative ack, followed by live
-  *    messages as they arrive. Push-with-ack is exactly the reference's
-  *    Receive-callback contract.
+  *  - client → `SUB <topic> <subscription> [<shard> <numShards>]` —
+  *    get-or-create both (the util.go:45-70 chain), then the broker pushes
+  *    every retained message with seq > the subscription's cumulative ack,
+  *    followed by live messages as they arrive. With the optional shard
+  *    pair, only seqs with `seq % numShards == shard` are pushed — the
+  *    broker-side partition lease (the Kafka-partition shape) that lets N
+  *    consumers split one topic with no client-side filtering and no
+  *    duplicated wire bytes. One push stream per connection: a second SUB
+  *    on the same connection answers `ERR already-subscribed` instead of
+  *    spawning a second pusher interleaving duplicate MSG streams into one
+  *    writer (round-9 ADVICE).
   *  - broker → `MSG <seq> <base64-payload>` — seqs are topic-stable and
-  *    1-based, so re-delivery after a reconnect carries the SAME seq: the
-  *    consumer can dedup client-side while the broker stays simple.
-  *  - client → `ACK <subscription> <seq>` — CUMULATIVE: everything ≤ seq
-  *    is done. The reference acks per message inside the callback; a
-  *    batch consumer acks once per committed epoch — same at-least-once
-  *    contract, coarser grain.
+  *    1-based, so re-delivery after a reconnect carries the SAME seq.
+  *  - client → `ACK <topic> <subscription> <seq>` — CUMULATIVE: everything
+  *    ≤ seq is done. (The 3-token legacy form `ACK <subscription> <seq>`
+  *    resolves the topic through this connection's own SUBs.) An ACK may
+  *    TRIM: the broker drops retained messages below the minimum
+  *    cumulative ack across the topic's subscriptions — bounded retention
+  *    (the round-9 gap), with re-delivery still honoring every unacked
+  *    seq because the trim never passes the laggiest ack.
   *  - client → `PUB <topic> <base64-payload>` — publish over the wire
   *    (tests may also use [[publish]] in-process).
+  *  - client → `STAT <topic> <subscription>` — get-or-create, then
+  *    `SEQ <latestSeq> <ackedSeq>`: the metadata poll a driver uses for
+  *    admission control without any data flowing through it.
+  *  - client → `FETCH <topic> <shard> <numShards> <after> <upTo>` — pull
+  *    the retained shard slice `after < seq ≤ upTo, seq % numShards ==
+  *    shard` as MSG lines terminated by `EOF <upTo>`. This is the
+  *    replayable range read an executor-side partition reader issues
+  *    (Kafka's Fetch): deterministic for a fixed range, so a replayed
+  *    epoch re-reads byte-identical slices. Requesting below the trim
+  *    point answers `ERR fetch trimmed-below <base>` — loud, never
+  *    silently partial.
   *
-  * Retention is unbounded for the broker's lifetime (test-scale); a
-  * production broker trims below min-ack across subscriptions — the
-  * protocol already carries everything needed for that.
+  * Retention: messages ≤ min-ack across a topic's subscriptions are
+  * dropped on ack (see above); a subscription created AFTER a trim starts
+  * at the trim point (it cannot be delivered what no longer exists). The
+  * retained backlog (unacked suffix) must fit an ArrayBuffer — 2³¹
+  * messages; the trim is what keeps a long-lived topic under that bound,
+  * and [[push]] asserts it instead of mis-slicing (round-9 ADVICE on
+  * `cursor.toInt`).
   */
 class MiniBroker {
   private final class Topic {
     val seq = new AtomicLong(0L)
+    // log(i) holds seq `base + 1 + i`; `base` rises as the retention trim
+    // drops acked prefixes. Guarded by the buffer's monitor; appends
+    // notifyAll so pushers/fetchers waiting on new data wake up.
     val log = new ArrayBuffer[(Long, String)]() // (seq, base64 payload)
+    var base = 0L
   }
-  private final class Sub(val topic: String) {
-    val acked = new AtomicLong(0L)
+  private final class Sub(val topic: String, start: Long) {
+    val acked = new AtomicLong(start)
   }
 
   private val topics = new ConcurrentHashMap[String, Topic]()
+  // Keyed "topic/subscription" — a name-only key let a SUB reusing a name
+  // on a different topic silently share the original's topic and ack
+  // state (round-9 ADVICE).
   private val subs = new ConcurrentHashMap[String, Sub]()
   private val running = new AtomicBoolean(false)
   @volatile private var server: ServerSocket = _
+  private val conns = ConcurrentHashMap.newKeySet[Socket]()
+  // rows served via FETCH, keyed "topic#shard" — the partition-local-read
+  // accounting the connector spec asserts on (proof the data path is the
+  // executors' FETCH leases, not a driver stream).
+  private val fetchRows = new ConcurrentHashMap[String, AtomicLong]()
 
   private def topic(name: String): Topic =
     topics.computeIfAbsent(name, _ => new Topic)
+
+  private def sub(topicName: String, subName: String): Sub = {
+    val t = topic(topicName)
+    subs.computeIfAbsent(s"$topicName/$subName", _ =>
+      // created after a trim ⇒ starts at the trim point: the dropped
+      // prefix cannot be re-delivered to anyone
+      new Sub(topicName, t.log.synchronized(t.base)))
+  }
 
   /** In-process publish (what a test harness uses). Returns the seq. */
   def publish(topicName: String, payload: String): Long = {
@@ -69,8 +114,31 @@ class MiniBroker {
   }
 
   /** Cumulative ack position of a subscription (0 if none). */
-  def ackedSeq(subscription: String): Long =
-    Option(subs.get(subscription)).map(_.acked.get()).getOrElse(0L)
+  def ackedSeq(topicName: String, subscription: String): Long =
+    Option(subs.get(s"$topicName/$subscription"))
+      .map(_.acked.get()).getOrElse(0L)
+
+  /** Retained (un-trimmed) message count of a topic. */
+  def retainedCount(topicName: String): Int =
+    Option(topics.get(topicName))
+      .map(t => t.log.synchronized(t.log.length)).getOrElse(0)
+
+  /** Everything ≤ this seq has been trimmed from the topic's log. */
+  def trimmedBelow(topicName: String): Long =
+    Option(topics.get(topicName))
+      .map(t => t.log.synchronized(t.base)).getOrElse(0L)
+
+  /** Rows served through FETCH for one shard of a topic. */
+  def fetchedRows(topicName: String, shard: Int): Long =
+    Option(fetchRows.get(s"$topicName#$shard")).map(_.get()).getOrElse(0L)
+
+  /** Chaos hook: close every live connection (clients keep their state;
+    * the log and acks survive). Reconnect behavior is the client's
+    * contract — the soak/spec scenarios drive it through this. */
+  def dropAllConnections(): Unit = {
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+    conns.clear()
+  }
 
   def start(): Int = {
     server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -93,35 +161,81 @@ class MiniBroker {
   def stop(): Unit = {
     running.set(false)
     if (server != null) server.close()
+    dropAllConnections()
+  }
+
+  private def ackAndTrim(topicName: String, subName: String, v: Long): Unit = {
+    sub(topicName, subName).acked.updateAndGet(prev => math.max(prev, v))
+    maybeTrim(topicName)
+  }
+
+  /** Drop retained messages at or below the minimum cumulative ack across
+    * the topic's subscriptions. No subscriptions ⇒ no trim (a pre-flood
+    * before the first subscriber stays retained, durable-log style). */
+  private def maybeTrim(topicName: String): Unit = {
+    val t = topic(topicName)
+    var minAck = Long.MaxValue
+    subs.forEach { (_, s) =>
+      if (s.topic == topicName) minAck = math.min(minAck, s.acked.get())
+    }
+    if (minAck == Long.MaxValue) return
+    t.log.synchronized {
+      // an over-ack (client acking past the published seq) clamps to the
+      // log: cumulative-ack semantics, nothing breaks downstream because
+      // push/FETCH cursors all start at >= the acked position anyway
+      val drop = math.min(minAck - t.base, t.log.length.toLong)
+      if (drop > 0) {
+        t.log.remove(0, drop.toInt)
+        t.base += drop
+      }
+    }
   }
 
   /** One connection: a blocking reader thread for verbs; the first SUB
-    * spawns a dedicated push thread that owns the output stream (the
-    * reference's Receive is also a push loop — flood.go:59). Separate
-    * threads avoid the partial-line loss a read-timeout poll risks.
+    * spawns a dedicated push thread. STAT/FETCH/ERR responses go through
+    * `out`'s monitor so they never interleave mid-line with a pusher
+    * (a connection mixing SUB with FETCH/STAT is legal but its client
+    * must then demultiplex MSG streams — ours never mix them).
     */
   private def handle(sock: Socket): Unit = {
+    conns.add(sock)
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, false)
     val closed = new AtomicBoolean(false)
+    val pusherStarted = new AtomicBoolean(false)
+    val localSubs = mutable.Map.empty[String, String] // sub name → topic
     try {
       var line = in.readLine()
       while (running.get() && line != null) {
         val parts = line.trim.split("\\s+")
         parts(0) match {
-          case "SUB" if parts.length == 3 =>
-            topic(parts(1)) // get-or-create topic first (util.go chain)
-            val sub = subs.computeIfAbsent(parts(2), _ => new Sub(parts(1)))
-            val pusher = new Thread(() => push(sub, out, closed),
-              "mini-broker-push")
-            pusher.setDaemon(true)
-            pusher.start()
-          case "ACK" if parts.length == 3 =>
-            Option(subs.get(parts(1))).foreach { s =>
-              val v = parts(2).toLong
-              s.acked.updateAndGet(prev => math.max(prev, v))
+          case "SUB" if parts.length == 3 || parts.length == 5 =>
+            val (shard, nShards) =
+              if (parts.length == 5) (parts(3).toInt, parts(4).toInt)
+              else (0, 1)
+            val s0 = sub(parts(1), parts(2))
+            localSubs(parts(2)) = parts(1)
+            if (pusherStarted.getAndSet(true)) {
+              // one pusher per connection: a second would share this
+              // PrintWriter and interleave a duplicate MSG stream
+              out.synchronized {
+                out.println("ERR already-subscribed"); out.flush()
+              }
+            } else {
+              val pusher = new Thread(
+                () => push(s0, shard, nShards, out, closed),
+                "mini-broker-push")
+              pusher.setDaemon(true)
+              pusher.start()
             }
+          case "ACK" if parts.length == 4 =>
+            ackAndTrim(parts(1), parts(2), parts(3).toLong)
+          case "ACK" if parts.length == 3 =>
+            // legacy name-only ack: topic resolved through this
+            // connection's own SUBs — never a cross-topic guess
+            localSubs.get(parts(1))
+              .foreach(t => ackAndTrim(t, parts(1), parts(2).toLong))
           case "PUB" if parts.length == 3 =>
             val t = topic(parts(1))
             t.log.synchronized {
@@ -129,6 +243,15 @@ class MiniBroker {
               t.log += ((s, parts(2)))
               t.log.notifyAll()
             }
+          case "STAT" if parts.length == 3 =>
+            val latest = topic(parts(1)).seq.get()
+            val acked = sub(parts(1), parts(2)).acked.get()
+            out.synchronized {
+              out.println(s"SEQ $latest $acked"); out.flush()
+            }
+          case "FETCH" if parts.length == 6 =>
+            fetch(parts(1), parts(2).toInt, parts(3).toInt,
+              parts(4).toLong, parts(5).toLong, out)
           case _ => () // blank keep-alive or unknown verb: ignore
         }
         line = in.readLine()
@@ -137,29 +260,80 @@ class MiniBroker {
       case _: SocketException => () // peer reset
     } finally {
       closed.set(true)
+      conns.remove(sock)
       try sock.close() catch { case _: Throwable => () }
     }
   }
 
-  /** Push loop: stream every retained message with seq > the sub's ack
-    * (re-delivery), then live messages as they land. Owns `out`. */
-  private def push(sub: Sub, out: PrintWriter,
+  /** Range pull of one shard: waits (bounded) for the range to exist,
+    * copies the slice under the log's monitor, writes outside it. */
+  private def fetch(topicName: String, shard: Int, nShards: Int,
+      after: Long, upTo: Long, out: PrintWriter): Unit = {
+    val t = topic(topicName)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val slice: Either[String, Array[(Long, String)]] = t.log.synchronized {
+      while (t.seq.get() < upTo && System.nanoTime() < deadline &&
+          running.get())
+        t.log.wait(50)
+      if (t.seq.get() < upTo)
+        Left(s"not-available upTo=$upTo latest=${t.seq.get()}")
+      else if (after < t.base)
+        // the requested start was trimmed: serving a silently partial
+        // range would break at-least-once — fail loudly instead
+        Left(s"trimmed-below ${t.base}")
+      else
+        Right(t.log.view
+          .slice((after - t.base).toInt, (upTo - t.base).toInt)
+          .filter { case (s, _) => s % nShards == shard }
+          .toArray)
+    }
+    slice match {
+      case Left(err) =>
+        out.synchronized { out.println(s"ERR fetch $err"); out.flush() }
+      case Right(msgs) =>
+        out.synchronized {
+          msgs.foreach { case (s, b64) => out.println(s"MSG $s $b64") }
+          out.println(s"EOF $upTo")
+          out.flush()
+        }
+        fetchRows.computeIfAbsent(s"$topicName#$shard",
+          _ => new AtomicLong()).addAndGet(msgs.length.toLong)
+    }
+  }
+
+  /** Push loop: stream every retained message of the sub's shard with
+    * seq > the sub's ack (re-delivery), then live messages as they land.
+    * Writes under `out`'s monitor (STAT/ERR lines may share the writer).
+    */
+  private def push(sub: Sub, shard: Int, nShards: Int, out: PrintWriter,
       closed: AtomicBoolean): Unit = {
     val t = topic(sub.topic)
     var cursor = sub.acked.get() // re-delivery starts after the ack
     try {
       while (running.get() && !closed.get() && !out.checkError()) {
         // seqs are contiguous and 1-based per topic, so seq s lives at
-        // log index s-1 — the pending suffix is an O(pending) slice, not
-        // an O(log) rescan (which would be quadratic over a soak run)
-        val pending = t.log.synchronized {
-          if (t.log.length <= cursor) { t.log.wait(50); Array.empty[(Long, String)] }
-          else t.log.slice(cursor.toInt, t.log.length).toArray
+        // log index s-1-base — the pending suffix is an O(pending) slice,
+        // not an O(log) rescan. cursor >= acked >= trim point, so the
+        // from-index is never negative; the backlog length is
+        // Int-bounded by the ArrayBuffer itself (see class doc).
+        val (pending, newCursor) = t.log.synchronized {
+          val from = math.max(cursor, t.base)
+          if (t.seq.get() <= from) {
+            t.log.wait(50)
+            (Array.empty[(Long, String)], cursor)
+          } else {
+            val p = t.log.view.slice((from - t.base).toInt, t.log.length)
+              .filter { case (s, _) => s % nShards == shard }
+              .toArray
+            (p, t.base + t.log.length)
+          }
         }
-        if (pending.nonEmpty) {
-          pending.foreach { case (s, b64) => out.println(s"MSG $s $b64") }
-          out.flush()
-          cursor = pending.last._1
+        if (newCursor > cursor) {
+          out.synchronized {
+            pending.foreach { case (s, b64) => out.println(s"MSG $s $b64") }
+            out.flush()
+          }
+          cursor = newCursor
         }
       }
     } catch { case _: InterruptedException => () }

@@ -4,12 +4,16 @@ import graft.TestSpark
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The wire-shaped connector end-to-end: MiniBroker (TCP, SUB/MSG/ACK) →
-  * SocketEventsSource (DSv2 micro-batch) → the same stateful pipeline
-  * stages every other EventSource feeds. Covers the reference's
-  * subscription semantics over an actual socket: push delivery, retained
-  * re-delivery after the ack, commit-time cumulative acks, and
-  * log-and-continue on malformed payloads (knobs.go:85-90).
+/** The wire-shaped connector end-to-end: MiniBroker (TCP, STAT/FETCH/ACK)
+  * → SocketEventsSource (DSv2 micro-batch, executor-parallel shard
+  * leases) → the same stateful pipeline stages every other EventSource
+  * feeds. Covers the reference's subscription semantics over actual
+  * sockets: delivery of the retained log plus live publishes, retained
+  * re-delivery after the ack, commit-time cumulative acks,
+  * log-and-continue on malformed payloads (knobs.go:85-90) — plus the
+  * round-10 scale contract: reads are PARTITION-LOCAL (every shard lease
+  * serves rows, all on executor task threads, no driver receive loop)
+  * and a dropped connection reconnects instead of stalling.
   */
 class SocketSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -79,8 +83,8 @@ class SocketSourceSpec extends AnyFunSuite {
         broker.publish("knobs", payload(8L, 61L, 61000000L))
         assert(drain(q)(spark.table("socket_latest").collect()
           .exists(r => r.getLong(0) == 8L)), "sentinel not drained")
-        assert(eventually()(broker.ackedSeq("s1") >= 60L),
-          s"expected cumulative ack >=60, got ${broker.ackedSeq("s1")}")
+        assert(eventually()(broker.ackedSeq("knobs", "s1") >= 60L),
+          s"expected cumulative ack >=60, got ${broker.ackedSeq("knobs", "s1")}")
       } finally q.stop()
     } finally broker.stop()
   }
@@ -106,8 +110,8 @@ class SocketSourceSpec extends AnyFunSuite {
         broker.publish("t2", payload(999L, 999L, 21000000L))
         assert(drain(q1)(spark.table("t2_run1").count() == 21),
           "sentinel not drained")
-        assert(eventually()(broker.ackedSeq("s2") == 20L),
-          s"ack ${broker.ackedSeq("s2")} never reached 20")
+        assert(eventually()(broker.ackedSeq("t2", "s2") == 20L),
+          s"ack ${broker.ackedSeq("t2", "s2")} never reached 20")
       } finally q1.stop()
 
       // publish 4 more AFTER the first run stopped
@@ -126,6 +130,69 @@ class SocketSourceSpec extends AnyFunSuite {
       val ids = spark.table("t2_run2").collect().map(_.getLong(0)).sorted
       assert(ids.sameElements(Seq(22L, 23L, 24L, 25L, 999L)),
         s"re-delivery wrong: got ${ids.mkString(",")}")
+    } finally broker.stop()
+  }
+
+  test("reads are partition-local: every shard lease serves rows, all on executor task threads") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      val n = 4000L
+      for (i <- 1L to n) broker.publish("t4", payload(i % 7, i, i * 1000000L))
+      graft.sources.SocketEventsSource.readerThreads.clear()
+      val src = new SocketEventSource("127.0.0.1", port, "t4", "s4",
+        maxRowsPerBatch = 100000L, numPartitions = 4)
+      val q = src.stream(spark).writeStream
+        .format("memory").queryName("t4_sink")
+        .outputMode(OutputMode.Append()).start()
+      try assert(drain(q)(spark.table("t4_sink").count() == n),
+        s"drained ${spark.table("t4_sink").count()} of $n")
+      finally q.stop()
+
+      // every shard's FETCH lease served data (seq % 4 spreads 4000
+      // contiguous seqs evenly), and their union is the whole topic —
+      // the reads were split across partition leases, not funneled
+      // through one stream
+      val perShard = (0 until 4).map(broker.fetchedRows("t4", _))
+      assert(perShard.forall(_ > 0), s"idle shard lease: $perShard")
+      assert(perShard.sum == n, s"shard rows ${perShard.sum} != $n")
+
+      // and every one of those reads ran on an executor task thread —
+      // the structural proof there is no driver-side receive loop left
+      import scala.jdk.CollectionConverters._
+      val threads = graft.sources.SocketEventsSource.readerThreads.asScala
+      assert(threads.nonEmpty, "no reader threads recorded")
+      assert(threads.forall(_.contains("task launch worker")),
+        s"non-executor reader thread: $threads")
+    } finally broker.stop()
+  }
+
+  test("a dropped broker connection mid-stream reconnects and loses nothing") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      for (i <- 1L to 50L) broker.publish("t5", payload(i % 3, i, i * 1000000L))
+      val src = new SocketEventSource("127.0.0.1", port, "t5", "s5",
+        maxRowsPerBatch = 100000L, numPartitions = 2)
+      val q = src.stream(spark).writeStream
+        .format("memory").queryName("t5_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        assert(drain(q)(spark.table("t5_sink").count() == 50),
+          "first 50 not drained")
+        // kill every live socket: control connection AND both fetch
+        // leases. The clients must evict + re-dial (FETCH is idempotent
+        // over the retained log), not stall silently — the round-9
+        // receiver-death failure mode.
+        broker.dropAllConnections()
+        for (i <- 51L to 100L) broker.publish("t5", payload(i % 3, i, i * 1000000L))
+        assert(drain(q)(spark.table("t5_sink").count() == 100),
+          s"after reconnect drained ${spark.table("t5_sink").count()} of 100")
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+        // deterministic seq-sharded ranges: reconnect replay introduced
+        // no duplicates
+        assert(spark.table("t5_sink").select("n").distinct().count() == 100)
+      } finally q.stop()
     } finally broker.stop()
   }
 
