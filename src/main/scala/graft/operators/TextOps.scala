@@ -137,6 +137,63 @@ object TextOps {
           / col("n_grams").cast("double") * 10000) / 10000)
   }
 
+  /** The ACTION to [[substringDupStats]]' signal (q_substring_prune): the
+    * Lee et al. 2107.06499 pipeline doesn't just measure verbatim spans,
+    * it REMOVES them — keep the corpus-wide FIRST occurrence of each
+    * duplicated `k`-word window (first = min (doc_id, position)), delete
+    * the words of every other occurrence, and re-emit the cleaned corpus
+    * with token accounting. Within-doc-only repeats are untouched
+    * (q_repetition's job — same rule as the stats side: a window is
+    * duplicated iff it appears in ≥ 2 DISTINCT docs).
+    *
+    * Scale shape: one corpus explode into (doc_id, pos, digest); ONE
+    * window over the digest (row_number for the first-occurrence rule +
+    * min/max doc for the ≥2-distinct-docs test — no count-distinct
+    * window needed, and no second explode branch: the round-6 lesson);
+    * the deletions group back to O(deleted spans) per doc and join on
+    * doc_id. Every shuffle carries digests and integers. The only text
+    * movement is the final rebuild of surviving words — the cost any
+    * operator EMITTING a cleaned corpus pays exactly once, same as
+    * q_line_dedup. Docs under `k` words can't host a window and pass
+    * through whole. */
+  def substringPrune(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val occ = base
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => struct(i.as("i"),
+            sha2(array_join(slice(col("ws"), i, lit(k)), " "), 256)
+              .as("gh")))).as("o"))
+      .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
+    val w = Window.partitionBy("gh")
+    val wOrd = w.orderBy("doc_id", "i")
+    val del = occ
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("mind", min("doc_id").over(w))
+      .withColumn("maxd", max("doc_id").over(w))
+      // ≥2 distinct docs AND not the corpus-wide first occurrence: the
+      // first doc keeps its copy (even its own later repeats of a
+      // cross-doc span are pruned — "keep ONE occurrence corpus-wide")
+      .filter(col("maxd") =!= col("mind") && col("rn") > 1)
+      .groupBy("doc_id").agg(collect_list(col("i")).as("starts"))
+    base.join(del, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("ws"),
+        filter(sequence(lit(1), size(col("ws"))),
+          p => !exists(col("starts"),
+            s => p >= s && p < s + k)).as("keep_pos"))
+      .select(col("doc_id"),
+        array_join(transform(col("keep_pos"),
+          p => element_at(col("ws"), p)), " ").as("text_clean"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("keep_pos")).cast("long").as("n_kept"),
+        (size(col("ws")) - size(col("keep_pos"))).cast("long").as("n_dropped"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
     // keep the smallest doc_id, count copies. The digest (64 bytes) is the
@@ -624,6 +681,13 @@ object TextOps {
     "q_substring_dedup" -> ((s, d) =>
       substringDupStats(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // The pruning twin (see substringPrune): emit the corpus with every
+    // non-first occurrence of a cross-doc 20-word span removed, plus
+    // token accounting that PipelineOpsSpec reconciles against
+    // q_substring_dedup's dup_grams.
+    "q_substring_prune" -> ((s, d) =>
+      substringPrune(Tables.documents(s, d)).orderBy("doc_id")),
+
     // Document fingerprint: lexicographic min of sha2 over all 3-word
     // shingles — an order-invariant-ish locality fingerprint (the exact
     // min-hash with one permutation). Computed entirely inside array HOFs.
@@ -899,6 +963,38 @@ object TextOps {
                   / (len(ws) - 19)::DOUBLE * 10000) / 10000 AS dup_frac
          FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
          ORDER BY w.doc_id""",
+    // Same first-occurrence rule (row_number over (doc_id, pos) per
+    // digest), same ≥2-distinct-docs test via min/max doc over the
+    // partition, same word-position rebuild (DuckDB generate_series +
+    // list lambdas ≡ Spark sequence + filter/transform HOFs).
+    "q_substring_prune" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         x AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, len(ws) - 19)) AS i
+               FROM d WHERE len(ws) >= 20),
+         g AS (SELECT doc_id, i,
+                 sha256(array_to_string(ws[i : i + 19], ' ')) AS gh FROM x),
+         r AS (SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY gh ORDER BY doc_id, i)
+                   AS rn,
+                 min(doc_id) OVER (PARTITION BY gh) AS mind,
+                 max(doc_id) OVER (PARTITION BY gh) AS maxd
+               FROM g),
+         del AS (SELECT doc_id, list(i) AS starts FROM r
+                 WHERE maxd <> mind AND rn > 1 GROUP BY doc_id),
+         kept AS (SELECT d.doc_id, d.ws,
+                    list_filter(generate_series(1, len(d.ws)),
+                      p -> len(list_filter(COALESCE(del.starts, []),
+                        s -> p >= s AND p < s + 20)) = 0) AS keep_pos
+                  FROM d LEFT JOIN del ON d.doc_id = del.doc_id)
+         SELECT doc_id,
+           COALESCE(array_to_string(list_transform(keep_pos, p -> ws[p]),
+             ' '), '') AS text_clean,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(keep_pos) AS BIGINT) AS n_kept,
+           CAST(len(ws) - len(keep_pos) AS BIGINT) AS n_dropped
+         FROM kept ORDER BY doc_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
