@@ -97,6 +97,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingKeys drops late data once the watermark evicted the window's sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val q = StreamOps.trendingKeys(input.toDS(), "10 seconds",
+      watermark = "30 seconds", cap = 4).writeStream
+      .format("memory").queryName("trend_late_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1 to 5).map(i => KnobEvent(1, 1, ts(100 + i % 9))) ++
+        Seq(KnobEvent(2, 1, ts(104))): _*)
+      q.processAllAvailable()
+      // event time jumps to 300: the NEXT batch runs with watermark
+      // 300 - 30 = 270, far past window [100,110) — its sketch state is
+      // evicted from the store
+      input.addData(KnobEvent(5, 1, ts(300)))
+      q.processAllAvailable()
+      input.addData(KnobEvent(5, 1, ts(301))) // wm now actually 270
+      q.processAllAvailable()
+      val before = spark.table("trend_late_sink").collect()
+        .count(_.getTimestamp(0).getTime / 1000 == 100)
+      // a LATE burst into the evicted window — under the watermark, it
+      // must be DROPPED, not resurrect a fresh (and now wrong: superset
+      // only of the late burst) sketch for the window
+      input.addData((1 to 5).map(i => KnobEvent(9, 1, ts(101 + i % 8))): _*)
+      q.processAllAvailable()
+      val w100 = spark.table("trend_late_sink").collect()
+        .filter(_.getTimestamp(0).getTime / 1000 == 100)
+      assert(w100.length == before,
+        s"late data produced a new window-100 update: ${w100.toSeq}")
+      assert(!w100.exists(_.getSeq[org.apache.spark.sql.Row](1)
+          .exists(_.getString(0) == "9")),
+        "late key leaked into the evicted window's candidates")
+      // the live window kept flowing
+      assert(spark.table("trend_late_sink").collect()
+        .exists(_.getTimestamp(0).getTime / 1000 == 300))
+    } finally q.stop()
+  }
+
+  test("trendingKeys: adversarial churn over cap every batch keeps the heavy key (superset guarantee)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnobEvent]
+    val cap = 4
+    val q = StreamOps.trendingKeys(input.toDS(), "10 seconds", cap = cap)
+      .writeStream
+      .format("memory").queryName("trend_churn_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // 5 batches into ONE window: each batch brings the heavy key 7 (×3)
+      // plus 6 NEVER-REPEATED churn keys, so the per-batch sketch always
+      // exceeds cap and Misra–Gries decrements fire on every merge into
+      // the state store. Totals: N = 5·9 = 45, count(7) = 15 >
+      // N/(cap+1) = 9 — the mergeable-summaries guarantee says 7 MUST
+      // survive every partial → state → final merge.
+      for (b <- 0 until 5) {
+        val churn = (1 to 6).map(j =>
+          KnobEvent(1000 + b * 10 + j, 1, ts(100 + (b + j) % 9)))
+        input.addData((1 to 3).map(i =>
+          KnobEvent(7, 1, ts(100 + (b + i) % 9))) ++ churn: _*)
+        q.processAllAvailable()
+      }
+      val w100 = spark.table("trend_churn_sink").collect()
+        .filter(_.getTimestamp(0).getTime / 1000 == 100)
+        .map(_.getSeq[org.apache.spark.sql.Row](1))
+      assert(w100.nonEmpty, "no window-100 updates emitted")
+      assert(w100.forall(_.length <= cap),
+        s"sketch exceeded cap under churn: ${w100.toSeq}")
+      val last = w100.last
+      val heavy = last.find(_.getString(0) == "7")
+      assert(heavy.isDefined,
+        s"heavy key lost under adversarial churn: $last")
+      // MG estimates are LOWER bounds within N/(cap+1) of truth
+      assert(heavy.get.getLong(1) <= 15L && heavy.get.getLong(1) >= 15L - 9L,
+        s"estimate ${heavy.get.getLong(1)} outside [6, 15]")
+    } finally q.stop()
+  }
+
   test("dedup drops exact duplicate deliveries within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
