@@ -194,6 +194,45 @@ object TextOps {
         (size(col("ws")) - size(col("keep_pos"))).cast("long").as("n_dropped"))
   }
 
+  /** Distributed global prefix sum: appends `cumName` = running sum of
+    * `valueCol` (must be LongType) over the TOTAL order `order` (include a
+    * unique tie-breaker). Two passes: range-partition by the order, window
+    * WITHIN each partition, then add per-partition prefix offsets (a
+    * partition-count-bounded driver collect) — never the single-partition
+    * window Spark falls into for ORDER BY without PARTITION BY, so it
+    * holds at any corpus size. localCheckpoint (eager), not persist: the
+    * pid→offset map is only valid for THIS materialization — a persisted
+    * frame evicted and recomputed would resample the range boundaries and
+    * shift spark_partition_id, silently corrupting the cumsum;
+    * checkpointing truncates the lineage so losing a block fails loudly
+    * instead. Cum values are invariant to where the range boundaries
+    * fall, so nondeterministic boundary sampling is fine. Shared by
+    * q_token_budget (quality order) and q_pack_sequences (corpus order).
+    */
+  def distributedCumsum(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      cumName: String, order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partTotals = ranged.groupBy("__pid").agg(sum(valueCol).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val offsets = partTotals.map(_._1)
+      .zip(partTotals.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid")), lit(0L))
+    val win = Window.partitionBy("__pid")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(cumName, sum(valueCol).over(win) + offCol)
+      .drop("__pid")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by normalized-text digest: group on sha2(lower(trim)),
     // keep the smallest doc_id, count copies. The digest (64 bytes) is the
@@ -345,7 +384,6 @@ object TextOps {
     // offsets (a k-row driver collect) — never the single-partition window
     // Spark falls into for ORDER BY without PARTITION BY.
     "q_token_budget" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val budget = 15000L
       val toks = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
       val w = split(col("text"), " ")
@@ -353,34 +391,36 @@ object TextOps {
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
           (round(nStop / size(w).cast("double") * 10000) / 10000).as("quality"))
-      // localCheckpoint (eager), not persist: the pid→offset map collected
-      // below is only valid for THIS materialization — if a persisted frame
-      // were evicted and recomputed, repartitionByRange would resample its
-      // boundaries and spark_partition_id could shift, silently corrupting
-      // cum_tokens. Checkpointing truncates the lineage, so losing a block
-      // fails the job loudly instead of recomputing different partitions.
-      val ranged = scored
-        .repartitionByRange(col("quality").desc, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
-      val partTotals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-      // prefix offset per partition; cum values are invariant to where the
-      // range boundaries fall, so nondeterministic boundary sampling is fine
-      val offsets = partTotals.map(_._1)
-        .zip(partTotals.scanLeft(0L)(_ + _._2).dropRight(1))
-      val offCol =
-        if (offsets.isEmpty) lit(0L)
-        else coalesce(element_at(
-          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-          col("pid")), lit(0L))
-      val win = Window.partitionBy("pid")
-        .orderBy(col("quality").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ranged
-        .withColumn("cum_tokens", sum("n_tokens").over(win) + offCol)
+      distributedCumsum(scored, "n_tokens", "cum_tokens",
+          col("quality").desc, col("doc_id"))
         .filter(col("cum_tokens") <= budget)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing — the assembly step between a cleaned corpus and
+    // the trainer: documents concatenated in corpus (doc_id) order are
+    // split into fixed 2048-token training sequences ("pack contiguously,
+    // split at boundaries"); each doc reports the pack its first token
+    // lands in, its offset there, and how many packs it spans (straddling
+    // docs continue into the next pack). The only global coordination
+    // packing needs is the token cumsum, and that is the SAME distributed
+    // two-pass prefix sum q_token_budget uses (distributedCumsum): one
+    // range exchange, per-partition windows, a partition-count-bounded
+    // offset collect — map-only after that, at any corpus size.
+    "q_pack_sequences" -> ((s, d) => {
+      val S = 2048L
+      val toks = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
+      val counted = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      distributedCumsum(counted, "n_tokens", "cum", col("doc_id"))
+        .withColumn("start", col("cum") - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"start div $S").as("pack_id"),
+          pmod(col("start"), lit(S)).as("pack_offset"),
+          when(col("n_tokens") === 0, lit(0L))
+            .otherwise(expr(s"(cum - 1) div $S") - expr(s"start div $S") + 1)
+            .as("n_packs_spanned"))
         .orderBy("doc_id")
     }),
 
@@ -1032,6 +1072,26 @@ object TextOps {
                 (((doc_id % 2147483) * 1000 + epoch) * 2654435761) % 1000000 AS mix_key
          FROM r
          ORDER BY mix_key, doc_id, epoch""",
+    // Same serial-window cumsum spec; pack arithmetic is pure BIGINT
+    // integer division (// ≡ Spark's div) so both engines agree on every
+    // boundary doc.
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM t)
+         SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 END
+             AS BIGINT) AS n_packs_spanned
+         FROM c ORDER BY doc_id""",
     // The monotone cumsum means "cum <= budget" is a prefix of the quality
     // order; DuckDB's single window is the semantic spec the distributed
     // two-pass prefix sum must reproduce exactly.

@@ -206,6 +206,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       "mixture order is not reproducible across runs")
   }
 
+  test("pack sequences: distributed cumsum matches a serial scan, pack arithmetic exact") {
+    // the distributed two-pass prefix sum (range partition + windows +
+    // offsets) must reproduce the serial left-to-right cumsum bit-for-bit
+    // — recompute it with a fold over the collected rows and check every
+    // derived pack field against the serial reference
+    val rows = run("q_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted),
+      "output not in corpus order")
+    var cum = 0L
+    for ((id, n, packId, off, spanned) <- rows) {
+      assert(packId == cum / 2048,
+        s"doc $id pack_id $packId, serial says ${cum / 2048}")
+      assert(off == cum % 2048, s"doc $id offset $off != ${cum % 2048}")
+      val expSpan =
+        if (n == 0) 0L else (cum + n - 1) / 2048 - cum / 2048 + 1
+      assert(spanned == expSpan, s"doc $id spans $spanned, want $expSpan")
+      cum += n
+    }
+    // packs are dense: every pack index up to the last one hosts at least
+    // one doc start or continuation (no empty training sequences)
+    val lastPack = (cum - 1) / 2048
+    val touched = rows.flatMap { case (_, n, p, _, s) =>
+      if (n == 0) Seq.empty else p to (p + s - 1) }.toSet
+    assert((0L to lastPack).forall(touched),
+      "a training sequence would be empty")
+    spark.catalog.clearCache()
+  }
+
   test("fuzzy-key dedup: a planted hot prefix is capped, not quadratic") {
     import spark.implicits._
     // 10k docs share one 8-char prefix ("https://"): uncapped blocking
