@@ -52,6 +52,14 @@ object TextProbe {
       println(f"[text-probe] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
       n
     }
+    // Warm-up (the Bench lesson, round 4): without it the FIRST timed
+    // query absorbs JVM/codegen init plus the cold read of the freshly
+    // written corpus — measured ~3× on a 1M-doc run (q_substring_prune
+    // 93 s cold-first vs 34 s after another query warmed the file cache),
+    // which made cross-query comparisons meaningless.
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    SparkEntry.queries("q_text_tokens")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
     def run(name: String): Long = time(name) {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -68,8 +76,23 @@ object TextProbe {
     // the whole corpus.
     Seq("q_pii_redact", "q_repetition", "q_tfidf_top_terms",
       "q_bm25_top_terms", "q_decontaminate", "q_chunk_overlap",
-      "q_unigram_logprob", "q_domain_cap", "q_corpus_pipeline")
+      "q_unigram_logprob", "q_domain_cap", "q_corpus_pipeline",
+      "q_substring_dedup", "q_pack_sequences")
       .filter(want).foreach(run)
+    // substring PRUNE with the twin canary: a twin shares its first 57
+    // words with its base doc, i.e. all 38 of the base's 20-word windows
+    // starting at positions 1..38 recur in the twin — the twin (higher
+    // doc_id, so never the corpus-wide first occurrence) must lose words
+    // while its base keeps all 60. Random 20-gram collisions over the
+    // 500-word vocab are ~vanishing, so the base bound is exact.
+    if (want("q_substring_prune")) time("q_substring_prune") {
+      val out = SparkEntry.queries("q_substring_prune")(spark, dir)
+        .filter(col("doc_id").isin(0L, nDocs))
+        .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+      require(out(0L) == 0L, s"base doc lost ${out(0L)} words (is first)")
+      require(out(nDocs) > 0L, "twin kept its duplicated span")
+      out(nDocs)
+    }
     if (!want("q_line_dedup")) { spark.stop(); return }
     // line dedup last, with the twin canary: doc 0 and doc nDocs share
     // words 1..57, i.e. pseudo-lines 1..11 (1-based 5-token chunks) of doc 0

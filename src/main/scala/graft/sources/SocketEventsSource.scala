@@ -132,6 +132,12 @@ object SocketEventsSource {
   * the control path locks the stream). */
 private[sources] final class BrokerClient(host: String, port: Int) {
   private val sock = new Socket(host, port)
+  // Bounded reads: the broker's FETCH waits at most 30 s server-side
+  // before answering ERR, so 60 s of silence means the broker is hung or
+  // the connection is half-dead — surface it as the IOException the
+  // reconnect/fail-loudly paths already handle, never a silent stall
+  // (the round-9 receiver-death ADVICE, applied to the pull design).
+  sock.setSoTimeout(60000)
   private val out = new PrintWriter(sock.getOutputStream, false)
   private val in = new BufferedReader(
     new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
