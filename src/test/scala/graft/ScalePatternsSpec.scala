@@ -242,6 +242,41 @@ class ScalePatternsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("substring dedup windows the digest off ONE corpus exchange, no pre-aggregate") {
+    // The round-10 shape: occurrence rows flow straight into the digest
+    // window (duplicated = min(doc) != max(doc) over the partition). The
+    // regression this guards: re-introducing a (doc, digest) groupBy
+    // before the window adds a corpus-scale exchange plus a hash
+    // aggregate that shrinks nothing (corpus 20-grams are nearly all
+    // distinct) — ~30% of the 1M-doc probe's wall time. Expected
+    // exchanges: gh window + dup-doc aggregate + broadcast of the dup
+    // side + the output sort; the dup aggregate input is post-filter
+    // (tiny), so exactly ONE exchange may sit between Generate and
+    // Window, and no HashAggregate may appear before the Window.
+    val df = SparkEntry.queries("q_substring_dedup")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the Window node is the deepest operator chain's head, so the lines
+    // printed AFTER it are exactly its input subtree (the post-window
+    // dup-doc aggregate and join sit above it in the printout)
+    val below = plan.substring(plan.indexOf("+- Window"))
+    assert(below.contains("Generate"), s"window not fed by the explode:\n$plan")
+    assert(!below.contains("HashAggregate"),
+      s"pre-window aggregate reintroduced before the digest window:\n$plan")
+    assert("Exchange".r.findAllIn(below).length == 1,
+      s"more than one exchange feeding the digest window:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("pack sequences: distributed cumsum plan is partitioned end to end") {
+    // same single-partition guard as q_token_budget, for the shared
+    // distributedCumsum helper's second caller
+    val df = SparkEntry.queries("q_pack_sequences")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in pack-sequences plan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("heavy hitters scans the corpus exactly twice and never shuffles the vocabulary") {
     // q_heavy_hitters' claim is structural: pass 1 folds words into the
     // Misra–Gries sketch AND the total count in ONE map-side
