@@ -155,7 +155,10 @@ class SocketSourceSpec extends AnyFunSuite {
       // through one stream
       val perShard = (0 until 4).map(broker.fetchedRows("t4", _))
       assert(perShard.forall(_ > 0), s"idle shard lease: $perShard")
-      assert(perShard.sum == n, s"shard rows ${perShard.sum} != $n")
+      // >= not ==: a Spark task retry would legitimately re-FETCH its
+      // shard (idempotent replay). Exactly-once at the ENGINE level is
+      // what matters and is pinned by the sink count above.
+      assert(perShard.sum >= n, s"shard rows ${perShard.sum} < $n")
 
       // and every one of those reads ran on an executor task thread —
       // the structural proof there is no driver-side receive loop left
