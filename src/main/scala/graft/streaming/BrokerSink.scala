@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.io.PrintWriter
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.Dataset
+
+/** The other half of the wire: PUBLISH a streaming Dataset's rows to a
+  * [[MiniBroker]] topic. The reference's stages compose THROUGH topics —
+  * knobs publishes what flood consumes, flood publishes what the mapper
+  * consumes (reference simulate-knobs.go:44 `topic.Publish`, flood.go
+  * Receive→Publish chain; deploy:75-76 scales each stage separately) —
+  * so an engine claiming its surface needs the producing side, not just
+  * the consuming one: with [[BrokerSink]] + [[SocketEventSource]] two
+  * independent Spark streaming jobs chain through a topic exactly like
+  * two reference deployments.
+  *
+  * Shape: `foreachBatch` → `foreachPartition` — every PARTITION opens its
+  * own socket and PUBs its rows, so publishing scales horizontally with
+  * the stage's parallelism (the flood×8 shape, mirrored on the produce
+  * side the way the FETCH leases mirror it on the consume side). Each
+  * partition's publish runs under [[RetrySink.pushWithRetry]] — the
+  * reference's bounded-retry sink contract (reducer.go:24-25,118-126):
+  * transient connect failures retry up to 10×/100 ms, exhaustion fails
+  * the batch (streaming restart-at-least-once, never a silent drop).
+  *
+  * Delivery contract: at-least-once. A failed-then-retried batch
+  * republishes its rows with fresh broker seqs — the consumer dedups by
+  * payload identity (StreamOps.dedupPayload, the same redelivery horizon
+  * the reference's ack-always model needs). Payloads are the KnobsMessage
+  * JSON shape `{"id":..,"n":..,"ts_us":..}` (util/util.go:17-20), so a
+  * chained stage parses them with the same codec as any other producer.
+  */
+object BrokerSink {
+  /** Attach a broker-publishing sink to `events`; caller starts the
+    * returned writer (checkpointing, trigger, etc. stay caller-owned). */
+  def publishTo(host: String, port: Int, topic: String)(
+      events: Dataset[KnobEvent]): org.apache.spark.sql.streaming.DataStreamWriter[KnobEvent] =
+    events.writeStream.foreachBatch { (batch: Dataset[KnobEvent], _: Long) =>
+      batch.foreachPartition { rows: Iterator[KnobEvent] =>
+        if (rows.hasNext) {
+          // buffer the partition's lines first: pushWithRetry may run the
+          // closure twice, and an Iterator can only be consumed once
+          val lines = rows.map { e =>
+            val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000
+            val payload = s"""{"id":${e.id},"n":${e.n},"ts_us":$tsUs}"""
+            Base64.getEncoder.encodeToString(
+              payload.getBytes(StandardCharsets.UTF_8))
+          }.toArray
+          RetrySink.pushWithRetry() { () =>
+            val sock = new Socket(host, port)
+            try {
+              val out = new PrintWriter(sock.getOutputStream, false)
+              lines.foreach(b64 => out.println(s"PUB $topic $b64"))
+              out.flush()
+              if (out.checkError())
+                throw new java.io.IOException(s"publish to $topic failed")
+            } finally sock.close()
+          }
+          ()
+        }
+      }
+    }
+}

@@ -199,6 +199,44 @@ class SocketSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("two streaming stages compose through a broker topic (publish sink -> source)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    val broker = new MiniBroker
+    val port = broker.start()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      // stage A: an in-engine stream published to topic "mid" — the
+      // reference's knobs→flood hop (simulate-knobs.go:44 Publish);
+      // stage B: an independent query consuming "mid" over the wire.
+      // Together with the FETCH leases this is two deployments chained
+      // through the broker, each side executor-parallel.
+      val input = MemoryStream[KnobEvent]
+      val qa = BrokerSink.publishTo("127.0.0.1", port, "mid")(input.toDS())
+        .outputMode(OutputMode.Append()).start()
+      val src = new SocketEventSource("127.0.0.1", port, "mid", "s6",
+        maxRowsPerBatch = 100000L, numPartitions = 2)
+      val qb = src.stream(spark).writeStream
+        .format("memory").queryName("mid_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L to 20L).map(i => KnobEvent(i % 4, i, ts(100 + i))): _*)
+        qa.processAllAvailable()
+        assert(drain(qb)(spark.table("mid_sink").count() == 20),
+          s"stage B drained ${spark.table("mid_sink").count()} of 20")
+        // values survive the hop bit-for-bit (JSON codec round-trip)
+        val ns = spark.table("mid_sink").collect().map(_.getLong(1)).sorted
+        assert(ns.sameElements(1L to 20L), s"payloads mangled: ${ns.toSeq}")
+        // a second micro-batch flows through the same chain
+        input.addData(KnobEvent(9L, 99L, ts(200)))
+        qa.processAllAvailable()
+        assert(drain(qb)(spark.table("mid_sink").count() == 21),
+          "second hop batch not delivered")
+      } finally { qa.stop(); qb.stop() }
+    } finally broker.stop()
+  }
+
   test("malformed payloads are counted and skipped, not task failures") {
     val broker = new MiniBroker
     val port = broker.start()
