@@ -165,7 +165,14 @@ object TextOps {
     * movement is the final rebuild of surviving words — the cost any
     * operator EMITTING a cleaned corpus pays exactly once, same as
     * q_line_dedup. Docs under `k` words can't host a window and pass
-    * through whole. */
+    * through whole.
+    *
+    * Per-doc rebuild cost is O(n_words × deleted_spans) (the `exists`
+    * probe per position): fine at document scale (a 10⁴-word doc that is
+    * half duplicated is ~10⁷ integer compares, in-row, no shuffle), but a
+    * pathological mega-document would want the sorted-sweep form — in a
+    * real pipeline the chunker (q_chunk_overlap) upstream bounds doc
+    * length long before this matters. */
   def substringPrune(docs: org.apache.spark.sql.DataFrame,
       k: Int = 20): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
