@@ -128,9 +128,16 @@ object TextOps {
     val gated = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
+    // xxhash64, not sha256: the digest is INTERNAL (the oracle recomputes
+    // the dup rule with its own sha256, so cross-engine digest equality
+    // is not needed — the q_line_dedup precedent), and an 8-byte LONG
+    // key makes the window sort/shuffle 8× narrower than 64-char hex
+    // with a cheaper codegen'd hash. A 64-bit collision would merge two
+    // distinct windows (p ≈ n²/2⁶⁵ — negligible, and the exact-sha256
+    // oracle would catch one at fixture scale).
     val grams = gated.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-        i => sha2(array_join(slice(col("w"), i, lit(k)), " "), 256))).as("gh"))
+        i => xxhash64(array_join(slice(col("w"), i, lit(k)), " ")))).as("gh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val dup = grams
       .withColumn("mind", min("doc_id").over(w))
@@ -179,10 +186,12 @@ object TextOps {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val occ = base
       .filter(size(col("ws")) >= k)
+      // same internal xxhash64 digest as substringDupStats (see the
+      // collision/oracle note there) — the two stay keyed identically
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
           i => struct(i.as("i"),
-            sha2(array_join(slice(col("ws"), i, lit(k)), " "), 256)
+            xxhash64(array_join(slice(col("ws"), i, lit(k)), " "))
               .as("gh")))).as("o"))
       .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
     val w = Window.partitionBy("gh")
@@ -728,11 +737,10 @@ object TextOps {
     // document, the fraction of its 20-word windows that also occur
     // verbatim in ANOTHER document. Their suffix array is a single-node
     // structure; the Spark-shaped equivalent is a rolling-window digest
-    // inventory — every window hashed IN-ROW (one HOF, no UDF), then one
-    // (doc, digest)-distinct shuffle and a digest-keyed semi-join back.
-    // Shuffle volume is O(windows) digests, never text. At 100 TB the
-    // digest would be a 128-bit binary hash; sha256 hex here keeps the
-    // DuckDB oracle bit-exact (the q_doc_fingerprint precedent).
+    // inventory — every window hashed IN-ROW (one HOF, no UDF) into an
+    // 8-byte xxhash64 key, then ONE digest window pass (see
+    // substringDupStats for the plan and the collision/oracle notes).
+    // Shuffle volume is O(windows) longs, never text.
     // Within-doc repeats do NOT count (q_repetition's job): a window is
     // duplicated iff its digest appears in >= 2 DISTINCT docs.
     "q_substring_dedup" -> ((s, d) =>
