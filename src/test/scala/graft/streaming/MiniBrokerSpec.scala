@@ -121,6 +121,30 @@ class MiniBrokerSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("PUBB bulk publish assigns contiguous seqs and delivers like per-message PUB") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      val c = new Cli(port)
+      try {
+        c.send("PUB tb " + b64("one"))
+        c.send("PUBB tb 3")
+        c.send(b64("two")); c.send(b64("three")); c.send(b64("four"))
+        c.send("PUB tb " + b64("five"))
+        val sub = new Cli(port)
+        try {
+          sub.send("SUB tb s")
+          val msgs = sub.readUntil(10)(_.endsWith(b64("five")))
+          assert(msgs.map(_.split("\\s+")(1).toLong) == (1L to 5L),
+            s"seqs not contiguous across PUB/PUBB: $msgs")
+          assert(msgs.map(l => unb64(l.split("\\s+")(2))) ==
+            Seq("one", "two", "three", "four", "five"),
+            s"bulk payloads mangled: $msgs")
+        } finally sub.close()
+      } finally c.close()
+    } finally broker.stop()
+  }
+
   test("second SUB on one connection is refused, not a duplicate pusher") {
     val broker = new MiniBroker
     val port = broker.start()

@@ -237,6 +237,35 @@ class SocketSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("publish sink fails the batch loudly when the broker is gone (bounded retry)") {
+    import spark.implicits._
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    val broker = new MiniBroker
+    val port = broker.start()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KnobEvent]
+    val qa = BrokerSink.publishTo("127.0.0.1", port, "gone")(input.toDS())
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(KnobEvent(1, 1, ts(100)))
+      qa.processAllAvailable()
+      assert(broker.retainedCount("gone") == 1)
+      // broker vanishes: the per-partition publish must exhaust its
+      // bounded retries and FAIL the batch (reducer.go:118-126 contract:
+      // retry, then surface — with streaming semantics that is a loud
+      // query failure, never a silent drop)
+      broker.stop()
+      input.addData(KnobEvent(2, 2, ts(101)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qa.processAllAvailable()
+      }
+      assert(qa.exception.isDefined, "query must die loudly, not drop data")
+    } finally {
+      qa.stop()
+      broker.stop()
+    }
+  }
+
   test("malformed payloads are counted and skipped, not task failures") {
     val broker = new MiniBroker
     val port = broker.start()
