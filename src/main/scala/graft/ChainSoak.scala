@@ -4,24 +4,26 @@ import java.nio.file.Files
 
 import graft.streaming.{BrokerSink, MiniBroker, SocketEventSource, StreamOps}
 
-/** Two-deployment topology soak: the reference's stages compose THROUGH
-  * broker topics (knobs publishes what flood consumes, deploy:75-76), so
-  * this measures that exact shape end-to-end in the engine —
+/** Two-deployment topology soak — the reference's ACTUAL decomposition,
+  * split across two independent Spark jobs composing through broker
+  * topics (knobs → flood → mapper, deploy:75-76; flood.go Receive →
+  * fan-out → Publish):
   *
-  *   pre-published topic `in`
-  *     → stage A (Spark streaming query #1): wire source (shard FETCH
-  *       leases) → relay → [[BrokerSink]] publish to topic `mid`
-  *       (executor-parallel PUB, one socket per partition)
-  *     → stage B (Spark streaming query #2): wire source on `mid` →
-  *       the full [[StreamOps.pipeline]] graph → noop
+  *   pre-published topic `in` (knob updates, n = fan-out weight)
+  *     → stage A = the FLOOD deployment: wire source (shard FETCH
+  *       leases) → fan out n unit messages per update → [[BrokerSink]]
+  *       publish to topic `units` (executor-parallel chunked PUBB)
+  *     → stage B = the MAPPER deployment: wire source on `units` →
+  *       windowed counts per knob → noop
   *
-  * Every message crosses the wire TWICE (FETCH into A, PUB out of A,
-  * FETCH into B) plus two full base64+JSON codec round-trips — the
-  * honest cost of composing two independently-scaled jobs the way the
-  * reference composes its deployments. Reported as end-to-end msgs/sec
-  * from stage A's start until stage B has ingested everything.
+  * Unit messages cross the wire at the flood→mapper boundary exactly
+  * like the reference's, so the reported UNIT msgs/sec is directly
+  * comparable to its 1M msg/s headline — except here every unit also
+  * pays a full base64+JSON codec round-trip in AND out. End-to-end
+  * clock runs from stage A's start until stage B has ingested every
+  * unit.
   *
-  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nMsgs] [shards]"`
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards]"`
   */
 object ChainSoak {
   def main(args: Array[String]): Unit = {
@@ -29,6 +31,9 @@ object ChainSoak {
     val shards = if (args.length > 1) args(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-chain-soak")
+    import spark.implicits._
+    // unit messages stage A must emit: Σ (i%10+1) over the updates
+    val nUnits = (0L until nMsgs).iterator.map(_ % 10 + 1).sum
 
     val broker = new MiniBroker
     val port = broker.start()
@@ -65,14 +70,21 @@ object ChainSoak {
     val wall0 = System.nanoTime()
     val srcA = new SocketEventSource("127.0.0.1", port, "in", "a-sub",
       maxRowsPerBatch = 500000L, numPartitions = shards)
-    val qa = BrokerSink.publishTo("127.0.0.1", port, "mid")(srcA.stream(spark))
+    // stage A = flood: R7 zero-guard then R8 fan-out, emitted lazily
+    // (the same stage StreamOps.pipeline runs in-engine, here feeding
+    // the wire instead)
+    val flood = srcA.stream(spark)
+      .filter(_.n > 0)
+      .flatMap(e => (0L until e.n).iterator.map(_ => e.copy(n = 1L)))
+    val qa = BrokerSink.publishTo("127.0.0.1", port, "units")(flood)
       .outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("graft_chain_a").toString)
       .start()
-    val srcB = new SocketEventSource("127.0.0.1", port, "mid", "b-sub",
-      maxRowsPerBatch = 500000L, numPartitions = shards)
-    val qb = StreamOps.pipeline(srcB.stream(spark))
+    // stage B = mapper/reducer: windowed counts per knob over the units
+    val srcB = new SocketEventSource("127.0.0.1", port, "units", "b-sub",
+      maxRowsPerBatch = 2000000L, numPartitions = shards)
+    val qb = StreamOps.windowedCounts(srcB.stream(spark))
       .writeStream
       .queryName("chain_b")
       .format("noop")
@@ -82,7 +94,7 @@ object ChainSoak {
       .start()
 
     while (qa.exception.isEmpty && qb.exception.isEmpty &&
-        rowsB.get() < nMsgs) {
+        rowsB.get() < nUnits) {
       Thread.sleep(100)
     }
     val wallSecs = (System.nanoTime() - wall0) / 1e9
@@ -98,7 +110,7 @@ object ChainSoak {
       if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
       else -1L
     val line =
-      s"""{"metric":"chain_soak_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_msgs_per_sec":$steady,"msgs":${rowsB.get()},"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"hops":2,"cpus":$cpus}"""
+      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"hops":2,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
     spark.stop()
