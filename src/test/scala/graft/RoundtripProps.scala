@@ -39,6 +39,55 @@ object RoundtripProps extends Properties("roundtrip") {
       out == expected
     }
 
+  /** Random corpora over a tiny vocabulary with a small window (k=3) so
+    * cross-doc window collisions are COMMON — the interesting regime for
+    * the prune. The distributed result must equal a direct serial model:
+    * window→(doc,pos) occurrence list, keep the (doc,pos)-min occurrence
+    * of every ≥2-distinct-doc window, delete the word positions of all
+    * other occurrences, rebuild. */
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(1, 8)
+    texts <- Gen.listOfN(nDocs,
+      for {
+        len <- Gen.chooseNum(1, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield ws.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def modelPrune(docs: List[(Long, String)], k: Int)
+      : Map[Long, (String, Long, Long, Long)] = {
+    val split = docs.map { case (id, t) => id -> t.split(" ").toVector }
+    val occ = for {
+      (id, ws) <- split if ws.length >= k
+      i <- 1 to (ws.length - k + 1)
+    } yield (ws.slice(i - 1, i - 1 + k).mkString(" "), id, i)
+    val byGram = occ.groupBy(_._1)
+    val deleted = byGram.valuesIterator.flatMap { os =>
+      if (os.map(_._2).distinct.length >= 2) os.sortBy(o => (o._2, o._3)).tail
+      else Nil
+    }.toList
+    val delByDoc = deleted.groupBy(_._2)
+      .map { case (id, os) => id -> os.map(_._3) }
+    split.map { case (id, ws) =>
+      val starts = delByDoc.getOrElse(id, Nil)
+      val keep = (1 to ws.length)
+        .filterNot(p => starts.exists(s => p >= s && p < s + k))
+      id -> (keep.map(p => ws(p - 1)).mkString(" "),
+        ws.length.toLong, keep.length.toLong,
+        (ws.length - keep.length).toLong)
+    }.toMap
+  }
+
+  property("substring prune equals the serial model on random colliding corpora") =
+    Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.TextOps.substringPrune(df, k = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      got == modelPrune(docs, 3)
+    }
+
   property("exact dedup is idempotent and keeps one row per distinct text") =
     Prop.forAll(Gen.listOf(Gen.oneOf("a b c", "a  b", "A B C", "x y", "x y "))) {
       texts =>
