@@ -774,12 +774,18 @@ object TextOps {
       // runs: 16 B of longs instead of 64 B of hex on this corpus-wide
       // shuffle, with exact-dedup-grade collision odds (~n²/2¹²⁹ — a
       // single 64-bit key would merge distinct docs at ~27 pairs per
-      // 10¹² docs, too hot for an exact-dedup stage). The oracle derives
-      // its keep set with its own sha256 — digests are internal, only
-      // the keep SET is compared (the substring-dedup precedent).
+      // 10¹² docs, too hot for an exact-dedup stage). The second hash
+      // puts the literal FIRST: Spark folds xxhash64 args left-to-right
+      // with the running hash as seed, so xxhash64(norm, 1) would be a
+      // deterministic function of h1 (h1-collision ⇒ h2-collision — a
+      // 64-bit pair in disguise), while xxhash64(1, norm) re-hashes the
+      // TEXT under a different seed, making the pair independent. The
+      // oracle derives its keep set with its own sha256 — digests are
+      // internal, only the keep SET is compared (the substring-dedup
+      // precedent).
       val norm = lower(trim(col("text")))
       val keep = gated
-        .groupBy(xxhash64(norm).as("h1"), xxhash64(norm, lit(1)).as("h2"))
+        .groupBy(xxhash64(norm).as("h1"), xxhash64(lit(1L), norm).as("h2"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       val capWin = Window.partitionBy("lang", "source")

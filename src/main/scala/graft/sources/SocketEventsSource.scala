@@ -342,12 +342,16 @@ private class SocketFetchReader(p: SocketFetchPartition)
     s"FETCH ${p.topic} ${p.shard} ${p.nShards} ${p.after} ${p.upTo}"
 
   private def ensureStarted(): Unit = if (!started) {
-    started = true
     SocketEventsSource.readerThreads.add(Thread.currentThread().getName)
+    // `started` flips only after the borrow SUCCEEDS: if the dial itself
+    // throws (broker down), close() must not try to release a null
+    // client from Spark's task-completion listener — that NPE would
+    // shadow the real connect failure
     val (k, c) = SocketFetchPool.borrow(p.host, p.port,
       s"${p.topic}#${p.shard}/${p.nShards}")
     leaseKey = k
     client = c
+    started = true
     try client.send(fetchLine)
     catch { case _: IOException => redial() }
   }
@@ -401,7 +405,7 @@ private class SocketFetchReader(p: SocketFetchPartition)
 
   override def get(): InternalRow = cur
 
-  override def close(): Unit = if (started) {
+  override def close(): Unit = if (started && client != null) {
     if (sawEof) SocketFetchPool.release(leaseKey, client)
     else client.close() // dirty lease: unread lines would poison reuse
   }

@@ -97,10 +97,16 @@ class MiniBroker {
 
   private def sub(topicName: String, subName: String): Sub = {
     val t = topic(topicName)
-    subs.computeIfAbsent(s"$topicName/$subName", _ =>
-      // created after a trim ⇒ starts at the trim point: the dropped
-      // prefix cannot be re-delivered to anyone
-      new Sub(topicName, t.log.synchronized(t.base)))
+    // registration holds the SAME monitor the trim scans under: without
+    // it, a concurrent ACK could compute min-ack over the old sub set,
+    // then trim away a backlog this new sub was created expecting (its
+    // start read base=B, the trim then passed B) — a silent delivery gap
+    t.log.synchronized {
+      subs.computeIfAbsent(s"$topicName/$subName", _ =>
+        // created after a trim ⇒ starts at the trim point: the dropped
+        // prefix cannot be re-delivered to anyone
+        new Sub(topicName, t.base))
+    }
   }
 
   /** In-process publish (what a test harness uses). Returns the seq. */
@@ -174,15 +180,18 @@ class MiniBroker {
 
   /** Drop retained messages at or below the minimum cumulative ack across
     * the topic's subscriptions. No subscriptions ⇒ no trim (a pre-flood
-    * before the first subscriber stays retained, durable-log style). */
+    * before the first subscriber stays retained, durable-log style).
+    * The min-ack scan runs UNDER the log monitor — the same one [[sub]]
+    * registers under — so a subscription cannot appear between the scan
+    * and the trim and lose its expected backlog. */
   private def maybeTrim(topicName: String): Unit = {
     val t = topic(topicName)
-    var minAck = Long.MaxValue
-    subs.forEach { (_, s) =>
-      if (s.topic == topicName) minAck = math.min(minAck, s.acked.get())
-    }
-    if (minAck == Long.MaxValue) return
     t.log.synchronized {
+      var minAck = Long.MaxValue
+      subs.forEach { (_, s) =>
+        if (s.topic == topicName) minAck = math.min(minAck, s.acked.get())
+      }
+      if (minAck == Long.MaxValue) return
       // an over-ack (client acking past the published seq) clamps to the
       // log: cumulative-ack semantics, nothing breaks downstream because
       // push/FETCH cursors all start at >= the acked position anyway
@@ -212,20 +221,28 @@ class MiniBroker {
       var line = in.readLine()
       while (running.get() && line != null) {
         val parts = line.trim.split("\\s+")
-        parts(0) match {
+        // malformed arguments (non-numeric counts, zero shards, ...)
+        // answer ERR and keep the connection — every other invalid
+        // request here is refused loudly, so a bad verb must not kill
+        // the handler into a bare unexplained disconnect
+        try parts(0) match {
           case "SUB" if parts.length == 3 || parts.length == 5 =>
-            val (shard, nShards) =
-              if (parts.length == 5) (parts(3).toInt, parts(4).toInt)
-              else (0, 1)
-            val s0 = sub(parts(1), parts(2))
-            localSubs(parts(2)) = parts(1)
             if (pusherStarted.getAndSet(true)) {
               // one pusher per connection: a second would share this
-              // PrintWriter and interleave a duplicate MSG stream
+              // PrintWriter and interleave a duplicate MSG stream. The
+              // refusal must come BEFORE any registration: a refused SUB
+              // that still created its (topic, sub) entry would pin the
+              // topic's retention trim at the phantom's frozen ack
+              // forever.
               out.synchronized {
                 out.println("ERR already-subscribed"); out.flush()
               }
             } else {
+              val (shard, nShards) =
+                if (parts.length == 5) (parts(3).toInt, parts(4).toInt)
+                else (0, 1)
+              val s0 = sub(parts(1), parts(2))
+              localSubs(parts(2)) = parts(1)
               val pusher = new Thread(
                 () => push(s0, shard, nShards, out, closed),
                 "mini-broker-push")
@@ -279,6 +296,12 @@ class MiniBroker {
             fetch(parts(1), parts(2).toInt, parts(3).toInt,
               parts(4).toLong, parts(5).toLong, out)
           case _ => () // blank keep-alive or unknown verb: ignore
+        } catch {
+          case _: NumberFormatException | _: ArithmeticException |
+              _: NegativeArraySizeException =>
+            out.synchronized {
+              out.println(s"ERR bad-request ${parts(0)}"); out.flush()
+            }
         }
         line = in.readLine()
       }
@@ -295,6 +318,12 @@ class MiniBroker {
     * copies the slice under the log's monitor, writes outside it. */
   private def fetch(topicName: String, shard: Int, nShards: Int,
       after: Long, upTo: Long, out: PrintWriter): Unit = {
+    if (nShards <= 0 || shard < 0 || shard >= nShards) {
+      out.synchronized {
+        out.println(s"ERR fetch bad-shard $shard/$nShards"); out.flush()
+      }
+      return
+    }
     val t = topic(topicName)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     val slice: Either[String, Array[(Long, String)]] = t.log.synchronized {

@@ -258,7 +258,9 @@ class ScalePatternsSpec extends AnyFunSuite {
     // the Window node is the deepest operator chain's head, so the lines
     // printed AFTER it are exactly its input subtree (the post-window
     // dup-doc aggregate and join sit above it in the printout)
-    val below = plan.substring(plan.indexOf("+- Window"))
+    val winAt = plan.indexOf("+- Window")
+    assert(winAt >= 0, s"no '+- Window' node found in plan:\n$plan")
+    val below = plan.substring(winAt)
     assert(below.contains("Generate"), s"window not fed by the explode:\n$plan")
     assert(!below.contains("HashAggregate"),
       s"pre-window aggregate reintroduced before the digest window:\n$plan")

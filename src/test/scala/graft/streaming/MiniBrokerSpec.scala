@@ -155,13 +155,41 @@ class MiniBrokerSpec extends AnyFunSuite {
         c.send("SUB tp s1")
         val first = c.readUntil(5)(_.endsWith(b64("p3")))
         assert(first.length == 3)
-        c.send("SUB tp s1")
+        // refuse a second SUB even under a DIFFERENT sub name — and the
+        // refusal must NOT register the name: a phantom (topic, sub)
+        // entry with a frozen ack would pin the topic's retention trim
+        // forever
+        c.send("SUB tp s2")
         // the only new line must be the refusal — a second pusher would
         // re-deliver p1..p3 interleaved into the same writer
         assert(c.read() == "ERR already-subscribed")
         broker.publish("tp", "p4")
         val next = c.readUntil(3)(_.endsWith(b64("p4")))
         assert(next.length == 1, s"duplicate stream detected: $next")
+        c.send("ACK tp s1 4")
+        Thread.sleep(200)
+        assert(broker.trimmedBelow("tp") == 4L,
+          "refused SUB registered a phantom sub and pinned the trim")
+      } finally c.close()
+    } finally broker.stop()
+  }
+
+  test("malformed verb arguments answer ERR and keep the connection alive") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      for (i <- 1 to 4) broker.publish("te", s"e$i")
+      val c = new Cli(port)
+      try {
+        c.send("FETCH te 0 0 0 4") // zero shards
+        assert(c.read().startsWith("ERR fetch bad-shard"))
+        c.send("FETCH te x 1 0 4") // non-numeric shard
+        assert(c.read().startsWith("ERR bad-request"))
+        // the handler survived both — a valid request still works
+        c.send("FETCH te 0 1 0 4")
+        val msgs = c.readUntil(10)(_.startsWith("EOF"))
+        assert(msgs.count(_.startsWith("MSG")) == 4,
+          s"connection unusable after bad requests: $msgs")
       } finally c.close()
     } finally broker.stop()
   }
