@@ -54,14 +54,22 @@ object Bench {
     /** 3 interleaved passes over every query → per-query (median, min,
       * max); (-1,-1,-1) on failure. A query that fails once is skipped in
       * later passes — a broken query fails deterministically, so burning
-      * two more multi-second attempts just delays the bench. */
-    def runInterleaved(names: Seq[String]): Seq[(String, (Double, Double, Double))] = {
+      * two more multi-second attempts just delays the bench. The
+      * throughput twin samples once at the END OF EACH PASS (`afterPass`)
+      * so its 3 samples are separated by a full suite length, like every
+      * per-query sample — round 10 fix: `Seq.fill(3)(...)` ran them
+      * back-to-back, putting all three inside one contention window,
+      * exactly what the pass interleaving exists to prevent. */
+    def runInterleaved(names: Seq[String], afterPass: () => Unit): Seq[(String, (Double, Double, Double))] = {
       val failed = scala.collection.mutable.Set.empty[String]
       val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      for (_ <- 1 to 3; n <- names if !failed(n)) {
-        val t = runOnce(n)
-        if (t < 0) failed += n
-        else samples(n) = t :: samples.getOrElse(n, Nil)
+      for (pass <- 1 to 3) {
+        for (n <- names if !failed(n)) {
+          val t = runOnce(n)
+          if (t < 0) failed += n
+          else samples(n) = t :: samples.getOrElse(n, Nil)
+        }
+        afterPass()
       }
       names.map { n =>
         samples.get(n).filter(_ => !failed(n)) match {
@@ -95,9 +103,14 @@ object Bench {
     }
 
     // Optional args filter: `runMain graft.Bench q_a q_b` times only those
-    // queries — the full-suite default is what the driver runs.
+    // queries — the full-suite default is what the driver runs. Unknown
+    // names fail LOUDLY: silently intersecting would let a typo produce a
+    // successful-looking empty bench (total 0) as the round's artifact.
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
+      val unknown = args.toSet -- all.toSet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")}")
       if (args.isEmpty) all else all.filter(args.toSet)
     }
     // Warm-up: touch every table once (parquet footer + FS cache) plus one
@@ -117,7 +130,8 @@ object Bench {
     }
     names.headOption.foreach(runOnce)
 
-    val results = runInterleaved(names)
+    val mpsSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = runInterleaved(names, () => mpsSamples += pipelineThroughput())
     // The driver keeps only the last ~2000 chars of build output, so the
     // stdout line must be COMPACT or it gets truncated mid-JSON and the
     // round's bench is recorded as unparseable (this happened in rounds
@@ -160,10 +174,11 @@ object Bench {
     val contended = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-    // median-of-3 for the throughput twin too — it was the one remaining
-    // single-sample number (r6→r7 it swung 66M→46M rows/s on an otherwise
-    // unchanged plan, pure contention)
-    val mps = Seq.fill(3)(pipelineThroughput()).sorted.apply(1).round
+    // median-of-3 for the throughput twin too (r6→r7 it swung 66M→46M
+    // rows/s on an unchanged plan, pure contention) — samples taken one
+    // per interleaved pass above, so a contention window can poison at
+    // most one of them
+    val mps = mpsSamples.sorted.apply(mpsSamples.length / 2).round
     val line =
       s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
     val full =

@@ -70,13 +70,10 @@ object ChainSoak {
     val wall0 = System.nanoTime()
     val srcA = new SocketEventSource("127.0.0.1", port, "in", "a-sub",
       maxRowsPerBatch = 500000L, numPartitions = shards)
-    // stage A = flood: R7 zero-guard then R8 fan-out, emitted lazily
-    // (the same stage StreamOps.pipeline runs in-engine, here feeding
-    // the wire instead)
-    val flood = srcA.stream(spark)
-      .filter(_.n > 0)
-      .flatMap(e => (0L until e.n).iterator.map(_ => e.copy(n = 1L)))
-    val qa = BrokerSink.publishTo("127.0.0.1", port, "units")(flood)
+    // stage A = flood: the SAME shared stage StreamOps.pipeline runs
+    // in-engine, here feeding the wire instead
+    val qa = BrokerSink.publishTo("127.0.0.1", port,
+        "units")(StreamOps.flood(srcA.stream(spark)))
       .outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("graft_chain_a").toString)
@@ -105,12 +102,19 @@ object ChainSoak {
     qb.exception.foreach(throw _)
     broker.stop()
 
+    // At-least-once honesty: a publish retry or Spark task retry
+    // republishes a partition, so rowsB can EXCEED nUnits and end the
+    // run while stage A still holds unpublished units. dup_excess > 0 in
+    // the artifact flags such a run — its headline rate measured a
+    // partially-duplicated population and should be re-run. (Payload
+    // dedup can't help here: units legitimately share (id, n=1).)
+    val dupExcess = math.max(0L, rowsB.get() - nUnits)
     val rate = (rowsB.get() / wallSecs).round
     val steady =
       if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
       else -1L
     val line =
-      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"hops":2,"cpus":$cpus}"""
+      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"hops":2,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
     spark.stop()

@@ -57,6 +57,11 @@ object SocketSoak {
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
+          // the listener bus is async and q.stop() does not drain it: a
+          // trailing event from the PREVIOUS phase's query can arrive
+          // after this phase registered its listener — filter by the
+          // phase's query name or it poisons the batchId dedup
+          if (p.name != s"soak_$topic") return
           seenLock.synchronized {
             if (!seen.contains(p.batchId)) {
               val dur = p.durationMs.getOrDefault("triggerExecution", 0L)
@@ -75,6 +80,7 @@ object SocketSoak {
       val wall0 = System.nanoTime()
       val q = graph(src.stream(spark))
         .writeStream
+        .queryName(s"soak_$topic")
         .format("noop")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -98,10 +104,13 @@ object SocketSoak {
 
     // one-lease baselines first, then the sharded runs: same message
     // count, separate topics (retention/ack state independent)
-    val (ww1, _, wr1) = runPhase("wire1", 1, wireGraph)
-    val (wwN, _, wrN) = runPhase(s"wire$shards", shards, wireGraph)
-    val (pw1, _, pr1) = runPhase("pipe1", 1, pipeGraph)
-    val (pwN, bN, prN) = runPhase(s"pipe$shards", shards, pipeGraph)
+    // distinct per-phase topic names even for shards=1 — reusing a
+    // topic+subscription would inherit the earlier phase's ack/retention
+    // state and re-deliver its unacked tail into the next measurement
+    val (ww1, _, wr1) = runPhase("wire_one", 1, wireGraph)
+    val (wwN, _, wrN) = runPhase("wire_many", shards, wireGraph)
+    val (pw1, _, pr1) = runPhase("pipe_one", 1, pipeGraph)
+    val (pwN, bN, prN) = runPhase("pipe_many", shards, pipeGraph)
     broker.stop()
 
     def rate(rows: Long, secs: Double): Long = (rows / secs).round

@@ -42,7 +42,7 @@ object TextProbe {
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         lit("synth").as("source"), length(col("text")).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val total = nDocs + nDocs / 100
+    val total = nDocs + (nDocs + 99) / 100 // twins planted at every doc_id % 100 == 0: CEIL
     println(s"[text-probe] corpus: $total docs at $dir")
 
     def time(name: String)(f: => Long): Long = {
@@ -85,13 +85,20 @@ object TextProbe {
     // doc_id, so never the corpus-wide first occurrence) must lose words
     // while its base keeps all 60. Random 20-gram collisions over the
     // 500-word vocab are ~vanishing, so the base bound is exact.
-    if (want("q_substring_prune")) time("q_substring_prune") {
+    if (want("q_substring_prune")) {
+      // time the FULL materialization (every other probe row pays the
+      // noop-sink cost of all output columns — a counters-only select
+      // would let Catalyst prune the text_clean rebuild, the very cost
+      // the operator documents); the twin canary re-runs a narrow
+      // projection UNTIMED
+      run("q_substring_prune")
       val out = SparkEntry.queries("q_substring_prune")(spark, dir)
         .filter(col("doc_id").isin(0L, nDocs))
         .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache()
       require(out(0L) == 0L, s"base doc lost ${out(0L)} words (is first)")
       require(out(nDocs) > 0L, "twin kept its duplicated span")
-      out(nDocs)
+      println(s"[text-probe] prune twin canary ok: twin dropped ${out(nDocs)} words")
     }
     if (!want("q_line_dedup")) { spark.stop(); return }
     // line dedup last, with the twin canary: doc 0 and doc nDocs share
@@ -99,12 +106,12 @@ object TextProbe {
     // all occur at least twice corpus-wide → doc 0 keeps at most its last
     // chunk. (Other cross-doc line collisions are possible over a 500-word
     // vocab — the canary asserts an upper bound, not an exact count.)
-    time("q_line_dedup") {
-      val kept = SparkEntry.queries("q_line_dedup")(spark, dir)
-        .filter(col("doc_id") === 0).select("n_kept").as[Long].head()
-      require(kept <= 1, s"twin lines not deduped: doc 0 kept $kept lines")
-      kept
-    }
+    run("q_line_dedup") // timed with ALL columns materialized (see above)
+    val kept = SparkEntry.queries("q_line_dedup")(spark, dir)
+      .filter(col("doc_id") === 0).select("n_kept").as[Long].head()
+    spark.catalog.clearCache()
+    require(kept <= 1, s"twin lines not deduped: doc 0 kept $kept lines")
+    println(s"[text-probe] line-dedup twin canary ok: doc 0 kept $kept lines")
     spark.stop()
   }
 }

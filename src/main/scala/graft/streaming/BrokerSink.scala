@@ -44,7 +44,7 @@ object BrokerSink {
           // buffer the partition's lines first: pushWithRetry may run the
           // closure twice, and an Iterator can only be consumed once
           val lines = rows.map { e =>
-            val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000
+            val tsUs = StreamOps.eventMicros(e.ts) // the one shared def
             val payload = s"""{"id":${e.id},"n":${e.n},"ts_us":$tsUs}"""
             Base64.getEncoder.encodeToString(
               payload.getBytes(StandardCharsets.UTF_8))

@@ -93,6 +93,25 @@ class SessionTotalsProcessor(gapMs: Long)
   */
 object StreamOps {
 
+  /** Event-time micros from a Timestamp: getTime is millis; the sub-ms
+    * component lives in getNanos. One shared definition — the connector's
+    * `ts_us` payload field and every stateful compare must agree on this
+    * conversion or at-least-once payload identity silently breaks. */
+  def eventMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+
+  /** R8 flood stage: fan each update out to n unit messages, lazily (a
+    * strict (1 to n).map would materialize an n-element collection per
+    * event on the executor heap). R7 zero-guard first — sequence(1, 0)
+    * semantics aside, a 0-weight update must emit nothing. Shared by the
+    * in-engine [[pipeline]] and the wire-composed ChainSoak stage. */
+  def flood(events: Dataset[KnobEvent]): Dataset[KnobEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.n > 0)
+      .flatMap(e => (0L until e.n).iterator.map(_ => e.copy(n = 1L)))
+  }
+
   /** R5 streaming form: keep the newest-by-event-time record per key,
     * ignoring older arrivals — `state[id] = msg if msg.ts > state[id].ts`
     * (reference knobs.go:92-103). Emits the key's current state on every
@@ -105,15 +124,12 @@ object StreamOps {
       .flatMapGroupsWithState[KnobState, KnobState](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (id: Long, updates: Iterator[KnobEvent], state: GroupState[KnobState]) =>
-          // Compare at MICROS precision (getTime is millis; the sub-ms
-          // component lives in getNanos): a millis-truncated compare would
-          // drop an event genuinely newer by <1 ms as a stale tie,
-          // diverging from the batch twin q_latest_per_key, which orders
-          // by unix_micros.
-          def micros(t: Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos % 1000000) / 1000
-          val newest = updates.maxBy(e => (micros(e.ts), e.n))
-          val newestUs = micros(newest.ts)
+          // Compare at MICROS precision (shared eventMicros): a millis-
+          // truncated compare would drop an event genuinely newer by
+          // <1 ms as a stale tie, diverging from the batch twin
+          // q_latest_per_key, which orders by unix_micros.
+          val newest = updates.maxBy(e => (eventMicros(e.ts), e.n))
+          val newestUs = eventMicros(newest.ts)
           if (state.getOption.forall(_.tsMicros < newestUs)) {
             val next = KnobState(id, newest.n, newestUs)
             state.update(next)
@@ -299,11 +315,7 @@ object StreamOps {
     */
   def pipeline(events: Dataset[KnobEvent], window: String = "10 seconds"): Dataset[(Timestamp, Long, Long)] = {
     import events.sparkSession.implicits._
-    events
-      .filter(_.n > 0) // R7 before R8: sequence(1,0) would step -1
-      // R8 fan-out, emitted LAZILY: a strict (1L to n).map would
-      // materialize an n-element collection per event on the executor heap
-      .flatMap(e => (0L until e.n).iterator.map(_ => e.copy(n = 1L)))
+    flood(events) // R7 zero-guard + R8 lazy fan-out (shared stage)
       .withWatermark("ts", "30 seconds")
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("id"))
       .agg(count(lit(1)).as("cnt"))
