@@ -131,7 +131,14 @@ object Bench {
     names.headOption.foreach(runOnce)
 
     val mpsSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = runInterleaved(names, () => mpsSamples += pipelineThroughput())
+    val results = runInterleaved(names, () => {
+      // The pass's LAST query may have left persisted blocks (runOnce only
+      // clears at the start of the NEXT query): without this clear the
+      // throughput sample competes with a dead cache for executor memory —
+      // measured 71M rows/s after a full 105-query pass vs ~160M clean.
+      spark.catalog.clearCache()
+      mpsSamples += pipelineThroughput()
+    })
     // The driver keeps only the last ~2000 chars of build output, so the
     // stdout line must be COMPACT or it gets truncated mid-JSON and the
     // round's bench is recorded as unparseable (this happened in rounds
@@ -177,12 +184,15 @@ object Bench {
     // median-of-3 for the throughput twin too (r6→r7 it swung 66M→46M
     // rows/s on an unchanged plan, pure contention) — samples taken one
     // per interleaved pass above, so a contention window can poison at
-    // most one of them
+    // most one of them. The MAX rides along as the plan-quality signal
+    // (contention only ever SUBTRACTS throughput — the dual of the
+    // per-query MIN above).
     val mps = mpsSamples.sorted.apply(mpsSamples.length / 2).round
+    val mpsMax = mpsSamples.max.round
     val line =
-      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
+      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // Raw line on BOTH streams: sbt decorates stdout with [info]/[error]
@@ -213,7 +223,7 @@ object Bench {
     val contendedCapped = contendedQs.take(15)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","n_queries":${results.size},"n_contended":${contendedQs.size},"contended":$contendedCapped,"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps}"""
+      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","n_queries":${results.size},"n_contended":${contendedQs.size},"contended":$contendedCapped,"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     System.err.println(summary)
     println(summary)
     spark.stop()

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Tables.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Set operations (SURVEY.md §2B "Set operations") — absent from the
@@ -74,6 +75,34 @@ object SetOps {
           max_by(col("o_orderstatus"), col("pri")).as("status"),
           count(lit(1)).as("n_versions"))
         .orderBy("o_orderkey")
+    }),
+
+    // SCD type-2 history build from a CDC update log — the companion to
+    // q_upsert_merge (which keeps only the LATEST version, this keeps them
+    // ALL as validity intervals): per user, change-compress consecutive
+    // identical values (the reference's skip-if-unchanged push semantics,
+    // reducer.go:96-104, applied to history), then each surviving version
+    // is valid [its ts, next version's ts); the last is open-ended and
+    // flagged current. Scale shape: both windows partition on user_id with
+    // the same (ts_us, event_id) order, so ONE exchange + sort serves the
+    // change-compression lag and the interval lead — and the lead runs on
+    // the already-compressed (smaller) row set. No self-join; the classic
+    // EXISTS-per-version SCD2 build would shuffle the log twice and
+    // quadratically probe hot keys.
+    "q_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val log = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val versions = log
+        .withColumn("prev_v", lag("value", 1).over(w))
+        .filter(col("prev_v").isNull || col("value") =!= col("prev_v"))
+      versions
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+        .select(col("user_id"), col("ts_us").as("valid_from_us"),
+          col("valid_to_us"), round(col("value"), 2).as("v"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us")
     })
   )
 
@@ -111,6 +140,25 @@ object SetOps {
                 arg_max(cents, pri) AS cents,
                 arg_max(o_orderstatus, pri) AS status,
                 count(*) AS n_versions
-         FROM u GROUP BY o_orderkey ORDER BY o_orderkey"""
+         FROM u GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // Change-compression first (frame = the full per-user log), interval
+    // lead second (frame = surviving versions only) — two WINDOW clauses
+    // over the same partitioning, exactly the Spark plan's shape.
+    "q_scd2_history" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, "value"
+           FROM events),
+         c AS (
+           SELECT *, lag("value", 1) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_v
+           FROM e),
+         f AS (SELECT * FROM c WHERE prev_v IS NULL OR "value" <> prev_v)
+         SELECT user_id, ts_us AS valid_from_us,
+                lead(ts_us, 1) OVER w AS valid_to_us,
+                round("value", 2) AS v,
+                lead(ts_us, 1) OVER w IS NULL AS is_current
+         FROM f
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, valid_from_us"""
   )
 }

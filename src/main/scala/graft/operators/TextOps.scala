@@ -588,6 +588,45 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split WITH a leakage guard — the
+    // assignment step between decontamination and packing: every doc gets
+    // a split by multiplicative hash of doc_id (90/5/5; reproducible
+    // across runs and engines, the q_sample_stratified hash family), and
+    // any TRAIN doc whose normalized-text digest also occurs in val∪test
+    // is dropped as leaked (the eval sets must not appear verbatim in
+    // training). Scale shape: the digest is computed map-side and only
+    // (digest, counters) rows ever shuffle — text stays in the scan. The
+    // held-out digest set is 10% of the corpus, far too big to broadcast
+    // at 100 TB, so the guard is a shuffled LEFT join on the digest (both
+    // sides key-partitioned; AQE may still elect broadcast at fixture
+    // scale). Train-internal duplicates are NOT this operator's job —
+    // that's q_dedup_exact upstream.
+    "q_train_test_split" -> ((s, d) => {
+      val bucket = Num.mulHash(col("doc_id"), 100L)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          sha2(lower(trim(col("text"))), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+      val held = docs.filter(col("split") =!= "train")
+        .select(col("h").as("hh")).distinct().withColumn("leak", lit(1L))
+      // ONE pass over the corpus: the train restriction lives in the JOIN
+      // CONDITION (non-train rows never match, so their leak coalesces to
+      // 0) instead of splitting the frame into train ∪ rest, which would
+      // scan documents twice more. Same spelling as the oracle SQL.
+      docs.join(held,
+          col("h") === col("hh") && col("split") === "train", "left")
+        .select(col("split"), col("lang"), col("n_words"),
+          coalesce(col("leak"), lit(0L)).as("leak"))
+        .groupBy("split", "lang")
+        .agg(sum(when(col("leak") === 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("leak")).as("n_leaked"),
+          sum(when(col("leak") === 0, col("n_words")).otherwise(0L))
+            .as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     // Gopher-style intra-document repetition metrics: duplicate-bigram
     // fraction and top-bigram mass — the cheap quality signals that gate a
     // crawl doc before any expensive scoring. The metrics are intrinsically
@@ -1225,6 +1264,33 @@ object TextOps {
                 coalesce(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""",
+    // Same split hash spelling as q_sample_per_group's oracle; the leak
+    // join condition is pre-restricted to train rows so non-train rows
+    // can never match.
+    "q_train_test_split" ->
+      """WITH d AS (
+           SELECT doc_id, lang, sha256(lower(trim(text))) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
+                         THEN 'train'
+                       WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 95
+                         THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+         held AS (SELECT DISTINCT h FROM d WHERE split <> 'train'),
+         m AS (
+           SELECT d.split, d.lang, d.n_words,
+                  CASE WHEN d.split = 'train' AND held.h IS NOT NULL
+                       THEN 1 ELSE 0 END AS leak
+           FROM d LEFT JOIN held
+             ON d.h = held.h AND d.split = 'train')
+         SELECT split, lang,
+                CAST(sum(CASE WHEN leak = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_docs,
+                CAST(sum(leak) AS BIGINT) AS n_leaked,
+                CAST(sum(CASE WHEN leak = 0 THEN n_words ELSE 0 END)
+                  AS BIGINT) AS n_tokens
+         FROM m GROUP BY split, lang ORDER BY split, lang""",
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          big AS (
