@@ -110,19 +110,23 @@ object TextOps {
     * the share of each doc's `k`-word windows that occur verbatim in at
     * least one OTHER document. Input needs (doc_id, text).
     *
-    * Plan shape (round-10 fix): ONE corpus-scale exchange. Occurrence
-    * rows go straight into the digest window — "appears in ≥ 2 distinct
-    * docs" is just `min(doc_id) ≠ max(doc_id)` over the digest partition,
-    * evaluated per OCCURRENCE, so counting the surviving rows per doc
-    * yields dup_grams (within-doc multiplicity included) with no
-    * (doc, digest) pre-aggregation. The previous shape aggregated to
-    * (doc, digest, cnt) first and then re-exchanged by digest for a
-    * count-window — two corpus-scale shuffles plus a hash-agg over ~all
-    * gram rows (corpus 20-grams are nearly all distinct, so the pre-agg
-    * shrank nothing); at the 1M-doc probe the single-exchange form is
-    * ~30% faster cold (170 s → 120 s) and drops a whole corpus-scale
-    * spill surface. Same rule as substringPrune's window, so the two
-    * stay structurally in sync. Shuffles carry digests only. */
+    * Plan shape (round-11 de-skew): per-digest facts come from an
+    * AGGREGATION, not a window. Round 10's `Window.partitionBy(gh)` was
+    * the one skewed-key scale-killer in the repo: every occurrence of one
+    * hot span (a license header repeated 10⁸–10⁹ times at 100 TB) lands
+    * in a single window partition, and AQE cannot split a window
+    * partition the way it splits a join. `groupBy(gh).agg(min/max
+    * (doc_id))` instead lets PARTIAL aggregation absorb the hot digest
+    * map-side (the reference-scale analog: mapper.go:65-86's combiner
+    * exists precisely so the reducer never sees raw fan-in), and the
+    * "appears in ≥ 2 distinct docs" digests — a small filtered set —
+    * join back to the occurrence stream on `gh`, where a residual hot
+    * key is a JOIN skew that AQE's skew-split handles. Cost shape: the
+    * agg path shuffles (gh, partial-min, partial-max) = 24 B rows, the
+    * join path the raw (doc_id, gh) occurrences — two narrow digest-only
+    * exchanges replacing round 10's one exchange + unsplittable sort.
+    * Same rule as substringPrune's facts, so the two stay structurally
+    * in sync. Shuffles carry digests only. */
   def substringDupStats(docs: org.apache.spark.sql.DataFrame,
       k: Int = 20): org.apache.spark.sql.DataFrame = {
     val gated = docs
@@ -138,11 +142,13 @@ object TextOps {
     val grams = gated.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
         i => xxhash64(array_join(slice(col("w"), i, lit(k)), " ")))).as("gh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val dup = grams
-      .withColumn("mind", min("doc_id").over(w))
-      .withColumn("maxd", max("doc_id").over(w))
+    // digests seen in ≥2 distinct docs — partial agg flattens a hot
+    // digest to one row per map task before the exchange
+    val dupDigests = grams.groupBy("gh")
+      .agg(min("doc_id").as("mind"), max("doc_id").as("maxd"))
       .filter(col("maxd") =!= col("mind"))
+      .select("gh")
+    val dup = grams.join(dupDigests, Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
     gated
       .select(col("doc_id"), (size(col("w")) - (k - 1)).cast("long").as("n_grams"))
@@ -163,26 +169,32 @@ object TextOps {
     * (q_repetition's job — same rule as the stats side: a window is
     * duplicated iff it appears in ≥ 2 DISTINCT docs).
     *
-    * Scale shape: one corpus explode into (doc_id, pos, digest); ONE
-    * window over the digest (row_number for the first-occurrence rule +
-    * min/max doc for the ≥2-distinct-docs test — no count-distinct
-    * window needed, and no second explode branch: the round-6 lesson);
-    * the deletions group back to O(deleted spans) per doc and join on
+    * Scale shape (round-11 de-skew, same as [[substringDupStats]]): one
+    * corpus explode into (doc_id, pos, digest); per-digest facts by
+    * AGGREGATION — `min(struct(doc_id, i))` IS the corpus-wide first
+    * occurrence (lexicographic struct min ≡ row 1 of a (doc_id, i)
+    * ordering) and min/max doc give the ≥2-distinct-docs test — so a
+    * boilerplate span repeated 10⁹ times collapses map-side in partial
+    * agg instead of window-sorting inside one task (round 10's
+    * `Window.partitionBy(gh)` + row_number, which AQE cannot skew-split
+    * the way it splits the facts-to-occurrence join used here). The
+    * deletions group back to O(deleted spans) per doc and join on
     * doc_id. Every shuffle carries digests and integers. The only text
     * movement is the final rebuild of surviving words — the cost any
     * operator EMITTING a cleaned corpus pays exactly once, same as
     * q_line_dedup. Docs under `k` words can't host a window and pass
     * through whole.
     *
-    * Per-doc rebuild cost is O(n_words × deleted_spans) (the `exists`
-    * probe per position): fine at document scale (a 10⁴-word doc that is
-    * half duplicated is ~10⁷ integer compares, in-row, no shuffle), but a
-    * pathological mega-document would want the sorted-sweep form — in a
-    * real pipeline the chunker (q_chunk_overlap) upstream bounds doc
-    * length long before this matters. */
+    * Per-doc rebuild cost is O(n_words + deleted_spans × k) (round-11
+    * fix closing the self-documented O(n_words × deleted_spans) caveat):
+    * the deleted POSITION SET is materialized once per doc —
+    * `flatten(transform(starts, s → sequence(s, s+k−1)))` — and
+    * `array_except(all_positions, deleted)` keeps the complement via one
+    * hash-set build + one ordered probe pass, so a pathological
+    * mega-document (10⁵ words, half duplicated) costs ~10⁶ array cells
+    * in-row instead of ~10⁹ `exists` compares. */
   def substringPrune(docs: org.apache.spark.sql.DataFrame,
       k: Int = 20): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val occ = base
       .filter(size(col("ws")) >= k)
@@ -194,24 +206,29 @@ object TextOps {
             xxhash64(array_join(slice(col("ws"), i, lit(k)), " "))
               .as("gh")))).as("o"))
       .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
-    val w = Window.partitionBy("gh")
-    val wOrd = w.orderBy("doc_id", "i")
-    val del = occ
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("mind", min("doc_id").over(w))
-      .withColumn("maxd", max("doc_id").over(w))
+    // per-digest facts: corpus-wide first occurrence (struct min) + the
+    // ≥2-distinct-docs test, absorbed map-side by partial aggregation
+    val facts = occ.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("i"))).as("first_occ"),
+        min("doc_id").as("mind"), max("doc_id").as("maxd"))
+      .filter(col("maxd") =!= col("mind"))
+      .select(col("gh"), col("first_occ"))
+    val del = occ.join(facts, Seq("gh"))
       // ≥2 distinct docs AND not the corpus-wide first occurrence: the
       // first doc keeps its copy (even its own later repeats of a
       // cross-doc span are pruned — "keep ONE occurrence corpus-wide")
-      .filter(col("maxd") =!= col("mind") && col("rn") > 1)
+      .filter(col("doc_id") =!= col("first_occ.doc_id") ||
+        col("i") =!= col("first_occ.i"))
       .groupBy("doc_id").agg(collect_list(col("i")).as("starts"))
     base.join(del, Seq("doc_id"), "left")
       .select(col("doc_id"), col("ws"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      // deleted positions as an explicit set, complement via one hashed
+      // array_except pass — O(n + spans·k) per doc, order-preserving
       .select(col("doc_id"), col("ws"),
-        filter(sequence(lit(1), size(col("ws"))),
-          p => !exists(col("starts"),
-            s => p >= s && p < s + k)).as("keep_pos"))
+        array_except(sequence(lit(1), size(col("ws"))),
+          flatten(transform(col("starts"),
+            s => sequence(s, s + lit(k - 1))))).as("keep_pos"))
       .select(col("doc_id"),
         array_join(transform(col("keep_pos"),
           p => element_at(col("ws"), p)), " ").as("text_clean"),
