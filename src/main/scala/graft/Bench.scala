@@ -39,13 +39,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
 
+    // Round-12 (verdict #3): a failed query must leave a NAMED error in
+    // the artifact, not a bare -1 — round 11's fixture-schema break erased
+    // 21 rows with zero diagnosis because -1 carries none.
+    val errors = scala.collection.mutable.Map.empty[String, String]
+
     def runOnce(name: String): Double = {
       spark.catalog.clearCache() // persisted subtrees must not carry over
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+        errors(name) = msg
+        System.err.println(s"[bench] $name failed: $msg")
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -189,10 +197,23 @@ object Bench {
     // per-query MIN above).
     val mps = mpsSamples.sorted.apply(mpsSamples.length / 2).round
     val mpsMax = mpsSamples.max.round
+    // JSON-escape an error message (quotes/backslashes/control chars).
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errorsFull = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jq(v) }.mkString("{", ",", "}")
+    // Compact form: first 3 distinct failures, 100 chars each — enough to
+    // name the exception class inside the ~2000-char retained tail.
+    val errorsCapped = errors.toSeq.sortBy(_._1).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + jq(v.take(100)) }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // Raw line on BOTH streams: sbt decorates stdout with [info]/[error]
@@ -223,7 +244,7 @@ object Bench {
     val contendedCapped = contendedQs.take(15)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","n_queries":${results.size},"n_contended":${contendedQs.size},"contended":$contendedCapped,"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
+      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","n_queries":${results.size},"n_contended":${contendedQs.size},"contended":$contendedCapped,"n_errors":${errors.size},"errors":$errorsCapped,"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     System.err.println(summary)
     println(summary)
     spark.stop()

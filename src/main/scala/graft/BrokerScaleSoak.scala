@@ -1,0 +1,129 @@
+package graft
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import graft.streaming.BrokerGroup
+
+/** Multi-process broker scale-out soak (round-10 verdict task #2, carried
+  * through round 11): the single-JVM MiniBroker write path ceilings at
+  * ~1.06M msg/s — every producer serializes on one topic log's monitor
+  * inside one heap. This soak demonstrates the horizontal path the
+  * reference actually deploys (topic service replicas, deploy:34-77):
+  *
+  *   N REAL broker JVMs (spawned [[graft.streaming.BrokerMain]]
+  *   processes) × P producer sockets, topic sharded across members by
+  *   [[BrokerGroup]] routing — producer p floods member p % N over TCP
+  *   with PUBB batches.
+  *
+  * Phases: 1-broker baseline, then N-broker, same total message count and
+  * producer count. `speedup` is the headline — the done-bar is ≥1.5× at
+  * N=2, i.e. the ceiling is the JVM (lock + heap + accept loop), not the
+  * protocol, so capacity scales by adding members. Completion is
+  * confirmed by [[BrokerGroup.statAll]]: Σ member seqs must equal the
+  * published count before the clock stops (PUBB has no per-batch ack, so
+  * producer-side completion alone would under-measure).
+  *
+  * No Spark in this soak: it isolates the broker tier the way the wire
+  * soaks isolate ingest. Usage:
+  * `sbt "runMain graft.BrokerScaleSoak [nMsgs] [maxBrokers] [producers]"`
+  */
+object BrokerScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val nMsgs = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val maxBrokers = if (args.length > 1) args(1).toInt else 2
+    val producers = if (args.length > 2) args(2).toInt else 8
+    val batch = 10000
+
+    /** Spawn k broker JVMs; returns (processes, endpoints). */
+    def spawn(k: Int): (Seq[Process], Seq[(String, Int)]) = {
+      val java = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val started = (0 until k).map { _ =>
+        val p = new ProcessBuilder(
+          java, "-Xmx4g", "-cp", cp, "graft.streaming.BrokerMain")
+          .redirectErrorStream(false)
+          .start()
+        val in = new BufferedReader(
+          new InputStreamReader(p.getInputStream, StandardCharsets.UTF_8))
+        val line = in.readLine()
+        require(line != null && line.startsWith("PORT "),
+          s"broker child failed to start: $line")
+        (p, ("127.0.0.1", line.drop(5).trim.toInt))
+      }
+      (started.map(_._1), started.map(_._2))
+    }
+
+    // ONE payload reused for every message: the soak measures broker
+    // ingest (socket read + append under the log lock), not producer-side
+    // string formatting — and both phases reuse it identically.
+    val payload = Base64.getEncoder.encodeToString(
+      """{"id":3,"n":7,"ts_us":1704067200000000}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+    /** Flood `nMsgs` across the group from `producers` threads; returns
+      * wall secs from first byte to Σ member seqs == nMsgs. */
+    def flood(endpoints: Seq[(String, Int)], topic: String): Double = {
+      val group = new BrokerGroup(endpoints)
+      val perProducer = nMsgs / producers
+      val remainder = nMsgs - perProducer * producers
+      val t0 = System.nanoTime()
+      val threads = (0 until producers).map { p =>
+        val t = new Thread(() => {
+          val (host, port) = endpoints(p % endpoints.size)
+          val sock = new Socket(host, port)
+          sock.setTcpNoDelay(false)
+          val out = new BufferedWriter(new OutputStreamWriter(
+            sock.getOutputStream, StandardCharsets.UTF_8), 1 << 16)
+          var left = perProducer + (if (p == 0) remainder else 0L)
+          while (left > 0) {
+            val n = math.min(left, batch.toLong).toInt
+            out.write(s"PUBB $topic $n\n")
+            var i = 0
+            while (i < n) { out.write(payload); out.write("\n"); i += 1 }
+            left -= n
+          }
+          out.flush()
+          sock.close()
+        }, s"producer-$p")
+        t.start()
+        t
+      }
+      threads.foreach(_.join())
+      // producers returned when bytes were WRITTEN; the clock stops when
+      // every member has APPENDED its slice
+      var published = group.statAll(topic, "probe")._1
+      while (published < nMsgs) {
+        Thread.sleep(20)
+        published = group.statAll(topic, "probe")._1
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(published == nMsgs,
+        s"published $published != expected $nMsgs (duplicated batch?)")
+      group.close()
+      secs
+    }
+
+    def phase(k: Int): Long = {
+      val (procs, endpoints) = spawn(k)
+      try {
+        val secs = flood(endpoints, "scale")
+        (nMsgs / secs).round
+      } finally procs.foreach { p =>
+        p.getOutputStream.close() // stdin EOF → broker exits
+        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
+      }
+    }
+
+    val one = phase(1)
+    val many = phase(maxBrokers)
+    val speedup = many.toDouble / one
+    val line =
+      s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers}"""
+    System.err.println(line)
+    println(line)
+  }
+}

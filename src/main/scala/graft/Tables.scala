@@ -44,25 +44,61 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy nanosAsLong conf) and
-    * surface both a micros-precision `ts` timestamp (floor-truncated, the
-    * same truncation DuckDB's `epoch_us` applies) and the exact `ts_ns`.
+  /** `events.ts` has shipped under three physical encodings across fixture
+    * generations — parquet TIMESTAMP(NANOS) (read as a raw long via the
+    * legacy nanosAsLong conf, since Spark's vectorized reader rejects
+    * nanos), TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark reads
+    * TIMESTAMP_NTZ), and TIMESTAMP(MICROS) adjusted (TimestampType). The
+    * loader normalizes all three to the same surface: `ts` as a
+    * micros-precision TimestampType and `ts_ns` as exact epoch-nanos, so
+    * no consumer depends on which generation of fixture is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    // Integer arithmetic, not `/`: epoch-nanos exceed double's 53-bit
-    // mantissa, so float division would be off by ±1 microsecond. And
-    // FLOOR division, not bare `div` (which truncates toward zero):
-    // subtracting the non-negative pmod remainder first makes pre-epoch
-    // nanos floor exactly like DuckDB's ns->us cast, instead of agreeing
-    // only on post-1970 fixtures.
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "timestamp_micros((ts_ns - pmod(ts_ns, 1000)) div 1000)"))
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try table(s, d, "events")
+      catch {
+        // Nanos fixtures fail schema conversion ("Illegal Parquet type:
+        // INT64 (TIMESTAMP(NANOS,..))") unless read as raw longs. The conf
+        // is only flipped on this branch — micros fixtures never see it —
+        // and must STAY set: the physical scan re-reads it at execution
+        // time, so restoring it here would break the deferred read.
+        case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Integer arithmetic, not `/`: epoch-nanos exceed double's 53-bit
+        // mantissa, so float division would be off by ±1 microsecond. And
+        // FLOOR division, not bare `div` (which truncates toward zero):
+        // subtracting the non-negative pmod remainder first makes pre-epoch
+        // nanos floor exactly like DuckDB's ns->us cast, instead of
+        // agreeing only on post-1970 fixtures.
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts",
+            expr("timestamp_micros((ts_ns - pmod(ts_ns, 1000)) div 1000)"))
+      case TimestampNTZType =>
+        // Wall-clock micros. timestampdiff against an NTZ epoch literal is
+        // pure wall-clock arithmetic — unlike `cast(ts as timestamp)` it
+        // yields the same epoch value under ANY session time zone (the
+        // fixtures' NTZ values are UTC wall clocks, as DuckDB's
+        // epoch_us(ts) also assumes).
+        raw
+          .withColumn("ts_ns", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case TimestampType =>
+        // Instant-carrying micros: unix_micros is TZ-independent by
+        // construction.
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected " +
+            "long nanos, TIMESTAMP_NTZ micros, or TIMESTAMP micros)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -616,24 +616,33 @@ object TextOps {
     // held-out digest set is 10% of the corpus, far too big to broadcast
     // at 100 TB, so the guard is a shuffled LEFT join on the digest (both
     // sides key-partitioned; AQE may still elect broadcast at fixture
-    // scale). Train-internal duplicates are NOT this operator's job —
-    // that's q_dedup_exact upstream.
+    // scale). The digest is a PAIR of independently-seeded xxhash64 longs
+    // (16 bytes) rather than hex sha256 (64+ bytes): equality of the pair
+    // is a 128-bit match (p_collision ≈ n²/2¹²⁹ — cryptographically
+    // irrelevant for dedup), and the 10%-of-corpus shuffle moves ~4× less
+    // key data. The DuckDB oracle keeps sha256 as the semantic spec; both
+    // digests induce the same partition of normalized texts, so the
+    // grouped counts agree. Train-internal duplicates are NOT this
+    // operator's job — that's q_dedup_exact upstream.
     "q_train_test_split" -> ((s, d) => {
       val bucket = Num.mulHash(col("doc_id"), 100L)
+      val norm = lower(trim(col("text")))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          sha2(lower(trim(col("text"))), 256).as("h"),
+          xxhash64(norm).as("h1"), xxhash64(lit(1), norm).as("h2"),
           size(split(col("text"), " ")).cast("long").as("n_words"),
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test").as("split"))
       val held = docs.filter(col("split") =!= "train")
-        .select(col("h").as("hh")).distinct().withColumn("leak", lit(1L))
+        .select(col("h1").as("hh1"), col("h2").as("hh2")).distinct()
+        .withColumn("leak", lit(1L))
       // ONE pass over the corpus: the train restriction lives in the JOIN
       // CONDITION (non-train rows never match, so their leak coalesces to
       // 0) instead of splitting the frame into train ∪ rest, which would
       // scan documents twice more. Same spelling as the oracle SQL.
       docs.join(held,
-          col("h") === col("hh") && col("split") === "train", "left")
+          col("h1") === col("hh1") && col("h2") === col("hh2") &&
+            col("split") === "train", "left")
         .select(col("split"), col("lang"), col("n_words"),
           coalesce(col("leak"), lit(0L)).as("leak"))
         .groupBy("split", "lang")

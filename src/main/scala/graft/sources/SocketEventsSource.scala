@@ -238,13 +238,29 @@ private class SocketMicroBatchStream(host: String, port: Int,
   private var control: BrokerClient = _
   @volatile private var lastLatest = 0L
 
+  /** Open a control connection and REG the subscription — the broker's
+    * STAT/ACK verbs operate on EXISTING subscriptions only (a
+    * get-or-create there could mint retention-pinning phantoms), so
+    * registration is an explicit admin step on connect, exactly the
+    * reference's GetOrCreateSubscription-then-use sequence. */
+  private def connect(): BrokerClient = {
+    val c = new BrokerClient(host, port)
+    c.send(s"REG $topicName $subName")
+    val resp = c.readLine()
+    if (resp == null || !resp.startsWith("OK ")) {
+      c.close()
+      throw new IOException(s"unexpected REG response: $resp")
+    }
+    c
+  }
+
   private def withControl[T](f: BrokerClient => T): T = synchronized {
-    if (control == null) control = new BrokerClient(host, port)
+    if (control == null) control = connect()
     try f(control)
     catch {
       case _: IOException =>
         control.close()
-        control = new BrokerClient(host, port)
+        control = connect()
         f(control)
     }
   }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+/** Client-side view of a topic sharded across N INDEPENDENT broker
+  * processes — the Kafka-partition shape lifted one level: each group
+  * member is a whole broker owning shard i for every i with
+  * `i % size == memberIndex`. The brokers never talk to each other;
+  * membership is pure client-side routing, which is exactly how the
+  * reference's topic service scales horizontally (more capacity = more
+  * service replicas behind stable names, deploy:34-77): adding a member
+  * adds a disjoint slice of lock, heap, and accept-loop.
+  *
+  * Consequences the API makes explicit (and [[BrokerGroupSpec]] pins):
+  *  - a subscription must exist on EVERY member before it is usable —
+  *    [[regAll]] is the cross-broker twin of the reference's
+  *    GetOrCreateSubscription (util.go:45-70), looped over members;
+  *  - seqs are only per-member ordered: there is no global order across
+  *    members, so [[statAll]] aggregates by SUM (total backlog), never by
+  *    comparing seqs across members;
+  *  - acks and retention trims are per-member: acking member 0 can never
+  *    trim member 1's log.
+  *
+  * One line-oriented control connection per member, lazily opened; not
+  * thread-safe (callers own their group instance — the soak gives each
+  * producer thread its own raw socket instead for the data path).
+  */
+final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable {
+  require(endpoints.nonEmpty, "empty broker group")
+
+  private final class Conn(host: String, port: Int) {
+    val sock = new Socket(host, port)
+    sock.setSoTimeout(10000)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      sock.getOutputStream, StandardCharsets.UTF_8))
+    val in = new BufferedReader(new InputStreamReader(
+      sock.getInputStream, StandardCharsets.UTF_8))
+    def send(l: String): Unit = { out.write(l); out.write("\n"); out.flush() }
+    def read(): String = in.readLine()
+  }
+
+  private val conns = new Array[Conn](endpoints.size)
+  private def conn(m: Int): Conn = {
+    if (conns(m) == null)
+      conns(m) = new Conn(endpoints(m)._1, endpoints(m)._2)
+    conns(m)
+  }
+
+  def size: Int = endpoints.size
+
+  /** The member owning a shard. */
+  def member(shard: Int): Int = math.floorMod(shard, size)
+
+  /** Get-or-create the subscription on EVERY member; returns each
+    * member's cumulative ack (a late member answers its own trim point —
+    * per-member, like everything else). */
+  def regAll(topic: String, sub: String): Seq[Long] =
+    endpoints.indices.map { m =>
+      val c = conn(m)
+      c.send(s"REG $topic $sub")
+      val resp = c.read()
+      require(resp != null && resp.startsWith("OK "),
+        s"member $m: unexpected REG response $resp")
+      resp.drop(3).trim.toLong
+    }
+
+  /** (Σ latest seq, Σ cumulative ack) across members — total published
+    * and total acked for the sharded topic. Per-member seqs are
+    * incomparable across members, so sums are the only meaningful
+    * aggregate. */
+  def statAll(topic: String, sub: String): (Long, Long) =
+    endpoints.indices.foldLeft((0L, 0L)) { case ((lat, ack), m) =>
+      val c = conn(m)
+      c.send(s"STAT $topic $sub")
+      val resp = c.read()
+      val parts = resp.trim.split("\\s+")
+      require(parts.length == 3 && parts(0) == "SEQ",
+        s"member $m: unexpected STAT response $resp")
+      (lat + parts(1).toLong, ack + parts(2).toLong)
+    }
+
+  /** Cumulative ack on ONE member (the consumer leasing that member's
+    * slice is the only party that may ack it). */
+  def ack(memberIdx: Int, topic: String, sub: String, seq: Long): Unit =
+    conn(memberIdx).send(s"ACK $topic $sub $seq")
+
+  /** Bulk-publish payload lines to the member owning `shard`. */
+  def publish(shard: Int, topic: String, payloads: Seq[String]): Unit = {
+    val c = conn(member(shard))
+    c.out.write(s"PUBB $topic ${payloads.size}\n")
+    payloads.foreach { p => c.out.write(p); c.out.write("\n") }
+    c.out.flush()
+  }
+
+  override def close(): Unit =
+    conns.foreach(c => if (c != null) {
+      try c.sock.close() catch { case _: Throwable => () }
+    })
+}

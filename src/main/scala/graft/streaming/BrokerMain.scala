@@ -1,0 +1,25 @@
+package graft.streaming
+
+/** Standalone broker process entry — one [[MiniBroker]] in its own JVM,
+  * the unit of horizontal broker scale-out ([[graft.BrokerScaleSoak]]
+  * spawns N of these as real OS processes). Prints `PORT <n>` once
+  * listening, then blocks until stdin reaches EOF — so a broker child
+  * dies with its parent (stream close / destroy) instead of leaking a
+  * listening JVM.
+  *
+  * No Spark on this code path: the broker is plain sockets + heap, which
+  * is what makes it cheap to fan out one-per-core-group on a real
+  * deployment (the reference runs its topic service as its own deployment
+  * for the same reason — deploy:34-77).
+  */
+object BrokerMain {
+  def main(args: Array[String]): Unit = {
+    val broker = new MiniBroker
+    val port = broker.start()
+    // parent parses this line; flush before blocking
+    println(s"PORT $port")
+    Console.out.flush()
+    while (System.in.read() != -1) ()
+    broker.stop()
+  }
+}

@@ -34,9 +34,17 @@ import scala.collection.mutable.ArrayBuffer
   *    writer (round-9 ADVICE).
   *  - broker → `MSG <seq> <base64-payload>` — seqs are topic-stable and
   *    1-based, so re-delivery after a reconnect carries the SAME seq.
+  *  - client → `REG <topic> <subscription>` — explicit get-or-create of
+  *    the subscription (the reference's GetOrCreateSubscription admin
+  *    call), answered `OK <ackedSeq>`. The ONLY verbs that create a
+  *    subscription are REG and SUB: STAT and ACK operate on existing
+  *    names exclusively, so a typo'd metadata poll or ack cannot mint a
+  *    phantom subscription that pins retention (round-11 ADVICE).
   *  - client → `ACK <topic> <subscription> <seq>` — CUMULATIVE: everything
-  *    ≤ seq is done. (The 3-token legacy form `ACK <subscription> <seq>`
-  *    resolves the topic through this connection's own SUBs.) An ACK may
+  *    ≤ seq is done; unknown subscriptions answer
+  *    `ERR unknown-subscription`. (The 3-token legacy form
+  *    `ACK <subscription> <seq>` resolves the topic through this
+  *    connection's own SUBs.) An ACK may
   *    TRIM: the broker drops retained messages below the minimum
   *    cumulative ack across the topic's subscriptions — bounded retention
   *    (the round-9 gap), with re-delivery still honoring every unacked
@@ -46,9 +54,12 @@ import scala.collection.mutable.ArrayBuffer
   *  - client → `PUBB <topic> <n>` then n raw base64-payload lines — bulk
   *    publish: one lock and one wakeup per chunk instead of per message
   *    (the producing side's hot path — see [[BrokerSink]]).
-  *  - client → `STAT <topic> <subscription>` — get-or-create, then
-  *    `SEQ <latestSeq> <ackedSeq>`: the metadata poll a driver uses for
-  *    admission control without any data flowing through it.
+  *  - client → `STAT <topic> <subscription>` — `SEQ <latestSeq>
+  *    <ackedSeq>`: the metadata poll a driver uses for admission control
+  *    without any data flowing through it. Metadata READ only: it never
+  *    creates the subscription (ackedSeq answers 0 for an unknown name) —
+  *    a get-or-create here let a mistyped STAT pin retention on a phantom
+  *    subscription forever.
   *  - client → `FETCH <topic> <shard> <numShards> <after> <upTo>` — pull
   *    the retained shard slice `after < seq ≤ upTo, seq % numShards ==
   *    shard` as MSG lines terminated by `EOF <upTo>`. This is the
@@ -67,6 +78,12 @@ import scala.collection.mutable.ArrayBuffer
   * `cursor.toInt`).
   */
 class MiniBroker {
+  /** Upper bound on a PUBB batch's client-declared line count. The broker
+    * allocates the batch buffer from this number before any payload
+    * arrives, so it must be bounded by the server, not trusted from the
+    * wire. 1M lines ≈ tens of MB worst-case — far above any real batch
+    * ([[graft.streaming.BrokerSink]] sends ≤64k), far below OOM. */
+  val MaxPubBatch: Int = 1 << 20
   private final class Topic {
     val seq = new AtomicLong(0L)
     // log(i) holds seq `base + 1 + i`; `base` rises as the retention trim
@@ -249,8 +266,27 @@ class MiniBroker {
               pusher.setDaemon(true)
               pusher.start()
             }
+          case "REG" if parts.length == 3 =>
+            // explicit get-or-create — the reference's
+            // GetOrCreateSubscription admin call (util.go:45-70) as its
+            // own verb. Registration is DELIBERATE: SUB registers the
+            // name it streams; FETCH clients REG once before STAT/ACK.
+            // Answers the subscription's current cumulative ack so a
+            // fresh control connection can sync in one round trip.
+            val s0 = sub(parts(1), parts(2))
+            out.synchronized {
+              out.println(s"OK ${s0.acked.get()}"); out.flush()
+            }
           case "ACK" if parts.length == 4 =>
-            ackAndTrim(parts(1), parts(2), parts(3).toLong)
+            // only EXISTING subscriptions may ack: a get-or-create here
+            // would mint a phantom (topic, sub) whose frozen ack pins the
+            // topic's retention trim forever (round-11 ADVICE)
+            if (subs.containsKey(s"${parts(1)}/${parts(2)}"))
+              ackAndTrim(parts(1), parts(2), parts(3).toLong)
+            else out.synchronized {
+              out.println(s"ERR unknown-subscription ${parts(2)}")
+              out.flush()
+            }
           case "ACK" if parts.length == 3 =>
             // legacy name-only ack: topic resolved through this
             // connection's own SUBs — never a cross-topic guess
@@ -271,6 +307,18 @@ class MiniBroker {
             // ~20× that in ChainSoak). Consumers see identical seqs.
             val t = topic(parts(1))
             val n = parts(2).toInt
+            if (n < 0 || n > MaxPubBatch) {
+              // refuse BEFORE allocating or reading payload: a bogus
+              // `PUBB t 2000000000` must answer ERR, not OOM the broker
+              // (round-11 ADVICE). The client will still send its payload
+              // lines, which would desync the verb stream — drop the
+              // connection rather than misread payloads as verbs.
+              out.synchronized {
+                out.println(s"ERR pubb-count $n not in [0,$MaxPubBatch]")
+                out.flush()
+              }
+              throw new SocketException("pubb count out of range")
+            }
             val batch = new Array[String](n)
             var i = 0
             var eof = false
@@ -278,7 +326,14 @@ class MiniBroker {
               val l = in.readLine()
               if (l == null) eof = true else { batch(i) = l; i += 1 }
             }
-            t.log.synchronized {
+            if (eof) {
+              // the peer died mid-batch: appending the partial prefix
+              // would silently publish a batch the producer never
+              // completed — drop it; an at-least-once producer re-sends
+              // the whole batch on reconnect
+              System.err.println(
+                s"[broker] PUBB short read ($i of $n lines), batch dropped")
+            } else t.log.synchronized {
               var j = 0
               while (j < i) {
                 t.log += ((t.seq.incrementAndGet(), batch(j)))
@@ -287,8 +342,11 @@ class MiniBroker {
               t.log.notifyAll()
             }
           case "STAT" if parts.length == 3 =>
+            // metadata read — must NOT get-or-create the subscription: a
+            // STAT against a name that never SUBs would pin retention at
+            // the phantom's frozen ack (round-11 ADVICE). No sub ⇒ 0.
             val latest = topic(parts(1)).seq.get()
-            val acked = sub(parts(1), parts(2)).acked.get()
+            val acked = ackedSeq(parts(1), parts(2))
             out.synchronized {
               out.println(s"SEQ $latest $acked"); out.flush()
             }

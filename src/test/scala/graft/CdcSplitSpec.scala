@@ -119,4 +119,16 @@ class CdcSplitSpec extends AnyFunSuite {
       s"expected all three splits at fixture scale, got ${got.map(_._1)}")
     spark.catalog.clearCache()
   }
+
+  test("q_train_test_split leak join shuffles the 128-bit hash pair, not hex sha256") {
+    // The held set is 10% of the corpus and is SHUFFLE-joined (too big to
+    // broadcast at 100 TB): the join key must be the two xxhash64 longs
+    // (16 bytes), not a 64-char hex digest (~4× wider on the wire).
+    val plan = run("q_train_test_split").queryExecution.executedPlan.toString
+    assert(!plan.contains("sha2("),
+      s"leak-guard plan still carries a sha2 digest:\n$plan")
+    assert(plan.contains("xxhash64"),
+      s"expected xxhash64 pair as the leak join key:\n$plan")
+    spark.catalog.clearCache()
+  }
 }

@@ -85,9 +85,11 @@ class MiniBrokerSpec extends AnyFunSuite {
         // register BOTH subscriptions before any ack: retention only
         // protects subscriptions that exist (a sub born later starts at
         // the trim point — asserted below), so u2 must be known before
-        // u1's ack or the min would be over {u1} alone
+        // u1's ack or the min would be over {u1} alone. Registration is
+        // the explicit REG admin verb — STAT is a pure read now.
+        c.send("REG tt u1"); assert(c.read() == "OK 0")
+        c.send("REG tt u2"); assert(c.read() == "OK 0")
         c.send("STAT tt u1"); assert(c.read() == "SEQ 100 0")
-        c.send("STAT tt u2"); assert(c.read() == "SEQ 100 0")
         // two subscriptions at different acks: trim follows the MINIMUM
         c.send("ACK tt u1 60")
         c.send("ACK tt u2 40")
@@ -114,9 +116,11 @@ class MiniBrokerSpec extends AnyFunSuite {
         } finally c2.close()
 
         // a subscription born after the trim starts at the trim point:
-        // STAT reports acked=60, not 0 (it cannot be served 1..60)
-        c.send("STAT tt late")
-        assert(c.read() == "SEQ 100 60")
+        // REG answers acked=60, not 0 (it cannot be served 1..60) —
+        // while a STAT of a name nobody registered stays a pure read
+        c.send("STAT tt late"); assert(c.read() == "SEQ 100 0")
+        c.send("REG tt late"); assert(c.read() == "OK 60")
+        c.send("STAT tt late"); assert(c.read() == "SEQ 100 60")
       } finally c.close()
     } finally broker.stop()
   }
@@ -216,7 +220,9 @@ class MiniBrokerSpec extends AnyFunSuite {
 
         // trim 1..6, then a fetch starting below the trim point must be
         // refused loudly (a silently partial slice would break
-        // at-least-once)
+        // at-least-once). The sub must be REGistered first — ACK never
+        // creates.
+        c.send("REG tf u"); assert(c.read() == "OK 0")
         c.send("ACK tf u 6")
         Thread.sleep(200)
         assert(broker.trimmedBelow("tf") == 6L)
@@ -224,6 +230,83 @@ class MiniBrokerSpec extends AnyFunSuite {
         assert(c.read().startsWith("ERR fetch trimmed-below"))
         // while a fetch above it still works
         assert(fetch(0, 1, 6, 10) == Seq(7L, 8L, 9L, 10L))
+      } finally c.close()
+    } finally broker.stop()
+  }
+
+  test("PUBB with an absurd count answers ERR instead of allocating (round-11 ADVICE)") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      val c = new Cli(port)
+      try {
+        // 2 billion declared lines: a trusting broker would allocate a
+        // multi-GB array before reading a single payload byte
+        c.send("PUBB tb 2000000000")
+        assert(c.read().startsWith("ERR pubb-count"),
+          "bogus batch count was not refused")
+        // the verb stream is unavoidably desynced (the client believes
+        // it owes payload lines), so the broker drops the connection
+        assert(c.read() == null, "connection survived a desynced PUBB")
+      } finally c.close()
+      // negative counts refuse the same way, and the broker still works
+      val c2 = new Cli(port)
+      try {
+        c2.send("PUBB tb -1")
+        assert(c2.read().startsWith("ERR pubb-count"))
+      } finally c2.close()
+      val c3 = new Cli(port)
+      try {
+        c3.send("PUBB tb 2")
+        c3.send(b64("p1")); c3.send(b64("p2"))
+        c3.send("STAT tb x"); assert(c3.read() == "SEQ 2 0")
+      } finally c3.close()
+      assert(broker.retainedCount("tb") == 2)
+    } finally broker.stop()
+  }
+
+  test("PUBB short read drops the partial batch instead of publishing it") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      val c = new Cli(port)
+      c.send("PUBB ts 5")
+      c.send(b64("only")); c.send(b64("two"))
+      c.close() // peer dies mid-batch
+      Thread.sleep(300)
+      // an at-least-once producer re-sends the WHOLE batch on reconnect,
+      // so publishing the orphaned prefix would guarantee duplicates the
+      // producer cannot reason about
+      assert(broker.retainedCount("ts") == 0,
+        "partial PUBB batch was published")
+    } finally broker.stop()
+  }
+
+  test("STAT and ACK never create subscriptions; REG does, at the trim point") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      for (i <- 1 to 10) broker.publish("tg", s"g$i")
+      val c = new Cli(port)
+      try {
+        // a mistyped STAT is a pure read: SEQ answers, nothing registers
+        c.send("STAT tg phantom"); assert(c.read() == "SEQ 10 0")
+        // an ACK against an unknown name refuses instead of minting a
+        // retention-pinning entry
+        c.send("ACK tg ghost 5")
+        assert(c.read().startsWith("ERR unknown-subscription"))
+        // the real subscription: REG, ack everything, trim follows the
+        // ONLY registered sub — neither phantom nor ghost pins it
+        c.send("REG tg real"); assert(c.read() == "OK 0")
+        c.send("ACK tg real 10")
+        Thread.sleep(200)
+        assert(broker.trimmedBelow("tg") == 10L,
+          "a phantom subscription pinned the retention trim")
+        // REG after the trim starts at the trim point (the dropped
+        // prefix cannot be re-delivered to anyone), and REG is
+        // idempotent for the existing sub
+        c.send("REG tg late"); assert(c.read() == "OK 10")
+        c.send("REG tg real"); assert(c.read() == "OK 10")
       } finally c.close()
     } finally broker.stop()
   }
