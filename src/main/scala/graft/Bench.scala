@@ -216,6 +216,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    // Repo-root copy (round-12, advisor): target/ is gitignored and the
+    // driver's retained log tail has truncated or mis-parsed the stdout
+    // line in 4 of 11 rounds (trailing sbt [success] line, mid-JSON
+    // cuts). The end-of-round snapshot commits the worktree, so this
+    // file rides into the round's git history verbatim — per-query
+    // evidence that cannot be lost to a 2000-char tail.
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     // Raw line on BOTH streams: sbt decorates stdout with [info]/[error]
     // prefixes depending on stream, and the driver may read either. The
     // stderr copy goes first so the LAST complete line in a combined-tail

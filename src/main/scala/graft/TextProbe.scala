@@ -100,6 +100,48 @@ object TextProbe {
       require(out(nDocs) > 0L, "twin kept its duplicated span")
       println(s"[text-probe] prune twin canary ok: twin dropped ${out(nDocs)} words")
     }
+    // Opt-in boilerplate-skew phase (`runMain graft.TextProbe N boiler`):
+    // every 5th doc carries the SAME 25-word header, so each of the
+    // header's 6 pure-header 20-word windows occurs in nDocs/5 documents
+    // — ONE digest with 200k occurrences at 1M docs. This is the skew
+    // the round-11 de-skew exists for: a Window.partitionBy(gh) plan
+    // funnels all occurrences of the hot digest into a single task's
+    // sort (unsplittable, 10⁹-scale fatal), while the shipped
+    // aggregation shape collapses them map-side in partial agg and the
+    // join-back is AQE-splittable. The canary asserts the semantics on
+    // the hot path: every non-first boilerplate doc must report (dedup)
+    // and lose (prune) its header windows.
+    if (only.contains("boiler")) {
+      val bdir = s"$dir-boiler"
+      val header = (1 to 25).map(j => s"bp$j").mkString(" ")
+      base.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(header + " "), col("text"))).otherwise(col("text"))
+            .as("text"))
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synth").as("source"), length(col("text")).as("n_chars"))
+        .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+      spark.read.parquet(s"$bdir/documents.parquet").count() // warm cache
+      def runB(name: String): Unit = time(s"$name [boiler]") {
+        SparkEntry.queries(name)(spark, bdir)
+          .write.format("noop").mode("overwrite").save()
+        -1L
+      }
+      runB("q_substring_dedup")
+      runB("q_substring_prune")
+      val hot = SparkEntry.queries("q_substring_dedup")(spark, bdir)
+        .filter(col("doc_id") === 5L).select("dup_grams").as[Long].head()
+      spark.catalog.clearCache()
+      require(hot >= 6L,
+        s"boilerplate doc reported only $hot dup windows (expected >= 6)")
+      val dropped = SparkEntry.queries("q_substring_prune")(spark, bdir)
+        .filter(col("doc_id") === 5L).select("n_dropped").as[Long].head()
+      spark.catalog.clearCache()
+      require(dropped >= 6L,
+        s"boilerplate doc kept its header ($dropped words dropped)")
+      println(s"[text-probe] boiler canary ok: doc 5 dup_grams=$hot " +
+        s"dropped=$dropped")
+    }
     if (!want("q_line_dedup")) { spark.stop(); return }
     // line dedup last, with the twin canary: doc 0 and doc nDocs share
     // words 1..57, i.e. pseudo-lines 1..11 (1-based 5-token chunks) of doc 0

@@ -132,29 +132,46 @@ object TextOps {
     val gated = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-    // xxhash64, not sha256: the digest is INTERNAL (the oracle recomputes
-    // the dup rule with its own sha256, so cross-engine digest equality
-    // is not needed — the q_line_dedup precedent), and an 8-byte LONG
-    // key makes the window sort/shuffle 8× narrower than 64-char hex
-    // with a cheaper codegen'd hash. A 64-bit collision would merge two
-    // distinct windows (p ≈ n²/2⁶⁵ — negligible, and the exact-sha256
-    // oracle would catch one at fixture scale).
-    val grams = gated.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-        i => xxhash64(array_join(slice(col("w"), i, lit(k)), " ")))).as("gh"))
+    // Digest = xxhash64 over the SLICE OF PER-WORD HASHES, not over an
+    // array_join'd string: each word is hashed once per doc, each window
+    // then mixes k longs — the round-12 probe measured the per-window
+    // string assembly (k≈20 words re-joined per position) at ~2× the
+    // whole digest pipeline's cost at 41M windows. xxhash64, not sha256:
+    // the digest is INTERNAL (the oracle recomputes the dup rule with
+    // its own sha256 strings, so cross-engine digest equality is not
+    // needed — the q_line_dedup precedent); a 64-bit collision merges
+    // two distinct windows (p ≈ n²/2⁶⁵ — negligible, and the oracle
+    // would catch one at fixture scale).
+    val grams = gated
+      .select(col("doc_id"), transform(col("w"), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("hs")) - (k - 1)),
+          i => xxhash64(slice(col("hs"), i, lit(k))))).as("gh"))
+      // persisted because BOTH the facts aggregate and the join-back
+      // consume it: without this the scan+split+hash+explode pipeline
+      // runs twice (round-12 probe: 44 s recomputed vs 20 s persisted at
+      // 41M windows — partial agg splits the exchanges so Catalyst's
+      // ReuseExchange cannot dedup them). Digest-only columns, ~2-5% of
+      // corpus bytes serialized, MEMORY_AND_DISK by default — the same
+      // materialize-reuse contract as the near-dup family; Verify/Bench
+      // clearCache between queries.
+      .persist()
     // digests seen in ≥2 distinct docs — partial agg flattens a hot
     // digest to one row per map task before the exchange
     val dupDigests = grams.groupBy("gh")
       .agg(min("doc_id").as("mind"), max("doc_id").as("maxd"))
       .filter(col("maxd") =!= col("mind"))
-      .select("gh")
-    val dup = grams.join(dupDigests, Seq("gh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
-    gated
-      .select(col("doc_id"), (size(col("w")) - (k - 1)).cast("long").as("n_grams"))
-      .join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .select("gh").withColumn("is_dup", lit(1L))
+    // ONE pass over the persisted stream yields BOTH counters: n_grams
+    // is count(*) per doc (every gated doc has ≥1 window, so no doc is
+    // lost vs re-deriving it from the corpus — which would cost a third
+    // scan + split of the text), dup_grams counts the digest matches.
+    // LEFT join, not semi+re-join: same shuffle geometry, half the
+    // passes.
+    grams.join(dupDigests, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("is_dup"), lit(0L)).as("dup_grams"))
       .withColumn("dup_frac",
         round(col("dup_grams").cast("double")
           / col("n_grams").cast("double") * 10000) / 10000)
@@ -198,14 +215,18 @@ object TextOps {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val occ = base
       .filter(size(col("ws")) >= k)
-      // same internal xxhash64 digest as substringDupStats (see the
-      // collision/oracle note there) — the two stay keyed identically
+      // same internal hash-of-word-hashes digest as substringDupStats
+      // (see the cost/collision/oracle notes there) — the two stay keyed
+      // identically, and the occurrence stream is persisted for the same
+      // two-consumer reason
+      .select(col("doc_id"), col("ws"),
+        transform(col("ws"), x => xxhash64(x)).as("hs"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+        explode(transform(sequence(lit(1), size(col("hs")) - (k - 1)),
           i => struct(i.as("i"),
-            xxhash64(array_join(slice(col("ws"), i, lit(k)), " "))
-              .as("gh")))).as("o"))
+            xxhash64(slice(col("hs"), i, lit(k))).as("gh")))).as("o"))
       .select(col("doc_id"), col("o.i").as("i"), col("o.gh").as("gh"))
+      .persist()
     // per-digest facts: corpus-wide first occurrence (struct min) + the
     // ≥2-distinct-docs test, absorbed map-side by partial aggregation
     val facts = occ.groupBy("gh")
