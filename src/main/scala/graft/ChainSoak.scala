@@ -30,7 +30,15 @@ object ChainSoak {
     val nMsgs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val shards = if (args.length > 1) args(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.local(cpus, "graft-chain-soak")
+    // FAIR scheduling with one pool per stage: the two chained queries
+    // share one local[cpus] task pool, and under FIFO the earlier-started
+    // flood query's jobs get every slot before the mapper's queue — at
+    // 8+8 leases the round-10/11 artifacts show the chain THROUGHPUT
+    // REGRESSING vs 4+4 (383k vs 539k unit msg/s). Per-pool fair share
+    // interleaves the stages' jobs the way two separate deployments get
+    // separate nodes in the reference topology.
+    val spark = Sessions.local(cpus, "graft-chain-soak",
+      Map("spark.scheduler.mode" -> "FAIR"))
     import spark.implicits._
     // unit messages stage A must emit: Σ (i%10+1) over the updates
     val nUnits = (0L until nMsgs).iterator.map(_ % 10 + 1).sum
@@ -68,6 +76,9 @@ object ChainSoak {
     spark.streams.addListener(listener)
 
     val wall0 = System.nanoTime()
+    // the pool local property is inherited by the thread that runs each
+    // query's microbatches, so set it immediately before each start()
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "flood")
     val srcA = new SocketEventSource("127.0.0.1", port, "in", "a-sub",
       maxRowsPerBatch = 500000L, numPartitions = shards)
     // stage A = flood: the SAME shared stage StreamOps.pipeline runs
@@ -79,6 +90,7 @@ object ChainSoak {
         Files.createTempDirectory("graft_chain_a").toString)
       .start()
     // stage B = mapper/reducer: windowed counts per knob over the units
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mapper")
     val srcB = new SocketEventSource("127.0.0.1", port, "units", "b-sub",
       maxRowsPerBatch = 2000000L, numPartitions = shards)
     val qb = StreamOps.windowedCounts(srcB.stream(spark))
@@ -89,6 +101,7 @@ object ChainSoak {
       .option("checkpointLocation",
         Files.createTempDirectory("graft_chain_b").toString)
       .start()
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
 
     while (qa.exception.isEmpty && qb.exception.isEmpty &&
         rowsB.get() < nUnits) {

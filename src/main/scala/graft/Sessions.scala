@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
-      appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+      appName: String = "graft",
+      extra: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
@@ -24,7 +25,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extra.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
