@@ -23,6 +23,13 @@ import java.nio.charset.StandardCharsets
   *  - acks and retention trims are per-member: acking member 0 can never
   *    trim member 1's log.
   *
+  * Consuming a sharded topic from Spark is pure composition: one
+  * [[SocketEventSource]] per member, unioned into a single streaming
+  * Dataset — per-member offsets and acks stay independent exactly like
+  * per-partition Kafka offsets, and any order-free downstream (windowed
+  * aggregation, latest-per-key) is unaffected by the lack of cross-member
+  * order ([[BrokerGroupSpec]]'s union test pins this).
+  *
   * One line-oriented control connection per member, lazily opened; not
   * thread-safe (callers own their group instance — the soak gives each
   * producer thread its own raw socket instead for the data path).

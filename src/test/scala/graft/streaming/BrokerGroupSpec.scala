@@ -78,6 +78,52 @@ class BrokerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("a sharded topic is consumed as the UNION of per-member streams") {
+    // The consume-side twin of BrokerGroup's produce-side routing: one
+    // Spark streaming query reads a topic sharded across two brokers by
+    // unioning one SocketEventSource per member (the Kafka model by
+    // composition — per-member offsets/acks stay independent, exactly
+    // like per-partition offsets). No global order exists across
+    // members; the downstream windowed aggregate is order-free.
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    withGroup { (g, b0, b1) =>
+      def payload(id: Long, n: Long, tsUs: Long): String =
+        s"""{"id":$id,"n":$n,"ts_us":$tsUs}"""
+      // 40 messages sharded round-robin across the two members
+      for (i <- 1L to 40L) {
+        val b = if (i % 2 == 0) b0 else b1
+        b.publish("t", payload(i % 5, i, i * 1000000L))
+      }
+      val (h0, p0) = g.endpoints(0)
+      val (h1, p1) = g.endpoints(1)
+      val s0 = new graft.streaming.SocketEventSource(h0, p0, "t", "u")
+      val s1 = new graft.streaming.SocketEventSource(h1, p1, "t", "u")
+      val q = s0.stream(spark).unionByName(s1.stream(spark))
+        .groupByKey(_.id).count()
+        .writeStream.format("memory").queryName("group_union")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 20000
+        def total(): Long = {
+          q.processAllAvailable()
+          spark.table("group_union").collect().map(_.getLong(1)).sum
+        }
+        while (total() < 40L && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+        assert(total() == 40L,
+          s"union stream delivered ${total()} of 40 sharded messages")
+        // live publishes to BOTH members keep flowing through one query
+        b0.publish("t", payload(7L, 100L, 100000000L))
+        b1.publish("t", payload(8L, 101L, 101000000L))
+        while (total() < 42L && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+        assert(total() == 42L, "live sharded publishes not drained")
+      } finally { q.stop(); q.awaitTermination() }
+    }
+  }
+
   test("a late member registration starts at that member's own trim point") {
     withGroup { (g, b0, b1) =>
       g.regAll("t", "s")
