@@ -8,8 +8,10 @@ import org.apache.spark.sql.SparkSession
   * live session (see ADVICE.md round 1): UTC timezone (oracle compare),
   * shuffle partitions sized to cores (local mode — a real cluster would set
   * this to a multiple of executor cores), and the legacy nanos-as-long
-  * parquet read used by `Tables.events` (the fixture's `ts` column is
-  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects).
+  * parquet read `Tables.events` relies on when the fixture generation on
+  * disk carries TIMESTAMP(NANOS) (rounds ≤10 did; the conf is inert for
+  * the micros fixtures shipped since, and the loader branches on the read
+  * dtype either way — FixtureSchemaCanarySpec).
   */
 object Sessions {
   def local(

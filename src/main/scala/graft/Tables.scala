@@ -15,7 +15,7 @@ object Tables {
 
   /** All fixture tables, the single source of truth for harness loops
     * (Bench warm-up, SqlOps view registration). `events` needs its
-    * dedicated loader for the nanos timestamp handling. */
+    * dedicated loader for timestamp-encoding normalization. */
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "documents", "embeddings")
 

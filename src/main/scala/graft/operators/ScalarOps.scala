@@ -71,7 +71,10 @@ object ScalarOps {
     // expensive (regex, sha2, HOF folds) or output is much smaller than
     // input; a cheap wide projection is better left to the double-eval.
     "q_scalar_math" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      // orderedOnce: the child is a map-only scan, so a bare global sort
+      // would execute the whole transcendental projection TWICE (range
+      // boundary sampling + the sort itself — the q_repetition lesson)
+      Tables.orderedOnce(Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
           round2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
@@ -80,8 +83,8 @@ object ScalarOps {
           floor(col("l_extendedprice")).as("price_floor"),
           round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
           round(log(col("l_extendedprice")), 4).as("price_ln"),
-          round(pow(col("l_tax") + 1.0, 2), 4).as("tax_sq"))
-        .orderBy("l_orderkey", "l_linenumber")
+          round(pow(col("l_tax") + 1.0, 2), 4).as("tax_sq")),
+        col("l_orderkey"), col("l_linenumber"))
     }),
 
     // Array ops over the 64-dim float embeddings. Elements are cast to
