@@ -123,6 +123,60 @@ class FixtureSchemaCanarySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("every fixture table carries the columns and type classes the engine assumes") {
+    // The round-11 incident generalized: a regen can drift ANY table's
+    // schema, and the first symptom would again be a pile of dead
+    // queries in the round artifact. This pins the engine's actual
+    // requirements — full column list and a COARSE type class per
+    // column — so a rename or a type-class break (string→int,
+    // timestamp→string) fails here by name, while benign width drift
+    // (int32↔int64, float↔double) the casts absorb stays green.
+    import org.apache.spark.sql.types._
+    def cls(t: DataType): String = t match {
+      case _: NumericType                        => "num"
+      case StringType                            => "str"
+      case _: TimestampType | TimestampNTZType | DateType => "time"
+      case ArrayType(_: NumericType, _)          => "vec"
+      case other                                 => other.simpleString
+    }
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "num", "r_name" -> "str"),
+      "nation" -> Seq("n_nationkey" -> "num", "n_name" -> "str",
+        "n_regionkey" -> "num"),
+      "customer" -> Seq("c_custkey" -> "num", "c_name" -> "str",
+        "c_nationkey" -> "num", "c_acctbal" -> "num",
+        "c_mktsegment" -> "str"),
+      "supplier" -> Seq("s_suppkey" -> "num", "s_name" -> "str",
+        "s_nationkey" -> "num", "s_acctbal" -> "num"),
+      "part" -> Seq("p_partkey" -> "num", "p_name" -> "str",
+        "p_brand" -> "str", "p_type" -> "str", "p_size" -> "num",
+        "p_retailprice" -> "num"),
+      "orders" -> Seq("o_orderkey" -> "num", "o_custkey" -> "num",
+        "o_orderstatus" -> "str", "o_totalprice" -> "num",
+        "o_orderdate" -> "time", "o_orderpriority" -> "str"),
+      "lineitem" -> Seq("l_orderkey" -> "num", "l_partkey" -> "num",
+        "l_suppkey" -> "num", "l_linenumber" -> "num",
+        "l_quantity" -> "num", "l_extendedprice" -> "num",
+        "l_discount" -> "num", "l_tax" -> "num", "l_returnflag" -> "str",
+        "l_linestatus" -> "str", "l_shipdate" -> "time"),
+      "documents" -> Seq("doc_id" -> "num", "text" -> "str",
+        "lang" -> "str", "source" -> "str", "n_chars" -> "num"),
+      "embeddings" -> Seq("vec_id" -> "num", "embedding" -> "vec",
+        "label" -> "num"))
+    for ((t, cols) <- expected) {
+      val got = Tables.table(spark, TestSpark.sf, t).schema
+        .map(f => f.name -> cls(f.dataType))
+      assert(got == cols, s"fixture table $t drifted: $got")
+    }
+    // events through ITS loader — the normalized surface, not the file
+    val ev = Tables.events(spark, TestSpark.sf).schema
+      .map(f => f.name -> cls(f.dataType)).toMap
+    for (c <- Seq("event_id" -> "num", "ts" -> "time", "ts_ns" -> "num",
+      "user_id" -> "num", "event_type" -> "str", "value" -> "num",
+      "props" -> "str"))
+      assert(ev.get(c._1).contains(c._2), s"events surface drifted at $c: $ev")
+  }
+
   test("real fixture loads and is micro-exact between ts and ts_ns") {
     val df = Tables.events(spark, TestSpark.sf)
       .select(expr("sum(case when unix_micros(ts) * 1000 != ts_ns - pmod(ts_ns, 1000) then 1 else 0 end)").as("bad"),
