@@ -92,11 +92,19 @@ object TextOps {
       col("doc_id").as("doc_a"), col("key").as("ka"))
     val b = kept.select(col("lang").as("bl"), col("blk").as("bb"),
       col("doc_id").as("doc_b"), col("key").as("kb"))
+    // length band in the JOIN condition: levenshtein(a, b) >= the length
+    // difference, so pairs banded apart can never pass the <= 20 gate —
+    // no DP at all for them. Survivors run the THRESHOLDED levenshtein
+    // (Spark 3.5+), whose banded DP explores O(|a|·threshold) cells and
+    // answers -1 past the bound instead of finishing an exact distance
+    // nobody keeps; kept pairs' distances are exact either way, so the
+    // oracle (plain levenshtein + <= 20 in DuckDB) sees identical rows.
     a.join(b, col("al") === col("bl") && col("ab") === col("bb")
-        && col("doc_a") < col("doc_b"))
+        && col("doc_a") < col("doc_b")
+        && abs(length(col("ka")) - length(col("kb"))) <= 20)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
-      .filter(col("dist") <= 20)
+        levenshtein(col("ka"), col("kb"), 20).cast("long").as("dist"))
+      .filter(col("dist").between(0, 20))
   }
 
   /** The blocks [[fuzzyKeyPairs]] refused to pair — the loud half of the
