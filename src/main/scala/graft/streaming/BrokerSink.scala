@@ -38,8 +38,23 @@ object BrokerSink {
     * returned writer (checkpointing, trigger, etc. stay caller-owned). */
   def publishTo(host: String, port: Int, topic: String)(
       events: Dataset[KnobEvent]): org.apache.spark.sql.streaming.DataStreamWriter[KnobEvent] =
+    publishSharded(Seq((host, port)), topic)(events)
+
+  /** Sharded form: each Spark PARTITION publishes to the broker-group
+    * member `partitionId % members` — the produce side of the
+    * [[BrokerGroup]] topic-sharding model, so a chained stage's boundary
+    * topic stops being one broker JVM's lock + heap. Consumers read the
+    * union of per-member streams ([[BrokerGroupSpec]]). Routing by
+    * partition id (not key) is deliberate: unit messages are
+    * order-free across members, and partition-id routing needs no extra
+    * shuffle of the batch. */
+  def publishSharded(endpoints: Seq[(String, Int)], topic: String)(
+      events: Dataset[KnobEvent]): org.apache.spark.sql.streaming.DataStreamWriter[KnobEvent] =
     events.writeStream.foreachBatch { (batch: Dataset[KnobEvent], _: Long) =>
+      val eps = endpoints.toIndexedSeq
       batch.foreachPartition { rows: Iterator[KnobEvent] =>
+        val (host, port) = eps(
+          org.apache.spark.TaskContext.getPartitionId() % eps.size)
         if (rows.hasNext) {
           // buffer the partition's lines first: pushWithRetry may run the
           // closure twice, and an Iterator can only be consumed once
