@@ -237,6 +237,47 @@ class SocketSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("sharded publish sink splits a batch across group members, union reads it back") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    val b0 = new MiniBroker
+    val b1 = new MiniBroker
+    val p0 = b0.start()
+    val p1 = b1.start()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      val input = MemoryStream[KnobEvent]
+      // ≥2 Spark partitions so the partitionId % members routing has
+      // both members to hit
+      val qa = BrokerSink.publishSharded(
+          Seq(("127.0.0.1", p0), ("127.0.0.1", p1)), "mid")(
+          input.toDS().repartition(4))
+        .outputMode(OutputMode.Append()).start()
+      val union = new SocketEventSource("127.0.0.1", p0, "mid", "u").stream(spark)
+        .unionByName(
+          new SocketEventSource("127.0.0.1", p1, "mid", "u").stream(spark))
+      val qb = union.writeStream
+        .format("memory").queryName("shard_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L to 40L).map(i => KnobEvent(i % 4, i, ts(100 + i))): _*)
+        qa.processAllAvailable()
+        assert(drain(qb)(spark.table("shard_sink").count() == 40),
+          s"union drained ${spark.table("shard_sink").count()} of 40")
+        // no member owns everything: the 4 partitions split 2/2, so each
+        // broker retained a strict subset — the sharding actually sharded
+        assert(b0.retainedCount("mid") > 0 && b1.retainedCount("mid") > 0,
+          s"one member got the whole batch: ${b0.retainedCount("mid")}/" +
+            s"${b1.retainedCount("mid")}")
+        assert(b0.retainedCount("mid") + b1.retainedCount("mid") == 40)
+        // values survive the sharded hop bit-for-bit
+        val ns = spark.table("shard_sink").collect().map(_.getLong(1)).sorted
+        assert(ns.sameElements(1L to 40L), s"payloads mangled: ${ns.toSeq}")
+      } finally { qa.stop(); qb.stop() }
+    } finally { b0.stop(); b1.stop() }
+  }
+
   test("publish sink fails the batch loudly when the broker is gone (bounded retry)") {
     import spark.implicits._
     def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
