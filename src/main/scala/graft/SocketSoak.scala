@@ -25,13 +25,27 @@ import graft.streaming.{MiniBroker, SocketEventSource, StreamOps}
   *    aggregation, which is lease-count-invariant (32-way parallel
   *    either way), so it reads lower than the wire speedup by design.
   *
-  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.SocketSoak [nMsgs] [shards]"`
+  *  - `wire_group` (round 12): the same drain with the topic sharded
+  *    across `groupW` brokers (union-of-members source composition,
+  *    total lease count unchanged) — the single-broker wire leg ceilings
+  *    ~1.2M msg/s at ANY lease count because the broker JVM is the
+  *    limit, and this phase shows the ceiling moving with broker count.
+  *    Measured at 2M msgs, 8 leases, 32 cores: 1 broker 1.21-1.28M,
+  *    2 brokers 2.10M, 4 brokers 2.36M msg/s.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.SocketSoak [nMsgs] [shards] [brokers]"`
   * Emits one JSON line (per-batch table on stderr).
   */
 object SocketSoak {
   def main(args: Array[String]): Unit = {
     val nMsgs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val shards = if (args.length > 1) args(1).toInt else 4
+    // broker-group width for the round-12 `wire_group` phase: the
+    // single-broker wire leg ceilings ~1.2M msg/s at any lease count
+    // (the broker JVM, not the leases, is the limit), so the group phase
+    // drains the same message count from `groupW` in-process brokers via
+    // the union-of-members source composition, total leases unchanged.
+    val groupW = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-socket-soak")
 
@@ -39,14 +53,16 @@ object SocketSoak {
     val port = broker.start()
 
     /** Publish nMsgs KnobsMessage-shaped payloads (reference
-      * util/util.go:17-20) into `topic`, then stream-drain them with
-      * `nParts` shard leases through `graph` (identity = wire-only).
-      * Returns (wallSecs, batches, rows). */
-    def runPhase(topic: String, nParts: Int,
+      * util/util.go:17-20) round-robin into `topic` across `members`
+      * (untimed), then stream-drain them with `nParts` shard leases PER
+      * MEMBER through `graph` (identity = wire-only), reading the union
+      * of per-member streams. Returns (wallSecs, batches, rows). */
+    def runPhaseOn(members: Seq[(MiniBroker, Int)], topic: String,
+        nParts: Int,
         graph: org.apache.spark.sql.Dataset[graft.streaming.KnobEvent] =>
           org.apache.spark.sql.Dataset[_]): (Double, Int, Long) = {
       for (i <- 0L until nMsgs) {
-        broker.publish(topic,
+        members((i % members.size).toInt)._1.publish(topic,
           s"""{"id":${i % 5},"n":${i % 10 + 1},"ts_us":${1704067200000000L + i * 1000L}}""")
       }
       val seen = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
@@ -75,10 +91,12 @@ object SocketSoak {
       }
       spark.streams.addListener(listener)
       val ckpt = Files.createTempDirectory(s"graft_socket_soak_$topic").toString
-      val src = new SocketEventSource("127.0.0.1", port, topic, s"$topic-sub",
-        maxRowsPerBatch = 500000L, numPartitions = nParts)
+      val ds = members.map { case (_, p) =>
+        new SocketEventSource("127.0.0.1", p, topic, s"$topic-sub",
+          maxRowsPerBatch = 500000L, numPartitions = nParts).stream(spark)
+      }.reduce(_ unionByName _)
       val wall0 = System.nanoTime()
-      val q = graph(src.stream(spark))
+      val q = graph(ds)
         .writeStream
         .queryName(s"soak_$topic")
         .format("noop")
@@ -107,20 +125,30 @@ object SocketSoak {
     // distinct per-phase topic names even for shards=1 — reusing a
     // topic+subscription would inherit the earlier phase's ack/retention
     // state and re-deliver its unacked tail into the next measurement
-    val (ww1, _, wr1) = runPhase("wire_one", 1, wireGraph)
-    val (wwN, _, wrN) = runPhase("wire_many", shards, wireGraph)
-    val (pw1, _, pr1) = runPhase("pipe_one", 1, pipeGraph)
-    val (pwN, bN, prN) = runPhase("pipe_many", shards, pipeGraph)
-    broker.stop()
+    val one = Seq((broker, port))
+    val (ww1, _, wr1) = runPhaseOn(one, "wire_one", 1, wireGraph)
+    val (wwN, _, wrN) = runPhaseOn(one, "wire_many", shards, wireGraph)
+    // the group phase: same total lease count spread across groupW
+    // brokers — past the single-JVM broker ceiling via scale-OUT, not
+    // more leases
+    val group = Seq.fill(math.max(1, groupW) - 1)(new MiniBroker)
+      .map(b => (b, b.start())) :+ ((broker, port))
+    val (wwG, _, wrG) = runPhaseOn(group, "wire_group",
+      math.max(1, shards / group.size), wireGraph)
+    val (pw1, _, pr1) = runPhaseOn(one, "pipe_one", 1, pipeGraph)
+    val (pwN, bN, prN) = runPhaseOn(one, "pipe_many", shards, pipeGraph)
+    group.foreach(_._1.stop()) // includes `broker`
 
     def rate(rows: Long, secs: Double): Long = (rows / secs).round
     val wire1 = rate(wr1, ww1)
     val wireN = rate(wrN, wwN)
+    val wireG = rate(wrG, wwG)
     val pipe1 = rate(pr1, pw1)
     val pipeN = rate(prN, pwN)
     val speedup = wireN.toDouble / wire1
+    val groupSpeedup = wireG.toDouble / wireN
     val line =
-      s"""{"metric":"socket_soak_msgs_per_sec","value":$pipeN,"unit":"msgs/sec","shards":$shards,"wire_msgs_per_sec":$wireN,"wire_one_lease_msgs_per_sec":$wire1,"wire_speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"pipeline_one_lease_msgs_per_sec":$pipe1,"msgs":$prN,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, pwN)},"batches":$bN,"cpus":$cpus}"""
+      s"""{"metric":"socket_soak_msgs_per_sec","value":$pipeN,"unit":"msgs/sec","shards":$shards,"wire_msgs_per_sec":$wireN,"wire_one_lease_msgs_per_sec":$wire1,"wire_speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"wire_group_msgs_per_sec":$wireG,"wire_group_brokers":${group.size},"wire_group_speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, groupSpeedup)},"pipeline_one_lease_msgs_per_sec":$pipe1,"msgs":$prN,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, pwN)},"batches":$bN,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
     spark.stop()
