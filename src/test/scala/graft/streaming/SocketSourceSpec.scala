@@ -265,12 +265,20 @@ class SocketSourceSpec extends AnyFunSuite {
         qa.processAllAvailable()
         assert(drain(qb)(spark.table("shard_sink").count() == 40),
           s"union drained ${spark.table("shard_sink").count()} of 40")
-        // no member owns everything: the 4 partitions split 2/2, so each
-        // broker retained a strict subset — the sharding actually sharded
-        assert(b0.retainedCount("mid") > 0 && b1.retainedCount("mid") > 0,
-          s"one member got the whole batch: ${b0.retainedCount("mid")}/" +
-            s"${b1.retainedCount("mid")}")
-        assert(b0.retainedCount("mid") + b1.retainedCount("mid") == 40)
+        // quiesce BEFORE asserting broker state: the consumers ack on
+        // commit and cumulative acks TRIM retention, so retainedCount
+        // is not "what was published" while queries run (this raced
+        // ~1-in-5 before — a member fully acked reads 0 retained)
+        qa.stop(); qb.stop()
+        qa.awaitTermination(); qb.awaitTermination()
+        // per-member published count = latest seq = trim point + still
+        // retained — trim-immune. No member owns everything: the 4
+        // partitions split 2/2 across the two members.
+        val pub0 = b0.trimmedBelow("mid") + b0.retainedCount("mid")
+        val pub1 = b1.trimmedBelow("mid") + b1.retainedCount("mid")
+        assert(pub0 > 0 && pub1 > 0,
+          s"one member got the whole batch: $pub0/$pub1")
+        assert(pub0 + pub1 == 40, s"published $pub0 + $pub1 != 40")
         // values survive the sharded hop bit-for-bit
         val ns = spark.table("shard_sink").collect().map(_.getLong(1)).sorted
         assert(ns.sameElements(1L to 40L), s"payloads mangled: ${ns.toSeq}")
