@@ -32,7 +32,10 @@ import graft.streaming.BrokerGroup
   */
 object BrokerScaleSoak {
   def main(args: Array[String]): Unit = {
-    val nMsgs = args.headOption.map(_.toLong).getOrElse(4000000L)
+    // default sized for the stable regime: at 4M msgs a phase lasts
+    // ~0.5 s and JVM warm-up noise dominates (measured 1.41× at 4M vs
+    // 2.89× at 20M for the same 2-broker config)
+    val nMsgs = args.headOption.map(_.toLong).getOrElse(20000000L)
     val maxBrokers = if (args.length > 1) args(1).toInt else 2
     val producers = if (args.length > 2) args(2).toInt else 8
     val batch = 10000
