@@ -94,9 +94,50 @@ object SimilarityOps {
 
   /** (doc_id, sig: array<long>[K]) MinHash signatures over 3-word shingles.
     * One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
-    * pairs, and the K mins partial-aggregate map-side. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    * pairs, and the K mins partial-aggregate map-side. private[graft] so
+    * NeardupIngestSpec can assert the in-row [[sigExpr]] form reproduces
+    * these signatures bit-for-bit. */
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
     sigsFromShingles(hashedShingles(s, d))
+
+  /** In-row MinHash signature of a text column — the SAME hash family and
+    * values as the explode+groupBy batch form ([[minhashSigs]]): shingle
+    * ids are xxhash64 over the 3-word string, component j is the min of
+    * xxhash64(j, shingle-id) over the doc's shingles. min() is
+    * duplicate-insensitive, so evaluating over the in-row multiset equals
+    * the batch form's grouped multiset. Sub-3-word docs yield NULL (the
+    * batch form simply has no row for them — same "no signature" fact).
+    *
+    * This shape exists for the STREAMING ingest path (NeardupIngest):
+    * per-micro-batch signature computation must be map-side — an
+    * explode+groupBy per trigger would put a corpus-tokenization shuffle
+    * on the ingest hot path. It is deliberately NOT used by the batch
+    * queries: there the explode feeds three consumers (signatures, set
+    * sizes, exact-verify intersections) from one persisted frame, which
+    * the in-row form cannot. */
+  private[graft] def sigExpr(text: Column): Column = {
+    val hs = transform(shingleArr(split(text, " ")), x => xxhash64(x))
+    when(size(hs) > 0,
+      array((0 until K).map(j =>
+        array_min(transform(hs, h => xxhash64(lit(j), h)))): _*))
+      .otherwise(lit(null).cast("array<long>"))
+  }
+
+  /** LSH band keys of an in-row signature: array of (band, bh) structs,
+    * identical (band, bh) values to [[bandsOf]] on the same signature. */
+  private[graft] def bandStructs(sig: Column): Column =
+    transform(sequence(lit(0), lit(B - 1)),
+      b => struct(b.as("band"),
+        xxhash64(b, slice(sig, b * lit(R) + 1, lit(R))).as("bh")))
+
+  /** Estimated Jaccard from two K-component signatures: the fraction of
+    * agreeing components (the standard unbiased MinHash estimator,
+    * se = sqrt(J(1-J)/K) ≈ 0.07 at J=0.8 with K=32 — a production ingest
+    * raises K for a tighter gate; the hash family is K-indexed so that is
+    * a config change, not a code change). */
+  private[graft] def estSim(sa: Column, sb: Column): Column =
+    size(filter(zip_with(sa, sb, (x, y) => x === y), b => b))
+      .cast("double") / lit(K)
 
   /** MinHash K-mins over a (doc_id, sh) shingle-id column: component j is
     * min over xxhash64(j, shingle-id) — a valid deterministic hash family

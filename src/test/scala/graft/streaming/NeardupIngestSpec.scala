@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming at-ingest near-dup dedup: batch-vs-corpus verdicts across
+  * micro-batches, index survival across a query restart from checkpoint,
+  * the within-batch-twins contract boundary, and bit-equality of the
+  * in-row signature path with the batch explode+groupBy hash family.
+  *
+  * The texts are fixed, the hash family is deterministic, and the
+  * signature-agreement estimate is a pure function of both — so every
+  * verdict asserted here is exactly reproducible, not probabilistic.
+  */
+class NeardupIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ≥3 words each so every doc has a signature; `wide` and `wideTweak`
+  // share all but one word of 60, a true Jaccard ≈ 0.95 near-dup; `other`
+  // shares nothing with either.
+  private val wide =
+    (1 to 60).map(i => s"w$i").mkString(" ")
+  private val wideTweak =
+    (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+  private val other =
+    (1 to 40).map(i => s"z$i").mkString(" ")
+  private val third =
+    (1 to 40).map(i => s"y$i").mkString(" ")
+
+  private def dirs(): (String, String, String) = (
+    Files.createTempDirectory("graft_ndi_idx").toString,
+    Files.createTempDirectory("graft_ndi_out").toString,
+    Files.createTempDirectory("graft_ndi_ckpt").toString)
+
+  private def verdicts(verdictDir: String): Map[Long, (Boolean, Option[Long])] =
+    spark.read
+      .schema("doc_id long, kept boolean, dup_of long")
+      .parquet(verdictDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+
+  test("batches dedup against the accepted corpus; dropped docs leave no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (idx, out, ckpt) = dirs()
+    val input = MemoryStream[(Long, String)]
+    val q = NeardupIngest.start(
+      input.toDF().toDF("doc_id", "text"), idx, out, ckpt)
+    try {
+      // batch 0: two distinct docs — both kept (empty corpus)
+      input.addData((1L, wide), (2L, other))
+      q.processAllAvailable()
+      // batch 1: a near-copy of doc 1 and a novel doc
+      input.addData((3L, wideTweak), (4L, third))
+      q.processAllAvailable()
+      // batch 2: an exact copy of the DROPPED doc 3's text — doc 3 is not
+      // corpus, but the text still near-dups the ACCEPTED doc 1
+      input.addData((5L, wideTweak))
+      q.processAllAvailable()
+      val v = verdicts(out)
+      assert(v(1L) == ((true, None)) && v(2L) == ((true, None)),
+        s"first batch must be kept wholesale: $v")
+      assert(v(3L) == ((false, Some(1L))), s"near-copy not dropped against 1: $v")
+      assert(v(4L) == ((true, None)), s"novel doc dropped: $v")
+      assert(v(5L) == ((false, Some(1L))),
+        s"copy-of-dropped must still dup the ACCEPTED original: $v")
+      // only accepted docs hold index state
+      val indexed = spark.read
+        .schema("doc_id long, sig array<long>")
+        .parquet(s"$idx/sigs").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 2L, 4L),
+        s"index must carry exactly the accepted docs: $indexed")
+    } finally q.stop()
+  }
+
+  test("within-batch twins are both kept (batch-vs-corpus contract); sub-3-word docs always kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (idx, out, ckpt) = dirs()
+    val input = MemoryStream[(Long, String)]
+    val q = NeardupIngest.start(
+      input.toDF().toDF("doc_id", "text"), idx, out, ckpt)
+    try {
+      input.addData((10L, wide), (11L, wide), (12L, "just two"))
+      q.processAllAvailable()
+      // next batch: the twins ARE corpus now — a third copy is dropped
+      input.addData((13L, wide))
+      q.processAllAvailable()
+      val v = verdicts(out)
+      assert(v(10L)._1 && v(11L)._1,
+        s"within-batch twins must both be kept: $v")
+      assert(v(12L) == ((true, None)), s"sub-3-word doc must be kept: $v")
+      assert(v(13L) == ((false, Some(10L))),
+        s"cross-batch copy must drop against the smallest twin: $v")
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint: the corpus index survives and verdicts continue") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (idx, out, ckpt) = dirs()
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q1 = NeardupIngest.start(df, idx, out, ckpt)
+    try {
+      input.addData((1L, wide), (2L, other))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = NeardupIngest.start(df, idx, out, ckpt)
+    try {
+      input.addData((6L, other), (7L, third))
+      q2.processAllAvailable()
+      val v = verdicts(out)
+      assert(v(6L) == ((false, Some(2L))),
+        s"post-restart dup of a pre-restart doc must drop: $v")
+      assert(v(7L) == ((true, None)), s"post-restart novel doc kept: $v")
+    } finally q2.stop()
+  }
+
+  test("replay safety: re-running a batch id sees only the PRE-batch corpus and overwrites its output") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, String)*): DataFrame =
+      rows.toDF("doc_id", "text")
+    NeardupIngest.processBatch(batch((1L, wide)), 0L, idx, out, 0.8)
+    NeardupIngest.processBatch(batch((2L, wideTweak), (3L, third)), 1L, idx, out, 0.8)
+    val first = verdicts(out)
+    assert(first(2L) == ((false, Some(1L))) && first(3L)._1)
+    // a crash re-delivers batch 1: its earlier half-write must not count
+    // as corpus (doc 3 would otherwise self-dup), and the partition is
+    // overwritten, not appended
+    NeardupIngest.processBatch(batch((2L, wideTweak), (3L, third)), 1L, idx, out, 0.8)
+    val second = verdicts(out)
+    assert(second == first, s"replay must be idempotent: $second vs $first")
+    val bandDocs = spark.read
+      .schema("doc_id long, band int, bh long")
+      .parquet(s"$idx/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandDocs == Set(1L, 3L), s"index after replay: $bandDocs")
+  }
+
+  test("in-row signature path is bit-identical to the batch explode+groupBy hash family") {
+    val batchSigs = SimilarityOps.minhashSigs(spark, TestSpark.sf)
+    val inRow = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), SimilarityOps.sigExpr(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(batchSigs.count() == inRow.count(),
+      "signature-bearing doc sets differ")
+    val mismatches = batchSigs.as("b")
+      .join(inRow.as("r"), Seq("doc_id"))
+      .filter(col("b.sig") =!= col("r.sig"))
+      .count()
+    assert(mismatches == 0, s"$mismatches signature mismatches")
+  }
+}
