@@ -70,23 +70,81 @@ object NeardupIngest {
       }
       .start()
 
-  /** Committed batch partitions under `dir` with id strictly below
-    * `below` — the replay-safety filter: a re-delivered batch must not see
-    * its own earlier half-write as corpus. */
-  private def batchPaths(
-      spark: SparkSession, dir: String, below: Long): Seq[String] = {
+  /** Offline index compaction: merges every committed partition under
+    * both index tables into one `compact=<maxId>` directory and removes
+    * the constituents. Run while the ingest query is STOPPED (it is the
+    * maintenance dual of the per-batch layout: exactly-once needs a
+    * partition per batch at write time, but the per-trigger directory
+    * listing and small-file count grow with batch count — compaction
+    * resets both to one).
+    *
+    * `compact=<maxId>` participates in the read path with id = maxId, so
+    * the replay filter stays correct: merged rows sit strictly below any
+    * future batch id (ids are checkpoint-monotone). Crash-safety, in
+    * order: (1) the merged dir becomes visible only at Spark's job commit
+    * (before that it holds no data files, and the explicit-schema read of
+    * an empty dir is empty) while every constituent is intact; (2) after
+    * commit, constituent deletes may be interrupted — leaving rows
+    * duplicated between the merged dir and undeleted constituents, which
+    * verdicts tolerate (candidate pairs are distinct()-ed, the verify
+    * aggregate is a min) — and a re-run skips the merge (target exists)
+    * and finishes the deletes. At 100 TB the same pass would also
+    * re-cluster the band table into the bucketed-by-(band, bh) layout
+    * whose zero-corpus-exchange join ScalePatternsSpec proves on the
+    * batch index; here the single output file stands in (file count is
+    * the thing compaction bounds, not a layout claim). */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    Seq(s"$indexDir/bands" -> "doc_id long, band int, bh long",
+        s"$indexDir/sigs" -> "doc_id long, sig array<long>").foreach {
+      case (dir, schema) =>
+        val entries = partEntries(spark, dir)
+        if (entries.size > 1) {
+          val fs = new Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val maxId = entries.map(_._1).max
+          val target = s"$dir/compact=$maxId"
+          val sources = entries.filter(_._2 != target)
+          // "Merge committed" = the job-commit _SUCCESS marker, not bare
+          // dir existence: a killed merge leaves the dir with only
+          // _temporary, and skipping on that would delete sources whose
+          // rows never became visible.
+          if (!fs.exists(new Path(target, "_SUCCESS"))) {
+            fs.delete(new Path(target), true)
+            spark.read.schema(schema).parquet(sources.map(_._2): _*)
+              .coalesce(1)
+              .write.mode(SaveMode.ErrorIfExists).parquet(target)
+          }
+          sources.foreach { case (_, p) => fs.delete(new Path(p), true) }
+        }
+    }
+
+  /** Committed (id, path) partitions under `dir`: per-batch `batch=<id>`
+    * dirs plus `compact=<id>` dirs (covering every id ≤ their own). Other
+    * names are ignored. */
+  private def partEntries(
+      spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
     else
       fs.listStatus(p).toSeq
         .map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-        .filter(_ < below)
-        .sorted
-        .map(b => s"$dir/batch=$b")
+        .collect {
+          case n if n.startsWith("batch=") =>
+            n.stripPrefix("batch=").toLong -> s"$dir/$n"
+          case n if n.startsWith("compact=") =>
+            n.stripPrefix("compact=").toLong -> s"$dir/$n"
+        }
+        .sortBy(_._1)
   }
+
+  /** Partition paths with id strictly below `below` — the replay-safety
+    * filter: a re-delivered batch must not see its own earlier half-write
+    * as corpus. A `compact=` dir only holds ids ≤ its own, all committed
+    * before any live batch, so the same filter applies. */
+  private def batchPaths(
+      spark: SparkSession, dir: String, below: Long): Seq[String] =
+    partEntries(spark, dir).filter(_._1 < below).map(_._2)
 
   private[graft] def processBatch(
       batchRaw: DataFrame,

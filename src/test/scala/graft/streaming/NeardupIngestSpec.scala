@@ -148,6 +148,65 @@ class NeardupIngestSpec extends AnyFunSuite {
     assert(bandDocs == Set(1L, 3L), s"index after replay: $bandDocs")
   }
 
+  test("compaction collapses the index to one partition per table; verdicts continue unchanged") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, String)*): DataFrame =
+      rows.toDF("doc_id", "text")
+    NeardupIngest.processBatch(batch((1L, wide)), 0L, idx, out, 0.8)
+    NeardupIngest.processBatch(batch((2L, other)), 1L, idx, out, 0.8)
+    NeardupIngest.processBatch(batch((3L, third)), 2L, idx, out, 0.8)
+    NeardupIngest.compact(spark, idx)
+    val listed = new java.io.File(s"$idx/bands").list().toSet
+    assert(listed.filter(n => n.startsWith("batch=") || n.startsWith("compact="))
+      == Set("compact=2"), s"bands partitions after compact: $listed")
+    // ingest continues against the compacted corpus: dup of a pre-compact
+    // doc drops, novel doc is kept, and a second compaction folds the new
+    // batch into the previous compact dir
+    NeardupIngest.processBatch(batch((4L, wide), (5L, "k1 k2 k3 k4 k5")), 3L, idx, out, 0.8)
+    val v = verdicts(out)
+    assert(v(4L) == ((false, Some(1L))), s"dup vs compacted corpus: $v")
+    assert(v(5L) == ((true, None)), s"novel doc vs compacted corpus: $v")
+    NeardupIngest.compact(spark, idx)
+    val relisted = new java.io.File(s"$idx/sigs").list().toSet
+    assert(relisted.filter(n => n.startsWith("batch=") || n.startsWith("compact="))
+      == Set("compact=3"), s"sigs partitions after second compact: $relisted")
+    val indexed = spark.read
+      .schema("doc_id long, sig array<long>")
+      .parquet(s"$idx/sigs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 3L, 5L), s"compacted corpus: $indexed")
+  }
+
+  test("a compacted index tolerates duplicate rows from an interrupted cleanup") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, String)*): DataFrame =
+      rows.toDF("doc_id", "text")
+    NeardupIngest.processBatch(batch((1L, wide)), 0L, idx, out, 0.8)
+    NeardupIngest.processBatch(batch((2L, other)), 1L, idx, out, 0.8)
+    // simulate a crash AFTER the merged dir committed but BEFORE the
+    // constituent deletes: copy the merge by hand, keep the originals
+    val merged = spark.read
+      .schema("doc_id long, band int, bh long")
+      .parquet(s"$idx/bands/batch=0", s"$idx/bands/batch=1")
+    merged.coalesce(1).write.parquet(s"$idx/bands/compact=1")
+    val mergedSigs = spark.read
+      .schema("doc_id long, sig array<long>")
+      .parquet(s"$idx/sigs/batch=0", s"$idx/sigs/batch=1")
+    mergedSigs.coalesce(1).write.parquet(s"$idx/sigs/compact=1")
+    // every corpus row is now present twice; verdicts must be unaffected
+    NeardupIngest.processBatch(batch((6L, wide), (7L, third)), 2L, idx, out, 0.8)
+    val v = verdicts(out)
+    assert(v(6L) == ((false, Some(1L))), s"dup verdict under duplicated rows: $v")
+    assert(v(7L) == ((true, None)), s"novel verdict under duplicated rows: $v")
+    // and the re-run heals: merge skipped (committed target), deletes finish
+    NeardupIngest.compact(spark, idx)
+    val listed = new java.io.File(s"$idx/bands").list().toSet
+      .filter(n => n.startsWith("batch=") || n.startsWith("compact="))
+    assert(listed == Set("compact=2"), s"healed partitions: $listed")
+  }
+
   test("in-row signature path is bit-identical to the batch explode+groupBy hash family") {
     val batchSigs = SimilarityOps.minhashSigs(spark, TestSpark.sf)
     val inRow = graft.Tables.documents(spark, TestSpark.sf)
