@@ -44,6 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FreqCandidates(children(0), children(1))
         .toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(text, k): k must be an integer literal, got $other")
+        }
+        graft.functions.MinHashSig(children(0), k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),
       (children: Seq[Expression]) => {

@@ -101,12 +101,14 @@ object SimilarityOps {
     sigsFromShingles(hashedShingles(s, d))
 
   /** In-row MinHash signature of a text column — the SAME hash family and
-    * values as the explode+groupBy batch form ([[minhashSigs]]): shingle
-    * ids are xxhash64 over the 3-word string, component j is the min of
-    * xxhash64(j, shingle-id) over the doc's shingles. min() is
-    * duplicate-insensitive, so evaluating over the in-row multiset equals
-    * the batch form's grouped multiset. Sub-3-word docs yield NULL (the
-    * batch form simply has no row for them — same "no signature" fact).
+    * values as the explode+groupBy batch form ([[minhashSigs]]): the
+    * native one-pass [[graft.functions.MinHashSig]] expression (split
+    * once, hash each shingle once, fold the K mins in one fused loop).
+    * min() is duplicate-insensitive, so evaluating over the in-row
+    * multiset equals the batch form's grouped multiset. Sub-3-word docs
+    * yield NULL (the batch form simply has no row for them — same "no
+    * signature" fact). NeardupIngestSpec asserts the bit-equality on the
+    * fixture corpus.
     *
     * This shape exists for the STREAMING ingest path (NeardupIngest):
     * per-micro-batch signature computation must be map-side — an
@@ -115,13 +117,8 @@ object SimilarityOps {
     * queries: there the explode feeds three consumers (signatures, set
     * sizes, exact-verify intersections) from one persisted frame, which
     * the in-row form cannot. */
-  private[graft] def sigExpr(text: Column): Column = {
-    val hs = transform(shingleArr(split(text, " ")), x => xxhash64(x))
-    when(size(hs) > 0,
-      array((0 until K).map(j =>
-        array_min(transform(hs, h => xxhash64(lit(j), h)))): _*))
-      .otherwise(lit(null).cast("array<long>"))
-  }
+  private[graft] def sigExpr(text: Column): Column =
+    call_function("minhash_sig", text, lit(K))
 
   /** LSH band keys of an in-row signature: array of (band, bh) structs,
     * identical (band, bh) values to [[bandsOf]] on the same signature. */
