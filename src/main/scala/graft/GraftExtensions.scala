@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashSig(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => graft.functions.SimHash64(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),
       (children: Seq[Expression]) => {

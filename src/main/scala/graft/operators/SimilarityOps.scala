@@ -236,13 +236,21 @@ object SimilarityOps {
     // xxhash64 is a fixed function, so the driver's rows-only check is
     // stable across runs.
     "q_minhash_neardup" -> ((s, d) => {
-      // Signatures are computed ONCE and persisted: banding and the two
-      // re-attach joins all scan the cached (doc_id, sig) frame instead of
-      // re-running the shingle explode + groupBy 3× (the round-2/3 scale
-      // defect — at 100 TB the corpus re-read dominated the whole query).
-      // ~13 KB/1k docs in memory; MEMORY_AND_DISK so a 100 TB run degrades
-      // to local spill, never recompute.
-      val sigs = minhashSigs(s, d)
+      // Signatures come from the native one-pass minhash_sig expression
+      // IN the scan projection — this query's verify step is signature
+      // agreement, never the shingle sets, so unlike the exact-verify
+      // family (q_jaccard_neardup and its dependents, which share one
+      // persisted shingle frame across sigs/sizes/intersections) it needs
+      // no shingle explode + groupBy at all: the corpus-tokenization
+      // shuffle that used to feed this query is gone outright. Computed
+      // ONCE and persisted: banding and the two re-attach joins all scan
+      // the cached (doc_id, sig) frame (the round-2/3 scale defect was
+      // re-running the derivation 3×). ~13 KB/1k docs in memory;
+      // MEMORY_AND_DISK so a 100 TB run degrades to local spill, never
+      // recompute.
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), sigExpr(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = candidatePairsFrom(sigs)
         .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -262,21 +270,17 @@ object SimilarityOps {
     // by 16-bit sketch chunks (pigeonhole: ≤3 flipped bits of 64 leave
     // ≥1 of the 4 chunks untouched).
     "q_simhash_neardup" -> ((s, d) => {
-      val bits = 64
-      // Hash each shingle ONCE into `h`, then derive all 64 bit-sums from
-      // it — xxhash64 inside each of the 64 aggregates would recompute the
-      // hash per bit (measured 5.7 s → ~1 s at sf0.1).
-      val sums = (0 until bits).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$j")
-      }
-      val sketch = (0 until bits).map { j =>
-        when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-      }.reduce(_ + _)
-      val sk = explodedShingles(s, d)
-        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-        .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), sketch.as("simhash"))
+      // The sketch comes from the native one-pass simhash64 expression in
+      // the scan projection (bit-identical to the old explode + 64
+      // grouped bit-sums spelling — SimilaritySpec pins it): the sketch
+      // is a pure per-document function, so the corpus-tokenization
+      // shuffle the grouped form paid is gone outright. History of this
+      // line: 64 per-bit xxhash64 aggregates (5.7 s at sf0.1) → hash each
+      // shingle once then 64 grouped bit-sums (~1.9 s) → in-row fused
+      // loop (sub-second, and no shuffle at any scale).
+      val sk = Tables.documents(s, d)
+        .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
+        .filter(col("simhash").isNotNull)
       val chunks = sk.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("chunk"))
         .select(col("doc_id"), col("simhash"), col("chunk"),

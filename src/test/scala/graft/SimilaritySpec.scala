@@ -74,6 +74,39 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted neighbors not recovered: $got")
   }
 
+  test("native simhash64 is bit-identical to an independent grouped bit-sum spelling") {
+    // The grouped spelling re-derived from scratch (shingle explode →
+    // per-shingle hash → 64 grouped ±1 bit-sums → sign bits), NOT shared
+    // code — the point is two independent spellings of the sketch agree
+    // on every fixture doc.
+    val w = split(col("text"), " ")
+    val shingles = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        explode(when(size(w) >= 3,
+          transform(sequence(lit(1), size(w) - 2),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val sketch = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    val grouped = shingles
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sketch.as("simhash"))
+    val native = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    assert(grouped.count() == native.count(), "sketch-bearing doc sets differ")
+    val mismatches = grouped.as("g").join(native.as("n"), Seq("doc_id"))
+      .filter(col("g.simhash") =!= col("n.simhash")).count()
+    assert(mismatches == 0, s"$mismatches sketch mismatches")
+  }
+
   test("simhash surfaced pairs are all true near-dups (precision contract)") {
     // SimHash at hamming≤3 over ~90-shingle docs is the high-PRECISION
     // screen: single-shingle edits flip several marginal bits, so recall
