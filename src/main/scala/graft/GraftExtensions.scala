@@ -16,6 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `top_k_by(payload, ord, k)` — bounded-heap top-k aggregate ([[TopKBy]])
   *  - `freq_candidates(item, capacity)` — Misra–Gries frequent-items
   *    sketch ([[FreqCandidates]])
+  *  - `minhash_sig(text, k)` — one-pass K-component MinHash signature
+  *    over 3-word shingles ([[graft.functions.MinHashSig]])
+  *  - `simhash64(text)` — one-pass 64-bit SimHash sketch over 3-word
+  *    shingles ([[graft.functions.SimHash64]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
