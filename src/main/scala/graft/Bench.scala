@@ -221,8 +221,12 @@ object Bench {
     // line in 4 of 11 rounds (trailing sbt [success] line, mid-JSON
     // cuts). The end-of-round snapshot commits the worktree, so this
     // file rides into the round's git history verbatim — per-query
-    // evidence that cannot be lost to a 2000-char tail.
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+    // evidence that cannot be lost to a 2000-char tail. FULL runs only:
+    // an args-filtered iteration run overwriting the round artifact with
+    // a 2-query total (round-13 near-miss) would be worse than the
+    // truncation this file exists to prevent.
+    if (args.isEmpty)
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     // Raw line on BOTH streams: sbt decorates stdout with [info]/[error]
     // prefixes depending on stream, and the driver may read either. The
     // stderr copy goes first so the LAST complete line in a combined-tail
