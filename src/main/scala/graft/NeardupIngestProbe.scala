@@ -30,6 +30,7 @@ object NeardupIngestProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    require(nBatches >= 2, "need at least one base batch plus the twin batch")
     val spark = Sessions.local(appName = "graft-ndi-probe")
 
     val root = s"/tmp/graft_ndi_probe_$nDocs"
@@ -76,7 +77,10 @@ object NeardupIngestProbe {
       .select(col("id").as("doc_id"),
         concat_ws(" ", (0 until wordsPerDoc).map(j =>
           word(concat(col("id"), lit(s"_n$j")))): _*).as("text"))
-    val nTwins = seen / 100
+    // Counted from the frame, not derived: seen/100 undercounts by one
+    // whenever seen is not a multiple of 100 (doc 0 is always a twin
+    // source), which inflated recall past 1.0 on non-round batch sizes.
+    val nTwins = twins.count()
     val tb = System.nanoTime()
     NeardupIngest.processBatch(twins.unionByName(novel),
       (nBatches - 1).toLong, idx, out, 0.8)

@@ -257,8 +257,7 @@ object SimilarityOps {
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       cand
         .select(col("doc_a"), col("doc_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            p => p)).cast("double") / K).as("est_jaccard"))
+          estSim(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     }),

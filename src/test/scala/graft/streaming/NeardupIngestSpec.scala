@@ -38,6 +38,16 @@ class NeardupIngestSpec extends AnyFunSuite {
     Files.createTempDirectory("graft_ndi_out").toString,
     Files.createTempDirectory("graft_ndi_ckpt").toString)
 
+  /** Reads an index table's partitions as explicit leaf paths, the way
+    * the operator itself does — a root-dir read would trip partition-name
+    * inference on the mixed batch=/compact= directory names. */
+  private def readParts(dir: String, schema: String) = {
+    val parts = new java.io.File(dir).list().toSeq
+      .filter(n => n.startsWith("batch=") || n.startsWith("compact="))
+      .map(n => s"$dir/$n")
+    spark.read.schema(schema).parquet(parts: _*)
+  }
+
   private def verdicts(verdictDir: String): Map[Long, (Boolean, Option[Long])] =
     spark.read
       .schema("doc_id long, kept boolean, dup_of long")
@@ -148,7 +158,7 @@ class NeardupIngestSpec extends AnyFunSuite {
     assert(bandDocs == Set(1L, 3L), s"index after replay: $bandDocs")
   }
 
-  test("compaction collapses the index to one partition per table; verdicts continue unchanged") {
+  test("compaction folds settled batches, never the newest; verdicts continue unchanged") {
     import spark.implicits._
     val (idx, out, _) = dirs()
     def batch(rows: (Long, String)*): DataFrame =
@@ -157,12 +167,16 @@ class NeardupIngestSpec extends AnyFunSuite {
     NeardupIngest.processBatch(batch((2L, other)), 1L, idx, out, 0.8)
     NeardupIngest.processBatch(batch((3L, third)), 2L, idx, out, 0.8)
     NeardupIngest.compact(spark, idx)
+    // batch=2 survives: the newest batch partition may be on disk while
+    // the streaming checkpoint has not committed it, and its replay reads
+    // strictly below 2 — folding it into compact=2 would hide the
+    // pre-batch corpus from that replay
     val listed = new java.io.File(s"$idx/bands").list().toSet
     assert(listed.filter(n => n.startsWith("batch=") || n.startsWith("compact="))
-      == Set("compact=2"), s"bands partitions after compact: $listed")
+      == Set("compact=1", "batch=2"), s"bands partitions after compact: $listed")
     // ingest continues against the compacted corpus: dup of a pre-compact
-    // doc drops, novel doc is kept, and a second compaction folds the new
-    // batch into the previous compact dir
+    // doc drops, novel doc is kept, and a second compaction folds the
+    // now-settled batches into a new compact dir
     NeardupIngest.processBatch(batch((4L, wide), (5L, "k1 k2 k3 k4 k5")), 3L, idx, out, 0.8)
     val v = verdicts(out)
     assert(v(4L) == ((false, Some(1L))), s"dup vs compacted corpus: $v")
@@ -170,12 +184,30 @@ class NeardupIngestSpec extends AnyFunSuite {
     NeardupIngest.compact(spark, idx)
     val relisted = new java.io.File(s"$idx/sigs").list().toSet
     assert(relisted.filter(n => n.startsWith("batch=") || n.startsWith("compact="))
-      == Set("compact=3"), s"sigs partitions after second compact: $relisted")
-    val indexed = spark.read
-      .schema("doc_id long, sig array<long>")
-      .parquet(s"$idx/sigs").select("doc_id")
+      == Set("compact=2", "batch=3"), s"sigs partitions after second compact: $relisted")
+    val indexed = readParts(s"$idx/sigs", "doc_id long, sig array<long>")
+      .select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 3L, 5L), s"compacted corpus: $indexed")
+  }
+
+  test("a replayed newest batch after compaction still sees the full pre-batch corpus") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, String)*): DataFrame =
+      rows.toDF("doc_id", "text")
+    NeardupIngest.processBatch(batch((1L, wide)), 0L, idx, out, 0.8)
+    // batch 1 lands on disk but the checkpoint "never commits" it; a
+    // compaction runs in the stopped window, then the batch replays with
+    // the same id. Its dup-of-batch-0 doc must still drop: the corpus
+    // below id 1 must remain visible after compaction.
+    NeardupIngest.processBatch(batch((6L, wideTweak), (7L, third)), 1L, idx, out, 0.8)
+    NeardupIngest.compact(spark, idx)
+    NeardupIngest.processBatch(batch((6L, wideTweak), (7L, third)), 1L, idx, out, 0.8)
+    val v = verdicts(out)
+    assert(v(6L) == ((false, Some(1L))),
+      s"replay after compaction lost the pre-batch corpus: $v")
+    assert(v(7L) == ((true, None)), s"novel doc in replayed batch: $v")
   }
 
   test("a compacted index tolerates duplicate rows from an interrupted cleanup") {
@@ -200,11 +232,17 @@ class NeardupIngestSpec extends AnyFunSuite {
     val v = verdicts(out)
     assert(v(6L) == ((false, Some(1L))), s"dup verdict under duplicated rows: $v")
     assert(v(7L) == ((true, None)), s"novel verdict under duplicated rows: $v")
-    // and the re-run heals: merge skipped (committed target), deletes finish
+    // and the next compaction heals WITHOUT re-merging: batches 0/1 are
+    // at-or-below the committed compact id, so they are recognized as
+    // already merged and deleted — re-unioning them would duplicate their
+    // rows in the index permanently. batch=2 stays (newest rule).
     NeardupIngest.compact(spark, idx)
     val listed = new java.io.File(s"$idx/bands").list().toSet
       .filter(n => n.startsWith("batch=") || n.startsWith("compact="))
-    assert(listed == Set("compact=2"), s"healed partitions: $listed")
+    assert(listed == Set("compact=1", "batch=2"), s"healed partitions: $listed")
+    val bandRows = readParts(s"$idx/bands", "doc_id long, band int, bh long")
+    assert(bandRows.count() == bandRows.distinct().count(),
+      "healing left duplicate band rows in the index")
   }
 
   test("in-row signature path is bit-identical to the batch explode+groupBy hash family") {
