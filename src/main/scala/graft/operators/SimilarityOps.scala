@@ -483,6 +483,56 @@ object SimilarityOps {
         .orderBy("vec_id")
     }),
 
+    // k-means cell assignment (Lloyd's, k=8, 2 rounds, deterministic
+    // init = vectors 0..k-1): the clustering step of cluster-based data
+    // curation — SemDeDup's §3 "cluster the corpus" stage (Abbas et al.
+    // 2023, arXiv:2303.09540) as a first-class operator, ORACLE-CHECKED
+    // end to end (the rounded-mean contract above makes the iterative
+    // float algorithm cross-engine exact — contrast q_ivf_topk, whose
+    // unrounded quantizer is no-oracle by design). Output is the final
+    // assignment under the round-2 centroids plus its rounded squared
+    // distance — the (vector → cell) map a curation pipeline persists as
+    // a partition column.
+    "q_kmeans_assign" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, KmK, KmIters)
+      kmAssign(e, cents)
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          (round(col("d") * 10000) / 10000).as("d_r"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup PROPER: k-means cells as the candidate structure (the
+    // paper's actual design — q_embed_dedup_canonical is the same corpus
+    // face with hyperplane-band buckets instead), exact cosine ≥ τ on
+    // WITHIN-CELL pairs only, transitive closure via the O(log n)
+    // star-contraction components, keep each group's min vec_id. Cells
+    // bound the pair blocks: all-pairs runs per cell (Σ|cell|²/2, never
+    // n²/2), cells are independent and parallelize, and at 100 TB k
+    // scales with n (n/k vectors per cell keeps each block constant) —
+    // here k is pinned at 8 so the oracle can replay the identical
+    // clustering.
+    "q_cluster_dedup" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, KmK, KmIters)
+      val cells = kmAssign(e, cents)
+      val l = cells.select(col("cid"), col("vec_id").as("vec_a"),
+        col("v").as("va"))
+      val r = cells.select(col("cid").as("cid_b"),
+        col("vec_id").as("vec_b"), col("v").as("vb"))
+      val pairs = l.join(r,
+          col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+        .filter(round(expr("cosine_sim(va, vb)") * 1000000) / 1000000
+          >= ClusterDedupTau)
+        .select("vec_a", "vec_b")
+      val dropped = GraphOps.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("vec_id"))
+      e.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN: k-means-lite coarse quantizer (8 cells, 2 Lloyd's
     // iterations), probe searches only its nprobe=3 nearest cells. At
     // 100 TB the cell assignment is a partition column: a probe touches
@@ -541,6 +591,84 @@ object SimilarityOps {
         .limit(10)
     })
   )
+
+  // ---- Oracle-checked k-means (Lloyd's) over the embedding corpus ----
+  // k and the iteration count are FIXED so the DuckDB oracle can spell the
+  // identical computation as a finite CTE chain; the per-component mean
+  // ROUNDING (1e-4, the q_vector_centroid precedent) after each update is
+  // the cross-engine contract that makes an iterative float algorithm
+  // hash-comparable: sums over a cluster reduce in engine-specific order,
+  // but the rounded means agree, and every DOWNSTREAM distance is then
+  // computed from identical centroid literals with identical left-to-right
+  // arithmetic on both sides.
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Semantic-duplicate threshold for [[q_cluster_dedup]]: same τ as the
+    * sketch-band SemDeDup face (q_embed_dedup_canonical) — ~3σ above the
+    * fixture's random-vector cosine spread. */
+  private val ClusterDedupTau = 0.35
+
+  /** Squared-distance scores to every centroid, as one materialized array
+    * (the ivfCentroids argmax lesson: a when()-chain argmin re-evaluates
+    * subtrees exponentially). The decomposition d = |v|² − 2·v·c + |c|²
+    * is shared with the DuckDB oracle TERM FOR TERM: each Σ is a
+    * left-to-right fold (native dot_product ≡ DuckDB list_sum; the |c|²
+    * term is a driver-side Scala fold over the same rounded components),
+    * and the combination is spelled (vv − 2·vc) + cc on both sides, so
+    * the doubles — and therefore every argmin — are bit-identical. */
+  private def kmScores(cents: Array[(Int, Array[Double])]): Column = {
+    val vv = dot(col("v"), col("v"))
+    array(cents.map { case (_, c) =>
+      val ca = array(c.map(lit): _*)
+      vv - lit(2d) * dot(col("v"), ca) + lit(c.map(x => x * x).sum)
+    }: _*)
+  }
+
+  /** (vec_id, v, cid, d): nearest centroid per vector, ties to the lowest
+    * cell id (array_position takes the FIRST occurrence of the min — the
+    * oracle's ORDER BY d, cid). Map-side only: centroids ride along as
+    * literals, so at 100 TB this is a scan, never a shuffle. */
+  private def kmAssign(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    e.select(col("vec_id"), col("v"), kmScores(cents).as("ds"))
+      .select(col("vec_id"), col("v"),
+        (array_position(col("ds"), array_min(col("ds"))) - 1)
+          .cast("int").as("cid"),
+        array_min(col("ds")).as("d"))
+
+  /** k centroids after `iters` full Lloyd's rounds (assign + mean update),
+    * means rounded to 1e-4 per component (see the family comment above).
+    * Each round is one corpus scan + a k-row codegen'd aggregate (64
+    * per-component sums partial-aggregate map-side; the UDAF alternative
+    * forces ObjectHashAggregate — measured 3.6× slower in the IVF build)
+    * and a k-row collect for the next broadcast — the canonical scalable
+    * iterative shape. An emptied cluster keeps its previous centroid, the
+    * same carry rule the oracle's LEFT JOIN + coalesce spells. */
+  private def kmCentroids(
+      e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var centroids: Array[(Int, Array[Double])] = e
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val sums = (0 until Dim).map(j =>
+        sum(element_at(col("v"), j + 1)).as(s"s$j"))
+      val updated = kmAssign(e, centroids)
+        .groupBy("cid")
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        .select(col("cid"),
+          array((0 until Dim).map(j =>
+            round(col(s"s$j") / col("n") * 10000) / 10000): _*).as("c"))
+        .as[(Int, Array[Double])].collect().toMap
+      centroids = centroids.map { case (cid, old) =>
+        cid -> updated.getOrElse(cid, old)
+      }
+    }
+    centroids
+  }
 
   /** IVF coarse quantizer: k centroids refined by `iters` Lloyd's steps,
     * built entirely from DataFrame ops — assignment is a broadcast-centroid
@@ -780,7 +908,93 @@ object SimilarityOps {
              FROM cpairs)
          )"""
 
+  /** The oracle's squared distance — term-for-term the [[kmScores]]
+    * decomposition: (|v|² − 2·v·c) + |c|², each Σ a left-to-right
+    * list_sum fold over already-double components. */
+  private def kmDistSql(v: String, c: String): String =
+    s"""list_sum(list_transform($v.v, x -> x * x))
+             - 2 * list_sum(list_transform(generate_series(1, $Dim),
+                 i -> $v.v[i] * $c.c[i]))
+             + list_sum(list_transform($c.c, x -> x * x))"""
+
+  /** Full replay of [[kmCentroids]] + the final [[kmAssign]] as a CTE
+    * chain: c0 = init vectors, then per round dN (distances) → aN
+    * (argmin, ties to low cid) → mN (per-component means ROUNDED 1e-4,
+    * the cross-engine contract) → cN (carry an emptied cluster's previous
+    * centroid), ending in `af` = the final assignment with its distance.
+    * Shared by q_kmeans_assign and q_cluster_dedup so the two oracles
+    * cannot drift from each other. */
+  private val kmeansCtes: String = {
+    val iterCtes = (1 to KmIters).map { n =>
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      s"""d$n AS (SELECT e.vec_id, c.cid, ${kmDistSql("e", "c")} AS d
+           FROM e CROSS JOIN $prev c),
+         a$n AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d$n) WHERE rk = 1),
+         m$n AS (SELECT cid, list(cm ORDER BY i) AS c FROM (
+             SELECT a.cid AS cid, g.i AS i,
+               round(sum(e2.v[g.i]) / count(*) * 10000) / 10000 AS cm
+             FROM a$n a JOIN e e2 USING (vec_id)
+             CROSS JOIN generate_series(1, $Dim) AS g(i)
+             GROUP BY a.cid, g.i) GROUP BY cid),
+         c$n AS (SELECT p.cid AS cid, coalesce(m.c, p.c) AS c
+           FROM $prev p LEFT JOIN m$n m USING (cid))"""
+    }.mkString(",\n         ")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e
+           WHERE vec_id < $KmK),
+         $iterCtes,
+         df AS (SELECT e.vec_id, c.cid, ${kmDistSql("e", "c")} AS d
+           FROM e CROSS JOIN c$KmIters c),
+         af AS (SELECT vec_id, cid, d FROM (
+             SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM df) WHERE rk = 1)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // A hash match here proves the ENTIRE iterative clustering — both
+    // Lloyd's rounds, the rounded-mean updates, the empty-cluster carry,
+    // the final argmin with its tie rule, and the distance values
+    // themselves — bit-identical across engines.
+    "q_kmeans_assign" ->
+      s"""WITH $kmeansCtes
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           round(d * 10000) / 10000 AS d_r
+         FROM af ORDER BY vec_id""",
+
+    // SemDeDup replay: same clustering CTEs, exact within-cell cosine at
+    // the same rounding, recursive-CTE transitive closure (the
+    // q_neardup_groups pattern) — so the hash also certifies the
+    // distributed star-contraction found the same components.
+    "q_cluster_dedup" ->
+      s"""WITH RECURSIVE $kmeansCtes,
+         kpairs AS (
+           SELECT x.vec_id AS a, y.vec_id AS b
+           FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE round(
+               list_sum(list_transform(generate_series(1, $Dim),
+                 i -> ex.v[i] * ey.v[i]))
+               / (sqrt(list_sum(list_transform(ex.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(ey.v, x -> x * x))))
+               * 1000000) / 1000000 >= $ClusterDedupTau),
+         ked AS (SELECT a, b FROM kpairs
+                 UNION ALL SELECT b, a FROM kpairs),
+         kreach(src, dst) AS (
+           SELECT a, a FROM ked
+           UNION
+           SELECT r.src, ked.b FROM kreach r JOIN ked ON r.dst = ked.a
+         ),
+         kgrp AS (SELECT src AS vec_id, min(dst) AS group_id
+           FROM kreach GROUP BY src)
+         SELECT vec_id FROM e
+         WHERE vec_id NOT IN (SELECT vec_id FROM kgrp WHERE vec_id <> group_id)
+         ORDER BY vec_id""",
     // Same arithmetic, same order: per-element double products summed left
     // to right, then the scaled-integer round (see Num.round2 rationale).
     "q_similarity_topk" ->

@@ -209,6 +209,96 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept.sameElements(Array(301L, 302L, 303L)), s"kept: ${kept.toSeq}")
   }
 
+  /** A seeded embeddings fixture written the way the driver's table is
+    * laid out; vec_ids are consecutive from 0 (the k-means init contract:
+    * initial centroids are vec_id 0..k-1). */
+  private def writeEmbFixture(rows: Seq[(Long, Array[Double])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmfix").toString
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("float")).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("kmeans assignment partitions the corpus; a duplicated init vector " +
+      "empties its cluster and the carry rule holds") {
+    val rng = new scala.util.Random(23)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def rand(): Array[Double] = unit(Array.fill(64)(rng.nextGaussian()))
+    val v0 = rand()
+    // vec 1 is BIT-IDENTICAL to vec 0: in every assignment round both get
+    // the same distance array, the tie rule sends both to the lower cell,
+    // and cluster 1 finishes the round EMPTY — exercising the
+    // carry-previous-centroid rule (without it the centroid array shrinks
+    // and every later cell id misaligns).
+    val rows = Seq((0L, v0), (1L, v0)) ++ (2L until 40L).map(i => (i, rand()))
+    val dir = writeEmbFixture(rows)
+    val got = graft.operators.SimilarityOps
+      .queries("q_kmeans_assign")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 40, s"not a partition: ${got.length} rows")
+    assert(got.map(_._1).toSet == (0L until 40L).toSet)
+    assert(got.forall { case (_, c) => c >= 0 && c < 8 },
+      s"cluster out of range: ${got.filterNot { case (_, c) => c >= 0 && c < 8 }.toSeq}")
+    val byId = got.toMap
+    assert(byId(0L) == byId(1L), "identical vectors assigned to different cells")
+  }
+
+  test("cluster dedup matches a serial within-cell union-find model; " +
+      "planted identical twins are dropped") {
+    val rng = new scala.util.Random(29)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def rand(): Array[Double] = unit(Array.fill(64)(rng.nextGaussian()))
+    val base = (0L until 60L).map(i => (i, rand()))
+    // 60/61 duplicate 20/21 exactly: identical distance arrays put each
+    // twin in its base's cell, cosine 1.0 ≥ τ makes the pair a certain
+    // semantic-dup edge, and the canonical rule must keep the min id.
+    val rows = base ++ Seq((60L, base(20)._2), (61L, base(21)._2))
+    val dir = writeEmbFixture(rows)
+    val ops = graft.operators.SimilarityOps
+    val cells = ops.queries("q_kmeans_assign")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Serial model over the FLOAT-CAST vectors the query actually read:
+    // same cells, exact cosine with the query's 1e-6 rounding, union-find
+    // closure, keep each component's min.
+    val stored = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = stored.keys.toArray.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      a <- ids; b <- ids if a < b && cells(a) == cells(b)
+      c = BigDecimal(cos(stored(a), stored(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.35
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expectedKept = ids.filter(i => find(i) == i).toSet
+    val kept = ops.queries("q_cluster_dedup")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == expectedKept,
+      s"extra=${(kept -- expectedKept).toSeq.sorted} missing=${(expectedKept -- kept).toSeq.sorted}")
+    assert(!kept.contains(60L) && !kept.contains(61L) &&
+      kept.contains(20L) && kept.contains(21L),
+      s"planted twins mishandled: kept ∩ {20,21,60,61} = ${kept.intersect(Set(20L, 21L, 60L, 61L))}")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val exact = li.select(countDistinct("l_partkey")).first().getLong(0)
