@@ -112,11 +112,22 @@ object ScaleProbe {
       sqrt(lit(-2.0) * log(unif(c, s"_a$j"))) *
         cos(lit(2 * math.Pi) * unif(c, s"_b$j"))
     // ids 1..10: probe (id 0) + 5% noise → cos ≈ 0.998 planted neighbors;
-    // cosine is scale-invariant so no normalization needed
+    // cosine is scale-invariant so no normalization needed.
+    // ids nVecs-11..nVecs-1: a SECOND near-dup group around an independent
+    // base, planted at high ids deliberately OUTSIDE the k-means init
+    // range (init = vec_id < k): the low-id group doubles as ~11 near-
+    // coincident initial centroids, which k-means legitimately resolves
+    // by splitting the group one-twin-per-duplicated-centroid — real
+    // Lloyd's behavior under init collision, but useless for checking
+    // within-cell collapse. The high group meets a normal centroid set
+    // and must land in ONE cell and dedup to its min id.
+    val hiBase = nVecs - 11
     val comps = (0 until dim).map { j =>
       val own = gauss(col("id"), j)
       val probe = gauss(lit("0"), j)
+      val base2 = gauss(lit("B"), j)
       when(col("id").between(1, 10), probe + lit(0.05) * own)
+        .when(col("id") >= hiBase, base2 + lit(0.05) * own)
         .otherwise(own).cast("float")
     }
     spark.range(0, nVecs)
@@ -173,6 +184,37 @@ object ScaleProbe {
       f"ivf recall@10: ${recall10(ivf)}%.2f  " +
       f"stored-sketch recall@10: ${recall10(stored)}%.2f  (truth=planted: " +
       s"${truth == (1L to 10L).toSet})")
+
+    // ---- k-means + SemDeDup at scale: k SCALES WITH n (the registered
+    // queries pin k=8 only for the DuckDB oracle replay). n/k vectors per
+    // cell keeps each within-cell pair block ~constant: at k=√(n/2) the
+    // total pair count is ~n^1.5/2√2, not n²/16 — the production rule the
+    // probe exercises. The planted ids 0..10 are near-identical, so they
+    // share a cell and must collapse to their min id.
+    val kScaled = math.max(16,
+      math.round(math.sqrt(nVecs.toDouble / 2)).toInt)
+    var cells = Array.empty[(Long, Long)]
+    time(s"kmeans_assign k=$kScaled") {
+      cells = graft.operators.SimilarityOps.kmeansAssignQ(kScaled, 2)(spark, vdir)
+        .select("vec_id", "cluster").as[(Long, Long)].collect()
+      cells.length
+    }
+    val cellsOk = cells.length == nVecs
+    val hiCell = cells.filter(_._1 >= hiBase).map(_._2).toSet
+    var keptKm = Array.empty[Long]
+    time(s"cluster_dedup k=$kScaled") {
+      keptKm = graft.operators.SimilarityOps
+        .clusterDedupQ(kScaled, 2, 0.9)(spark, vdir)
+        .select("vec_id").as[Long].collect()
+      keptKm.length
+    }
+    val keptSet = keptKm.toSet
+    val hiCollapsed = keptSet.contains(hiBase) &&
+      ((hiBase + 1) until nVecs).forall(!keptSet.contains(_))
+    println(s"[scale-probe] kmeans cells=$kScaled partition_ok=$cellsOk " +
+      s"planted_one_cell=${hiCell.size == 1} " +
+      s"cluster_dedup kept=${keptKm.length}/$nVecs " +
+      s"planted_collapsed=$hiCollapsed")
     spark.stop()
   }
 }

@@ -64,6 +64,28 @@ object SimilarityOps {
     * Shared by the Spark plan and the DuckDB oracle so they can't drift. */
   private val IncrementalSplit = 250L
 
+  // ---- Oracle-checked k-means (Lloyd's) over the embedding corpus ----
+  // k and the iteration count are FIXED so the DuckDB oracle can spell the
+  // identical computation as a finite CTE chain; the per-component mean
+  // ROUNDING (1e-4, the q_vector_centroid precedent) after each update is
+  // the cross-engine contract that makes an iterative float algorithm
+  // hash-comparable: sums over a cluster reduce in engine-specific order,
+  // but the rounded means agree, and every DOWNSTREAM distance is then
+  // computed from identical centroid literals with identical left-to-right
+  // arithmetic on both sides.
+  // DECLARED BEFORE `queries`: the registry entries are built by applying
+  // kmeansAssignQ/clusterDedupQ to these at object-init time, and a val
+  // declared later in the file would still be 0 at that point (the
+  // silent-zero initialization-order trap; QueriesSmokeSpec would catch
+  // the empty-centroid plan it produces, but only at test time).
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Semantic-duplicate threshold for [[q_cluster_dedup]]: same τ as the
+    * sketch-band SemDeDup face (q_embed_dedup_canonical) — ~3σ above the
+    * fixture's random-vector cosine spread. */
+  private val ClusterDedupTau = 0.35
+
   /** The 3-word shingle array of a pre-split word column — the ONE place
     * shingle tokenization lives (review finding: three inline copies had
     * drifted on the short-document clamp). Documents with fewer than 3
@@ -493,14 +515,7 @@ object SimilarityOps {
     // assignment under the round-2 centroids plus its rounded squared
     // distance — the (vector → cell) map a curation pipeline persists as
     // a partition column.
-    "q_kmeans_assign" -> ((s, d) => {
-      val e = vecs(s, d)
-      val cents = kmCentroids(e, KmK, KmIters)
-      kmAssign(e, cents)
-        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
-          (round(col("d") * 10000) / 10000).as("d_r"))
-        .orderBy("vec_id")
-    }),
+    "q_kmeans_assign" -> kmeansAssignQ(KmK, KmIters),
 
     // SemDeDup PROPER: k-means cells as the candidate structure (the
     // paper's actual design — q_embed_dedup_canonical is the same corpus
@@ -512,25 +527,31 @@ object SimilarityOps {
     // scales with n (n/k vectors per cell keeps each block constant) —
     // here k is pinned at 8 so the oracle can replay the identical
     // clustering.
-    "q_cluster_dedup" -> ((s, d) => {
+    "q_cluster_dedup" -> clusterDedupQ(KmK, KmIters, ClusterDedupTau),
+
+    // Cluster-balanced sampling: the m most CENTRAL vectors of every
+    // k-means cell (smallest distance to centroid, vec_id tie-break) —
+    // the diversity-preserving subsample a curation pipeline draws after
+    // clustering (every region of embedding space keeps representation;
+    // a global top-m would drain from one dense mode). The rk ≤ m filter
+    // over row_number triggers Catalyst's WindowGroupLimit rewrite: a
+    // map-side partial per-cell top-m prunes every partition BEFORE the
+    // exchange (the q_knn_join shape), so the shuffle carries at most
+    // m × k × partitions rows at any corpus size.
+    "q_cluster_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 10
       val e = vecs(s, d)
       val cents = kmCentroids(e, KmK, KmIters)
-      val cells = kmAssign(e, cents)
-      val l = cells.select(col("cid"), col("vec_id").as("vec_a"),
-        col("v").as("va"))
-      val r = cells.select(col("cid").as("cid_b"),
-        col("vec_id").as("vec_b"), col("v").as("vb"))
-      val pairs = l.join(r,
-          col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
-        .filter(round(expr("cosine_sim(va, vb)") * 1000000) / 1000000
-          >= ClusterDedupTau)
-        .select("vec_a", "vec_b")
-      val dropped = GraphOps.connectedComponents(pairs)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("vec_id"))
-      e.join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"))
-        .orderBy("vec_id")
+      val perCell = Window.partitionBy(col("cid"))
+        .orderBy(col("d"), col("vec_id"))
+      kmAssign(e, cents)
+        .withColumn("rk", row_number().over(perCell))
+        .filter(col("rk") <= m)
+        .select(col("cid").cast("long").as("cluster"),
+          col("rk").cast("long").as("rk"), col("vec_id"),
+          (round(col("d") * 10000) / 10000).as("d_r"))
+        .orderBy("cluster", "rk")
     }),
 
     // IVF ANN: k-means-lite coarse quantizer (8 cells, 2 Lloyd's
@@ -592,22 +613,47 @@ object SimilarityOps {
     })
   )
 
-  // ---- Oracle-checked k-means (Lloyd's) over the embedding corpus ----
-  // k and the iteration count are FIXED so the DuckDB oracle can spell the
-  // identical computation as a finite CTE chain; the per-component mean
-  // ROUNDING (1e-4, the q_vector_centroid precedent) after each update is
-  // the cross-engine contract that makes an iterative float algorithm
-  // hash-comparable: sums over a cluster reduce in engine-specific order,
-  // but the rounded means agree, and every DOWNSTREAM distance is then
-  // computed from identical centroid literals with identical left-to-right
-  // arithmetic on both sides.
-  private val KmK = 8
-  private val KmIters = 2
+  /** The q_kmeans_assign pipeline at arbitrary (k, iters) — the registry
+    * pins (KmK, KmIters) so the oracle can replay it; ScaleProbe calls
+    * this with k scaled to the corpus (the production rule: n/k vectors
+    * per cell keeps every per-cell cost constant as n grows). */
+  private[graft] def kmeansAssignQ(k: Int, iters: Int): Q = (s, d) => {
+    val e = vecs(s, d)
+    val cents = kmCentroids(e, k, iters)
+    kmAssign(e, cents)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        (round(col("d") * 10000) / 10000).as("d_r"))
+      .orderBy("vec_id")
+  }
 
-  /** Semantic-duplicate threshold for [[q_cluster_dedup]]: same τ as the
-    * sketch-band SemDeDup face (q_embed_dedup_canonical) — ~3σ above the
-    * fixture's random-vector cosine spread. */
-  private val ClusterDedupTau = 0.35
+  /** The q_cluster_dedup pipeline at arbitrary (k, iters, τ) — see
+    * [[kmeansAssignQ]] for why the registry pins the parameters. */
+  private[graft] def clusterDedupQ(k: Int, iters: Int, tau: Double): Q =
+    (s, d) => {
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, k, iters)
+      // Persisted: both sides of the within-cell self-join scan the
+      // assignment, and without the persist each side re-pays the n×k
+      // distance projection (the family's standard share-the-derivation
+      // rule; callers clearCache between queries).
+      val cells = kmAssign(e, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l = cells.select(col("cid"), col("vec_id").as("vec_a"),
+        col("v").as("va"))
+      val r = cells.select(col("cid").as("cid_b"),
+        col("vec_id").as("vec_b"), col("v").as("vb"))
+      val pairs = l.join(r,
+          col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+        .filter(round(expr("cosine_sim(va, vb)") * 1000000) / 1000000
+          >= tau)
+        .select("vec_a", "vec_b")
+      val dropped = GraphOps.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("vec_id"))
+      e.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }
 
   /** Squared-distance scores to every centroid, as one materialized array
     * (the ivfCentroids argmax lesson: a when()-chain argmin re-evaluates
@@ -965,6 +1011,19 @@ object SimilarityOps {
          SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
            round(d * 10000) / 10000 AS d_r
          FROM af ORDER BY vec_id""",
+
+    // Same clustering CTEs; the window replay proves the distributed
+    // partial-top-m (WindowGroupLimit) selected exactly the serial
+    // per-cell ranking, distances included.
+    "q_cluster_sample" ->
+      s"""WITH $kmeansCtes
+         SELECT CAST(cid AS BIGINT) AS cluster, rk, vec_id,
+           round(d * 10000) / 10000 AS d_r
+         FROM (
+           SELECT cid, vec_id, d,
+             row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rk
+           FROM af)
+         WHERE rk <= 10 ORDER BY cluster, rk""",
 
     // SemDeDup replay: same clustering CTEs, exact within-cell cosine at
     // the same rounding, recursive-CTE transitive closure (the

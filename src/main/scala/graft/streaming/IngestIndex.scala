@@ -72,9 +72,11 @@ private[streaming] object IngestIndex {
     * constituents — the operators' verdicts tolerate that (candidate
     * pairs are distinct()-ed, the verify aggregate is a min), and the
     * next compaction recognizes batch dirs at-or-below a committed
-    * compact id as ALREADY MERGED, deleting them without re-reading (a
-    * plain re-union would duplicate their rows in the index
-    * permanently). At 100 TB the same pass would also re-cluster the
+    * compact id — and stale OLDER compact dirs strictly below it, which
+    * the newer compact folded in before the crash — as ALREADY MERGED,
+    * deleting them without re-reading (a plain re-union would duplicate
+    * their rows in the index permanently, and re-merging a stale compact
+    * would also collide with the committed target's directory name). At 100 TB the same pass would also re-cluster the
     * band table into the bucketed-by-band-key layout whose
     * zero-corpus-exchange join ScalePatternsSpec proves on the batch
     * index; here the single output file stands in (file count is the
@@ -99,8 +101,17 @@ private[streaming] object IngestIndex {
         }
         val maxCompact = work.collect { case (id, true, _) => id }
           .maxOption.getOrElse(Long.MinValue)
+        // Covered = already folded into `compact=<maxCompact>`: batches at
+        // or below it, and OLDER compact dirs strictly below it. The
+        // latter matters after a crash between a committed merge and its
+        // constituent deletes: compact ids strictly increase and every
+        // merge takes all surviving lower dirs as input, so a stale
+        // compact=<i < maxCompact> is a SUBSET of the newer compact —
+        // re-merging it would both duplicate its rows and collide with
+        // the committed target's name (ErrorIfExists throw).
         val (covered, sources) = work.partition {
-          case (id, isCompact, _) => !isCompact && id <= maxCompact
+          case (id, isCompact, _) =>
+            id <= maxCompact && !(isCompact && id == maxCompact)
         }
         if (sources.size > 1) {
           // Target id = max source id, which is always a batch id

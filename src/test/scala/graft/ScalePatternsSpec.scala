@@ -242,6 +242,25 @@ class ScalePatternsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster sample plans a map-side partial WindowGroupLimit before the exchange") {
+    // Same rewrite contract as q_knn_join, for the per-CELL top-m: the
+    // rk <= m filter must engage the partial window-group-limit so the
+    // shuffle carries at most m × k × partitions rows at any corpus size.
+    val df = SparkEntry.queries("q_cluster_sample")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window-group-limit in cluster-sample plan:\n$plan")
+    val rows = df.collect()
+    // every emitted cell carries ranks 1..|cell| capped at 10, in order
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
+      val rks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(rks == (1L to rks.length) && rks.length <= 10,
+        s"cell $cell ranks: $rks")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("substring family plans aggregation over the digest, never a digest window") {
     // The round-11 de-skew: per-digest facts (first occurrence, ≥2
     // distinct docs) come from groupBy(gh) — partial aggregation absorbs

@@ -245,6 +245,51 @@ class NeardupIngestSpec extends AnyFunSuite {
       "healing left duplicate band rows in the index")
   }
 
+  test("healing tolerates a stale OLDER compact left by an interrupted cleanup") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, String)*): DataFrame =
+      rows.toDF("doc_id", "text")
+    // Build the two-compact crash state: compact=1 covers batches 0/1,
+    // then batches 2/3/4 land and a second compaction merges
+    // {compact=1, batch=2, batch=3} into compact=3 — but "crashes" before
+    // deleting its constituents. compact=1 is then a strict SUBSET of
+    // compact=3; the next compaction must recognize it as already merged
+    // (deleting it without re-reading), not re-merge it into a target
+    // whose name — compact=3 — already exists on disk.
+    NeardupIngest.processBatch(batch((1L, wide)), 0L, idx, out, 0.8)
+    NeardupIngest.processBatch(batch((2L, other)), 1L, idx, out, 0.8)
+    NeardupIngest.processBatch(batch((3L, third)), 2L, idx, out, 0.8)
+    NeardupIngest.compact(spark, idx) // -> compact=1 (batch 2 newest, kept)
+    NeardupIngest.processBatch(
+      batch((4L, (1 to 40).map(i => s"p$i").mkString(" "))), 3L, idx, out, 0.8)
+    NeardupIngest.processBatch(
+      batch((5L, (1 to 40).map(i => s"q$i").mkString(" "))), 4L, idx, out, 0.8)
+    for (table <- Seq("bands", "sigs")) {
+      val schema =
+        if (table == "bands") "doc_id long, band int, bh long"
+        else "doc_id long, sig array<long>"
+      val merged = spark.read.schema(schema).parquet(
+        s"$idx/$table/compact=1", s"$idx/$table/batch=2", s"$idx/$table/batch=3")
+      merged.coalesce(1).write.parquet(s"$idx/$table/compact=3")
+      // constituents deliberately left in place: the interrupted cleanup
+    }
+    // The heal must neither throw (ErrorIfExists on compact=3) nor
+    // duplicate rows; batch=4 stays under the newest rule.
+    NeardupIngest.compact(spark, idx)
+    val listed = new java.io.File(s"$idx/bands").list().toSet
+      .filter(n => n.startsWith("batch=") || n.startsWith("compact="))
+    assert(listed == Set("compact=3", "batch=4"), s"healed partitions: $listed")
+    val bandRows = readParts(s"$idx/bands", "doc_id long, band int, bh long")
+    assert(bandRows.count() == bandRows.distinct().count(),
+      "healing left duplicate band rows in the index")
+    // and the corpus still answers: a dup of doc 1 (which lives only in
+    // compact=3 now) is dropped by the next batch
+    NeardupIngest.processBatch(batch((9L, wideTweak)), 5L, idx, out, 0.8)
+    assert(verdicts(out)(9L) == ((false, Some(1L))),
+      "corpus row lost through the two-compact heal")
+  }
+
   test("in-row signature path is bit-identical to the batch explode+groupBy hash family") {
     val batchSigs = SimilarityOps.minhashSigs(spark, TestSpark.sf)
     val inRow = graft.Tables.documents(spark, TestSpark.sf)
