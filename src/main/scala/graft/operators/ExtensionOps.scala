@@ -29,6 +29,9 @@ object ExtensionOps {
         .crossJoin(probe)
         .select(col("vec_id"),
           (round(expr("cosine_sim(v, p)") * 1000000) / 1000000).as("cos"))
+        // zero-norm guard, mirrored in the shared q_similarity_topk
+        // oracle: NaN cosine sorts ABOVE every number in both engines
+        .filter(!isnan(col("cos")))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
     }),

@@ -217,6 +217,13 @@ object SimilarityOps {
         .select(col("vec_id"),
           (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
             * 1000000) / 1000000).as("cos"))
+        // Zero-norm vectors (padding/error artifacts in a real embedding
+        // store) yield NaN cosine, and BOTH engines order NaN above every
+        // number AND evaluate NaN >= τ as TRUE — unguarded, a single
+        // zero vector tops every ranking and "duplicates" every bucket-
+        // mate. The whole embedding family filters NaN explicitly, with
+        // the identical isnan guard in the oracles.
+        .filter(!isnan(col("cos")))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
     }),
@@ -244,6 +251,7 @@ object SimilarityOps {
         .select(col("probe_id"), col("vec_id"),
           (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
             * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
       val perProbe = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       scored
@@ -470,6 +478,11 @@ object SimilarityOps {
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (round(expr("cosine_sim(va, vb)") * 1000000) / 1000000).as("cos"))
+      // Zero-norm guard: NaN cosine would both top q_embed_neardup's
+      // ranking AND pass q_embed_dedup_canonical's >= τ gate (both
+      // engines treat NaN as greater than every number), making one
+      // zero vector a "duplicate" of every bucket-mate.
+      .filter(!isnan(col("cos")))
   }
 
   private def vectorQueries: Map[String, Q] = Map(
@@ -579,6 +592,7 @@ object SimilarityOps {
         .crossJoin(probe)
         .select(col("vec_id"),
           (round(expr("cosine_sim(v, p)") * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
@@ -608,6 +622,7 @@ object SimilarityOps {
         .select(col("vec_id"),
           (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
             * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     })
@@ -642,10 +657,13 @@ object SimilarityOps {
         col("v").as("va"))
       val r = cells.select(col("cid").as("cid_b"),
         col("vec_id").as("vec_b"), col("v").as("vb"))
+      val kcos = expr("cosine_sim(va, vb)")
       val pairs = l.join(r,
           col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
-        .filter(round(expr("cosine_sim(va, vb)") * 1000000) / 1000000
-          >= tau)
+        // !isnan first: a zero-norm member must never "duplicate" its
+        // cell-mates (NaN >= τ is TRUE in both engines — see
+        // q_similarity_topk's guard comment)
+        .filter(!isnan(kcos) && round(kcos * 1000000) / 1000000 >= tau)
         .select("vec_a", "vec_b")
       val dropped = GraphOps.connectedComponents(pairs)
         .filter(col("id") =!= col("component"))
@@ -952,6 +970,7 @@ object SimilarityOps {
                sqrt(list_sum(list_transform(generate_series(1, 64),
                  i -> vb[i]::DOUBLE * vb[i]::DOUBLE))) AS nb
              FROM cpairs)
+           WHERE NOT isnan(dot / (na * nb))
          )"""
 
   /** The oracle's squared distance — term-for-term the [[kmScores]]
@@ -1032,16 +1051,17 @@ object SimilarityOps {
     "q_cluster_dedup" ->
       s"""WITH RECURSIVE $kmeansCtes,
          kpairs AS (
-           SELECT x.vec_id AS a, y.vec_id AS b
-           FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
-           JOIN e ex ON ex.vec_id = x.vec_id
-           JOIN e ey ON ey.vec_id = y.vec_id
-           WHERE round(
+           SELECT a, b FROM (
+             SELECT x.vec_id AS a, y.vec_id AS b,
                list_sum(list_transform(generate_series(1, $Dim),
                  i -> ex.v[i] * ey.v[i]))
                / (sqrt(list_sum(list_transform(ex.v, x -> x * x)))
-                * sqrt(list_sum(list_transform(ey.v, x -> x * x))))
-               * 1000000) / 1000000 >= $ClusterDedupTau),
+                * sqrt(list_sum(list_transform(ey.v, x -> x * x)))) AS kcos
+             FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             JOIN e ex ON ex.vec_id = x.vec_id
+             JOIN e ey ON ey.vec_id = y.vec_id)
+           WHERE NOT isnan(kcos)
+             AND round(kcos * 1000000) / 1000000 >= $ClusterDedupTau),
          ked AS (SELECT a, b FROM kpairs
                  UNION ALL SELECT b, a FROM kpairs),
          kreach(src, dst) AS (
@@ -1069,6 +1089,7 @@ object SimilarityOps {
                i -> probe.p[i]::DOUBLE * probe.p[i]::DOUBLE))) AS np
            FROM embeddings e, probe
            WHERE e.vec_id <> 0)
+         WHERE NOT isnan(dot / (ne * np))
          ORDER BY cos DESC, vec_id LIMIT 20""",
     // Brute-force per-probe ranking — the semantic spec the WindowGroupLimit
     // two-stage plan must reproduce exactly (same rounded cosine, same
@@ -1092,7 +1113,7 @@ object SimilarityOps {
            SELECT probe_id, vec_id, cos,
              row_number() OVER (PARTITION BY probe_id
                ORDER BY cos DESC, vec_id) AS rk
-           FROM scored)
+           FROM scored WHERE NOT isnan(cos))
          WHERE rk <= 5 ORDER BY probe_id, rk""",
     // The xxhash64-based sketches, long thought inexpressible in DuckDB,
     // are oracle-checked via a bit-exact XXH64 replication in HUGEINT
@@ -1175,6 +1196,7 @@ object SimilarityOps {
            FROM sk e, probe
            WHERE e.vec_id <> 0
              AND bit_count(xor(e.sketch::BIGINT, probe.ps::BIGINT)) <= 3)
+         WHERE NOT isnan(dot / (ne * np))
          ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // Sketch-band candidates (≥1 of 2 four-bit bands agrees), exact cosine

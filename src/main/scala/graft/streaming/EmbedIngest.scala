@@ -26,8 +26,10 @@ import graft.operators.AnnPlanes
   *  - Corpus state is the two-table layout: `bands/` rows (vec_id, band,
   *    bv) drive the candidate equality join; `vecs/` rows (vec_id, v)
   *    are fetched by join for candidates only, and exact `cosine_sim`
-  *    decides. Zero-norm vectors compare NaN ≥ τ = false — never
-  *    duplicates, matching the batch family.
+  *    decides. Zero-norm vectors yield NaN cosine, which Spark orders
+  *    ABOVE every number (NaN ≥ τ is TRUE) — the verdict filter guards
+  *    with an explicit `!isnan`, so they are never duplicates, matching
+  *    the batch family's identical guard.
   *  - Exactly-once, replay safety, and offline compaction are
   *    [[IngestIndex]]'s per-batch partition machinery, shared with
   *    NeardupIngest (see there for the crash analysis).
@@ -114,7 +116,12 @@ object EmbedIngest {
             .distinct()
             .join(cVecs, Seq("corpus_vec"))
             .join(feats.select(col("vec_id"), col("v")), Seq("vec_id"))
-            .filter(call_function("cosine_sim", col("v"), col("cv"))
+            // !isnan is load-bearing: Spark evaluates NaN >= τ as TRUE
+            // (NaN orders above every number), so without the guard one
+            // zero-norm vector — incoming or stored — would "duplicate"
+            // every bucket-mate and mass-drop real vectors.
+            .filter(!isnan(call_function("cosine_sim", col("v"), col("cv")))
+              && call_function("cosine_sim", col("v"), col("cv"))
               >= cosThreshold)
             .groupBy("vec_id")
             .agg(min("corpus_vec").as("dup_of"))

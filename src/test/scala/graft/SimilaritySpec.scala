@@ -260,7 +260,13 @@ class SimilaritySpec extends AnyFunSuite {
     // 60/61 duplicate 20/21 exactly: identical distance arrays put each
     // twin in its base's cell, cosine 1.0 ≥ τ makes the pair a certain
     // semantic-dup edge, and the canonical rule must keep the min id.
-    val rows = base ++ Seq((60L, base(20)._2), (61L, base(21)._2))
+    // 62 is ALL-ZERO: its cosine with every cell-mate is NaN, which both
+    // Spark and the serial model must treat as NOT-a-duplicate (Spark
+    // orders NaN above every number, so an unguarded >= τ gate would
+    // collapse the zero vector's whole cell; Scala's NaN >= τ is false,
+    // so the model catches a missing !isnan guard as a mismatch).
+    val rows = base ++ Seq((60L, base(20)._2), (61L, base(21)._2),
+      (62L, Array.fill(64)(0.0)))
     val dir = writeEmbFixture(rows)
     val ops = graft.operators.SimilarityOps
     val cells = ops.queries("q_kmeans_assign")(spark, dir).collect()
@@ -285,9 +291,10 @@ class SimilaritySpec extends AnyFunSuite {
       if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
     for {
       a <- ids; b <- ids if a < b && cells(a) == cells(b)
-      c = BigDecimal(cos(stored(a), stored(b)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if c >= 0.35
+      raw = cos(stored(a), stored(b)) // NaN for the zero vector's pairs
+      if !raw.isNaN &&
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble >= 0.35
     } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     val expectedKept = ids.filter(i => find(i) == i).toSet
     val kept = ops.queries("q_cluster_dedup")(spark, dir).collect()

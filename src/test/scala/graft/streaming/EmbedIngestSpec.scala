@@ -70,6 +70,26 @@ class EmbedIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zero-norm vectors never count as duplicates (NaN cosine guard)") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, Seq[Double])*): DataFrame =
+      rows.toDF("vec_id", "v")
+    val zero = Seq.fill(64)(0.0)
+    // A stored zero vector and an incoming zero vector share sketch
+    // bucket 0 and have cosine 0/0 = NaN. Spark evaluates NaN >= τ as
+    // TRUE (NaN orders above every number), so without the explicit
+    // !isnan guard the incoming zero — and EVERY vector landing in a
+    // zero vector's bucket — would be dropped as a "duplicate".
+    EmbedIngest.processBatch(batch((1L, zero), (2L, u)), 0L, idx, out, 0.9)
+    EmbedIngest.processBatch(batch((3L, zero), (4L, u2)), 1L, idx, out, 0.9)
+    val v = verdicts(out)
+    assert(v(1L) == ((true, None)) && v(3L) == ((true, None)),
+      s"zero-norm vector wrongly treated as duplicate: $v")
+    assert(v(4L) == ((false, Some(2L))),
+      s"true scaled copy must still drop under the guard: $v")
+  }
+
   test("compaction and newest-batch replay behave like the text twin on this operator's tables") {
     import spark.implicits._
     val (idx, out, _) = dirs()
