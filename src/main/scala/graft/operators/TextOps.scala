@@ -351,6 +351,33 @@ object TextOps {
         col("doc_id"))
     }),
 
+    // Shard manifest — the write-side step that turns a curated corpus
+    // into N training shards: deterministic shard assignment by the
+    // sampling family's mulHash (content-independent, so a re-run of the
+    // pipeline lands every doc in the same shard) plus the per-shard
+    // accounting (docs, whitespace tokens, chars, id range) a trainer's
+    // data loader reads to plan epochs. One narrow groupBy over 64 keys —
+    // partial aggregation absorbs everything map-side; at 100 TB the
+    // actual shard write is `df.write.partitionBy(shard)` against this
+    // same assignment expression, and the manifest certifies balance
+    // BEFORE the write (a skewed manifest means a bad hash, caught here,
+    // not at epoch time).
+    "q_shard_manifest" -> ((s, d) => {
+      val nShards = 64L
+      Tables.documents(s, d)
+        .select(graft.functions.Num.mulHash(col("doc_id"), nShards).as("shard"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("sum_words"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
     // Quality scoring: word count, mean word length, stopword ratio — the
     // cheap per-document features a corpus filter runs before training.
     "q_text_quality" -> ((s, d) => {
@@ -1173,6 +1200,14 @@ object TextOps {
                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
          FROM documents ORDER BY doc_id""",
+    // Same mulHash spelling as the sampling family (Num.mulHash scaladoc).
+    "q_shard_manifest" ->
+      """SELECT ((doc_id % 2147483648) * 2654435761) % 64 AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY 1 ORDER BY shard""",
     "q_text_quality" ->
       ("""SELECT doc_id,
                 CAST(len(w) AS BIGINT) AS n_words,
