@@ -102,6 +102,31 @@ object MediaOps {
           concat_ws(",", transform(col("feature"),
             x => round(x * 10000).cast("long").cast("string"))).as("feature")),
         col("media_id"))
+    }),
+
+    // Frame sampling — the bounded fan-out shape of video/audio feature
+    // extraction: each decoded row explodes into AT MOST 4 evenly-spaced
+    // frame indices (step = ceil(n_frames/4); a real pipeline hands each
+    // sampled frame to the codec for a thumbnail/spectrogram slice). The
+    // bound is the scale contract: output rows ≤ 4× input regardless of
+    // how long a video is, so the explode can never amplify a 100 TB
+    // media table unboundedly. Frame signature is the deterministic
+    // mulHash of (media_id, frame_idx) — the stub stand-in for a
+    // per-frame content digest.
+    "q_media_frames" -> ((s, d) => {
+      val decoded = decodeFeatures(mediaTable(s, d)).toDF()
+      val step = ceil(col("n_frames").cast("double") / 4).cast("long")
+      Tables.orderedOnce(decoded
+        .select(col("media_id"), col("kind"),
+          col("n_frames").cast("long").as("n_frames"),
+          explode(sequence(lit(0L), col("n_frames").cast("long") - 1,
+            greatest(lit(1L), step))).as("frame_idx"))
+        .select(col("media_id"), col("kind"), col("n_frames"),
+          col("frame_idx"),
+          graft.functions.Num.mulHash(
+            col("media_id") * 256 + col("frame_idx"), 1000000007L)
+            .as("frame_sig")),
+        col("media_id"), col("frame_idx"))
     })
   )
 
@@ -162,6 +187,35 @@ object MediaOps {
                  (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
                ) % 4294967296 AS DOUBLE) / 4294967296.0 * 10000)
                AS BIGINT) AS VARCHAR)), ',') AS feature
-         FROM dims ORDER BY media_id"""
+         FROM dims ORDER BY media_id""",
+
+    // n_frames needs only kind + byte length (no hash), so the frame
+    // fan-out replays without the HUGEINT machinery; generate_series with
+    // the same ceil-step reproduces the ≤4 evenly-spaced indices, and the
+    // signature is the Num.mulHash spelling.
+    "q_media_frames" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             octet_length(encode(text)) AS n
+           FROM documents
+         ),
+         f AS (
+           SELECT media_id, kind,
+             CAST(CASE kind WHEN 'video' THEN 1 + n % 30
+                            WHEN 'audio' THEN 1 + n % 100
+                            ELSE 1 END AS BIGINT) AS n_frames
+           FROM m
+         )
+         SELECT media_id, kind, n_frames, frame_idx,
+           (((media_id * 256 + frame_idx) % 2147483648) * 2654435761)
+             % 1000000007 AS frame_sig
+         FROM (
+           SELECT media_id, kind, n_frames,
+             unnest(generate_series(0, n_frames - 1,
+               greatest(1, CAST(ceil(n_frames / 4.0) AS BIGINT)))) AS frame_idx
+           FROM f)
+         ORDER BY media_id, frame_idx"""
   )
 }
