@@ -332,6 +332,11 @@ object SimilarityOps {
     // minhash screening.
     "q_jaccard_neardup" -> jaccardNeardup,
 
+    // Doc-in-doc containment (C(A→B) = |A∩B|/|A| ≥ 0.9): prefix-filter
+    // inverted-index candidates with theorem-guaranteed recall — see
+    // containmentDedup's scaladoc.
+    "q_containment_dedup" -> containmentDedup,
+
     // Near-dup GROUP resolution: connected components over the verified
     // pair graph, labelled by the component's min doc_id — the step a
     // training-data pipeline runs after pair detection (a dup may chain:
@@ -425,6 +430,70 @@ object SimilarityOps {
             .as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
+    })
+
+  /** Directional doc-in-doc containment pairs: C(A→B) = |A∩B| / |A| ≥ 0.9
+    * over distinct trigram-shingle sets — the asymmetric duplication
+    * Jaccard structurally misses (a 30-word doc quoted verbatim inside a
+    * 3000-word page has J ≈ 0.01 but containment 1.0; crawl corpora are
+    * full of wrapper pages, quote posts, and boilerplate-framed reposts).
+    *
+    * Candidates come from a PREFIX-FILTERING inverted index (the
+    * all-pairs set-similarity-join family, Chaudhuri et al. ICDE'06 /
+    * Bayardo et al. WWW'07) — the third candidate structure in the dedup
+    * family next to LSH bands (q_jaccard_neardup) and k-means cells
+    * (q_cluster_dedup), and unlike both its recall is a THEOREM, not a
+    * tuning outcome: rank each doc's shingles by ascending document
+    * frequency (any fixed total order is correct; rarest-first is the
+    * performance choice — prefix postings lists are short by
+    * construction) and take the first p = ⌊(1−τ)·n⌋+1 as the doc's
+    * prefix. If |A∩B| ≥ τ·|A| then |A\B| ≤ (1−τ)·|A| < p, so A's prefix
+    * cannot fit entirely inside A\B — at least one prefix shingle of A
+    * is in B, and PREFIX(A) ⋈ postings(B) surfaces the pair. The τ gate
+    * is pure integer arithmetic (10·|A∩B| ≥ 9·|A|), so no float rounding
+    * can clip a boundary pair in either engine: the all-pairs DuckDB
+    * oracle is a recall-equals-one proof by hash equality.
+    *
+    * Scale shape: one corpus explode feeding the persisted distinct-
+    * shingle frame (the jaccard-family rule); df and prefix rank are one
+    * groupBy + one per-doc window (parallelism = doc count, rows/doc
+    * bounded by doc length); the candidate join's fan-out per shingle is
+    * its df, and the rarest-first prefix keeps those dfs small — a
+    * boilerplate-only doc whose prefix still holds common shingles is
+    * residual join skew, which AQE splits. Exact verify runs on
+    * O(candidates), never O(n²). */
+  private def containmentDedup: Q = ((s, d) => {
+      val shSets = hashedShingles(s, d).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = shSets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val dfreq = shSets.groupBy("sh").agg(count(lit(1)).as("df"))
+      val perDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      val prefixes = shSets.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(perDoc))
+        .join(sizes, "doc_id")
+        .filter(col("rk") <= expr("n_sh div 10") + 1)
+        .select(col("doc_id"), col("sh"))
+      val cand = prefixes.as("x").join(shSets.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_contained"),
+          col("y.doc_id").as("doc_container"))
+        .distinct()
+      val inter = cand
+        .join(shSets.as("sa"), col("doc_contained") === col("sa.doc_id"))
+        .join(shSets.as("sb"),
+          col("doc_container") === col("sb.doc_id") &&
+            col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_contained", "doc_container")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_contained"),
+          "doc_contained")
+        .filter(col("n_inter") * 10 >= col("n_sh") * 9)
+        .select(col("doc_contained"), col("doc_container"),
+          (round(col("n_inter") / col("n_sh") * 10000) / 10000)
+            .as("containment"))
+        .orderBy("doc_contained", "doc_container")
     })
 
   /** (doc_id, group_id) for every doc in a near-dup component, group_id =
@@ -905,10 +974,10 @@ object SimilarityOps {
        WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
-  /** Shared CTE chain ending in `jpairs(doc_a, doc_b, jaccard)` — the
-    * exact all-pairs trigram-Jaccard near-dup pairs at threshold 0.8,
-    * reused by the pair, group, and canonical-corpus oracles. */
-  private val jaccardPairCtes: String =
+  /** Shared CTE prefix ending in `sh(doc_id, sh)` (distinct trigram
+    * shingles) and `sizes(doc_id, n)` — the exact shingle-set base both
+    * the Jaccard and the containment oracles replay. */
+  private val shingleSetCtes: String =
     """w AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents
          ),
@@ -918,7 +987,13 @@ object SimilarityOps {
                      for i in generate_series(1, len(w) - 2)]) AS sh
            FROM w WHERE len(w) >= 3
          ),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** Shared CTE chain ending in `jpairs(doc_a, doc_b, jaccard)` — the
+    * exact all-pairs trigram-Jaccard near-dup pairs at threshold 0.8,
+    * reused by the pair, group, and canonical-corpus oracles. */
+  private val jaccardPairCtes: String =
+    s"""$shingleSetCtes,
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1130,6 +1205,25 @@ object SimilarityOps {
       s"""WITH $jaccardPairCtes
          SELECT doc_a, doc_b, jaccard FROM jpairs
          ORDER BY doc_a, doc_b""",
+
+    // Exact ALL-PAIRS directional containment: the Spark side computes
+    // the gate only on prefix-filter candidates, so a hash match here is
+    // the recall-equals-one proof the prefix theorem promises. The τ gate
+    // is the same integer comparison in both engines (10·|A∩B| ≥ 9·|A|) —
+    // no float boundary to drift across.
+    "q_containment_dedup" ->
+      s"""WITH $shingleSetCtes,
+         cinter AS (
+           SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+             count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT doc_contained, doc_container,
+           round(n_inter / za.n * 10000) / 10000 AS containment
+         FROM cinter JOIN sizes za ON doc_contained = za.doc_id
+         WHERE n_inter * 10 >= za.n * 9
+         ORDER BY doc_contained, doc_container""",
 
     // Connected components over the exact all-pairs near-dup graph via a
     // recursive CTE — every reachable node, labelled min reachable id. A

@@ -280,6 +280,26 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment dedup: prefix-filter candidates, no cartesian, per-doc window only") {
+    // The prefix-filter join must stay an inverted-index equi-join on the
+    // shingle hash — a cartesian (or a broadcast of the CORPUS side at
+    // scale) would defeat the all-pairs pruning the operator exists for.
+    // The only window allowed is the per-doc rarest-first rank (partition
+    // key doc_id: parallelism = corpus size, rows per partition bounded
+    // by doc length — not a skewable global key).
+    val df = SparkEntry.queries("q_containment_dedup")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates degenerate to all-pairs:\n$plan")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"prefix rank window must partition by doc_id:\n$plan")
+    assert(plan.contains("div 10"),
+      s"prefix-size filter (rk <= n div 10 + 1) missing from plan:\n$plan")
+    assert(df.collect().nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("planted boilerplate span: hot digest stays correct and partial-agg absorbed") {
     import spark.implicits._
     // One 20-word boilerplate span planted in 30% of 2000 docs (the

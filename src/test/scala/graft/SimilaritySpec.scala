@@ -185,6 +185,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), s"canonical corpus: $kept")
   }
 
+  test("containment dedup finds doc-in-doc pairs Jaccard misses; " +
+      "serial all-pairs model agrees") {
+    import spark.implicits._
+    // 2 = a 12-word verbatim slice of 1 (containment 1.0, J ≈ 10/98 —
+    // structurally invisible to the 0.8 Jaccard gate); 4 = the slice with
+    // its FIRST word edited (kills exactly shingle 1 of 10 → containment
+    // 0.9, the integer-gate boundary); 3/5 = identical docs (containment
+    // 1.0 BOTH directions); 6 = unrelated.
+    val big = (1 to 100).map(i => s"b$i").mkString(" ")
+    val slice = (41 to 52).map(i => s"b$i").mkString(" ")
+    val edge = ("qq" +: (42 to 52).map(i => s"b$i")).mkString(" ")
+    val twin = (1 to 50).map(i => s"z$i").mkString(" ")
+    val docs = Seq(1L -> big, 2L -> slice, 3L -> twin, 4L -> edge,
+      5L -> twin, 6L -> (1 to 50).map(i => s"y$i").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.SimilarityOps
+      .queries("q_containment_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // serial exact model: all directed pairs with 10·|A∩B| ≥ 9·|A|
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val model = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b && sa.nonEmpty
+      inter = (sa & sb).size if inter * 10 >= sa.size * 9
+    } yield (a, b) -> math.round(inter.toDouble / sa.size * 10000) / 10000.0)
+      .toMap
+    assert(got == model, s"got=$got\nmodel=$model")
+    assert(got((2L, 1L)) == 1.0 && got((4L, 1L)) == 0.9 &&
+      got((3L, 5L)) == 1.0 && got((5L, 3L)) == 1.0)
+    val jac = graft.operators.SimilarityOps
+      .queries("q_jaccard_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)),
+      "slice-in-page pair visible to Jaccard — planted case is wrong")
+  }
+
   test("incremental dedup drops only batch docs that duplicate the corpus") {
     import spark.implicits._
     // corpus = doc_id < 250, batch = doc_id ≥ 250 (the query's contract).
