@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    over 3-word shingles ([[graft.functions.MinHashSig]])
   *  - `simhash64(text)` — one-pass 64-bit SimHash sketch over 3-word
   *    shingles ([[graft.functions.SimHash64]])
+  *  - `shingle_hashes(text)` — one-pass array of per-position 3-word
+  *    shingle hashes ([[graft.functions.ShingleHashes]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -59,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.MinHashSig(children(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+        "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        graft.functions.ShingleHashes(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),

@@ -23,6 +23,16 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Local-mode split sizing, the scan-side twin of the shuffle-
+      // partition line above: the fixtures and probe corpora are tens of
+      // MB, so the 128 MB/4 MB defaults bin-pack a whole corpus into ~3
+      // input partitions and every pre-shuffle pipeline (explode, hash,
+      // scan projection) runs 3-wide on a 32-core box — measured 3×+ on
+      // the containment probe's shingle explode at 101k docs. 4 MB/256 KB
+      // keeps probe scans cores-wide. A real cluster keeps the defaults:
+      // at 100 TB the split count is file-system-bound, not knob-bound.
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")

@@ -100,6 +100,21 @@ object TextProbe {
       require(out(nDocs) > 0L, "twin kept its duplicated span")
       println(s"[text-probe] prune twin canary ok: twin dropped ${out(nDocs)} words")
     }
+    // Containment with the twin canary: a twin shares 55 of its 58
+    // trigram shingles with its base (C = 55/58 ≈ 0.948 ≥ 0.9, both
+    // directions), so the prefix-filter inverted index must surface
+    // twin⊂base at any corpus size — the recall theorem exercised at
+    // probe scale, where the df distribution is real rather than the
+    // 500-doc fixture's.
+    if (want("q_containment_dedup")) {
+      run("q_containment_dedup")
+      val hit = SparkEntry.queries("q_containment_dedup")(spark, dir)
+        .filter(col("doc_contained") === lit(nDocs) &&
+          col("doc_container") === 0L).count()
+      spark.catalog.clearCache()
+      require(hit == 1L, "twin-in-base containment pair missing at scale")
+      println("[text-probe] containment twin canary ok")
+    }
     // Opt-in boilerplate-skew phase (`runMain graft.TextProbe N boiler`):
     // every 5th doc carries the SAME 25-word header, so each of the
     // header's 6 pure-header 20-word windows occurs in nDocs/5 documents

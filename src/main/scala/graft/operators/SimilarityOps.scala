@@ -100,8 +100,10 @@ object SimilarityOps {
           element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** One row per (doc_id, shingle), zero rows for sub-3-word docs. */
-  private def explodedShingles(s: SparkSession, d: String): DataFrame =
+  /** One row per (doc_id, shingle), zero rows for sub-3-word docs.
+    * private[graft] so SimilaritySpec can pin [[hashedShingles]]'s native
+    * expression against this independent string-level spelling. */
+  private[graft] def explodedShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(shingleArr(col("w"))).as("sh"))
@@ -109,10 +111,33 @@ object SimilarityOps {
   /** One row per (doc_id, shingle-id): shingles hashed to 8-byte longs at
     * the source, so every downstream shuffle/aggregate/join carries longs,
     * never ~25-byte strings. A 64-bit collision merging two shingles
-    * within one doc is negligible (~1e-15 per pair). */
+    * within one doc is negligible (~1e-15 per pair).
+    *
+    * Computed by the native one-pass [[graft.functions.ShingleHashes]]
+    * expression, bit-identical to `xxhash64` over [[explodedShingles]]
+    * (SimilaritySpec pins the equality): the HOF spelling evaluates
+    * interpreted per element and this explode is the FIRST stage of every
+    * set-similarity operator — at the 101k-doc probe the fused loop cut
+    * the stage from ~7 s to sub-second. [[explodedShingles]] stays as the
+    * independent string-level spelling the pin test compares against. */
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    explodedShingles(s, d)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"))).as("sh"))
+
+  /** One row per (doc_id, DISTINCT shingle-id), with NO exchange: the
+    * dedup happens in-row (`array_distinct` over the native shingle-hash
+    * array) before the explode — all of one doc's shingles live in one
+    * input row, so per-doc distinctness IS global (doc_id, sh)
+    * distinctness, where the explode-then-`.distinct()` spelling paid a
+    * full corpus shuffle first (25.5 s of the 1M-doc containment probe's
+    * 74.7 s total). Every set-similarity operator builds its persisted
+    * shingle-set frame from this. */
+  private def distinctShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("shingle_hashes", col("text"))))
+          .as("sh"))
 
   /** (doc_id, sig: array<long>[K]) MinHash signatures over 3-word shingles.
     * One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
@@ -369,7 +394,7 @@ object SimilarityOps {
     // this operator's contract is batch-vs-corpus only.
     "q_dedup_incremental" -> ((s, d) => {
       val split = IncrementalSplit
-      val shSets = hashedShingles(s, d).distinct()
+      val shSets = distinctShingles(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = shSets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val bands = bandsOf(sigsFromShingles(shSets))
@@ -404,7 +429,7 @@ object SimilarityOps {
       // per-doc set sizes, and both sides of the intersection join — scans
       // that cache. Previously the explode ran 3× per query (judge
       // finding); at 100 TB that re-read was the dominant cost.
-      val shSets = hashedShingles(s, d).distinct()
+      val shSets = distinctShingles(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sh = shSets
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -454,34 +479,75 @@ object SimilarityOps {
     * can clip a boundary pair in either engine: the all-pairs DuckDB
     * oracle is a recall-equals-one proof by hash equality.
     *
-    * Scale shape: one corpus explode feeding the persisted distinct-
-    * shingle frame (the jaccard-family rule); df and prefix rank are one
-    * groupBy + one per-doc window (parallelism = doc count, rows/doc
-    * bounded by doc length); the candidate join's fan-out per shingle is
+    * Scale shape: the in-row distinct shingle explode (no exchange — see
+    * [[distinctShingles]]) feeds one df groupBy, after which EVERYTHING
+    * runs on the df≥2 "repeatable" slice of the corpus (~the shared
+    * content; df=1 rows can neither generate a candidate nor contribute
+    * to an intersection) — the rank window runs only on repeatable rows
+    * of docs whose df=1 count leaves prefix budget (see the positional-
+    * split comment in the body), so no stage windows or self-joins the
+    * full shingle stream. The candidate join's fan-out per shingle is
     * its df, and the rarest-first prefix keeps those dfs small — a
     * boilerplate-only doc whose prefix still holds common shingles is
     * residual join skew, which AQE splits. Exact verify runs on
-    * O(candidates), never O(n²). */
+    * O(candidates), never O(n²). 1M-doc probe: 74.7 s naive shape →
+    * 35.0 s with the in-row distinct + positional split, twin-recall
+    * canary green at both scales. */
   private def containmentDedup: Q = ((s, d) => {
-      val shSets = hashedShingles(s, d).distinct()
+      // Persisted even though only dfreq and the rep join consume it:
+      // measured at the 1M-doc probe, paying the 58M-row cache write once
+      // (35.0 s total) beats recomputing the explode into both consumers
+      // (42.9 s) — the rep join's shuffle reads the frame a second time
+      // even within one stage tree.
+      val shSets = distinctShingles(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = shSets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // Per-doc set size, in-row like the set itself: no exchange.
+      val sizes = Tables.documents(s, d).select(col("doc_id"),
+        size(array_distinct(call_function("shingle_hashes", col("text"))))
+          .cast("long").as("n_sh"))
       val dfreq = shSets.groupBy("sh").agg(count(lit(1)).as("df"))
+      // Only df ≥ 2 ("repeatable") rows matter anywhere downstream: a
+      // candidate-generating prefix shingle must reach ANOTHER doc, and a
+      // shingle shared by two docs has df ≥ 2 by definition (df counts
+      // distinct docs) — so the exact-verify intersection is also
+      // unchanged when computed on this frame. On a real corpus most
+      // distinct shingles are df=1 (94% at the 101k-doc probe), so this
+      // is the big-constant volume cut for every stage below.
+      val rep = shSets.join(dfreq.filter(col("df") >= 2), "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Positional split of the true prefix (first p = ⌊n/10⌋+1 shingles
+      // by (df, sh) — df=1 rows ALL sort before df≥2 rows): with u = the
+      // doc's df=1 count, the true prefix is [all u df=1 shingles] ++
+      // [the (p−u) smallest df≥2 shingles] when u < p, and all-df=1
+      // (zero candidates — the doc provably can't be contained anywhere)
+      // when u ≥ p. Ranking therefore only ever runs on repeatable rows
+      // of docs with u < p — the near-dup-heavy sliver of the corpus —
+      // never on the full shingle stream, and produces the EXACT same
+      // candidate set as ranking everything. (An earlier variant that
+      // ranked df≥2 rows against the full p budget was recall-safe but a
+      // precision disaster — 2.0k → 268k candidates at the 101k probe —
+      // because it handed df=1's prefix slots to pairable shingles; the
+      // u-offset is what makes the cut exact rather than a superset.)
+      val nRep = rep.groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
+      val surv = nRep.join(sizes, "doc_id")
+        .withColumn("p", expr("n_sh div 10") + 1)
+        .withColumn("u", col("n_sh") - col("n_rep"))
+        .filter(col("u") < col("p"))
+        .select(col("doc_id"), (col("p") - col("u")).as("k_rep"))
       val perDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("df"), col("sh"))
-      val prefixes = shSets.join(dfreq, "sh")
+      val prefixes = rep.join(surv, "doc_id")
         .withColumn("rk", row_number().over(perDoc))
-        .join(sizes, "doc_id")
-        .filter(col("rk") <= expr("n_sh div 10") + 1)
+        .filter(col("rk") <= col("k_rep"))
         .select(col("doc_id"), col("sh"))
-      val cand = prefixes.as("x").join(shSets.as("y"),
+      val cand = prefixes.as("x").join(rep.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("doc_contained"),
           col("y.doc_id").as("doc_container"))
         .distinct()
       val inter = cand
-        .join(shSets.as("sa"), col("doc_contained") === col("sa.doc_id"))
-        .join(shSets.as("sb"),
+        .join(rep.as("sa"), col("doc_contained") === col("sa.doc_id"))
+        .join(rep.as("sb"),
           col("doc_container") === col("sb.doc_id") &&
             col("sa.sh") === col("sb.sh"))
         .groupBy("doc_contained", "doc_container")

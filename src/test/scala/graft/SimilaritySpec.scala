@@ -185,6 +185,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), s"canonical corpus: $kept")
   }
 
+  test("native shingle_hashes is bit-identical to the HOF explode+xxhash64 spelling") {
+    // Independent spelling: string shingles via the declarative HOF path
+    // (explodedShingles) then the stock xxhash64 expression — NOT shared
+    // code with the native fused loop. Compared as full multisets so a
+    // dropped/duplicated/reordered position would also surface.
+    val viaHof = graft.operators.SimilarityOps
+      .explodedShingles(spark, TestSpark.sf)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaNative = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaNative.length == viaHof.length &&
+      viaNative.sameElements(viaHof),
+      s"native=${viaNative.take(3).toSeq}… hof=${viaHof.take(3).toSeq}…")
+  }
+
   test("containment dedup finds doc-in-doc pairs Jaccard misses; " +
       "serial all-pairs model agrees") {
     import spark.implicits._
