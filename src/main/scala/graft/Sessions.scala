@@ -18,21 +18,32 @@ object Sessions {
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       appName: String = "graft",
       extra: Map[String, String] = Map.empty): SparkSession = {
+    // `local[*]` and friends: fall back to the machine's core count for
+    // the per-core split sizing below.
+    val nCores: Int = cpus.toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors).max(1)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       // Local-mode split sizing, the scan-side twin of the shuffle-
-      // partition line above: the fixtures and probe corpora are tens of
-      // MB, so the 128 MB/4 MB defaults bin-pack a whole corpus into ~3
-      // input partitions and every pre-shuffle pipeline (explode, hash,
-      // scan projection) runs 3-wide on a 32-core box — measured 3×+ on
-      // the containment probe's shingle explode at 101k docs. 4 MB/256 KB
-      // keeps probe scans cores-wide. A real cluster keeps the defaults:
-      // at 100 TB the split count is file-system-bound, not knob-bound.
-      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      // partition line above, sized per core: a 128 MB-class local input
+      // (the 1M-doc probe corpus is ~170 MB) should scan cores-wide, so
+      // splits are 128 MB / cores — with the 128 MB/4 MB defaults the
+      // whole corpus bin-packed into ~3 input partitions and every
+      // pre-shuffle pipeline (explode, hash, scan projection) ran 3-wide
+      // on a 32-core box (measured 3×+ on the containment probe's
+      // shingle explode at 101k docs). Cores-AWARE rather than a fixed
+      // small value because the cost runs the other way on small
+      // sessions: a flat 4 MB split at 4 cores over-splits the sf0.1
+      // fixture tables and showed up as a 1.2-1.5× min regression on
+      // sub-second queries. A real cluster keeps the defaults: at 100 TB
+      // the split count is file-system-bound, not knob-bound.
+      .config("spark.sql.files.maxPartitionBytes",
+        (128L * 1024 * 1024 / nCores).toString)
+      .config("spark.sql.files.openCostInBytes",
+        (8L * 1024 * 1024 / nCores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
