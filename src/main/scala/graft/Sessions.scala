@@ -45,6 +45,14 @@ object Sessions {
       .config("spark.sql.files.openCostInBytes",
         (8L * 1024 * 1024 / nCores).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Bucketed scans report their sortBy order only under this flag
+      // (post-3.0 Spark drops the ordering claim because multi-file
+      // buckets would need a merge-read). The engine's bucketed writes go
+      // through JoinOps.bucketedTables, whose pre-write repartition
+      // guarantees ONE file per bucket — the exact condition the flag's
+      // ordering claim is sound under (BucketedJoinSpec asserts the
+      // file layout AND the resulting sort-free, exchange-free join).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")

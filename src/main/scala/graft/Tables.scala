@@ -36,6 +36,35 @@ object Tables {
   def orderedOnce(df: DataFrame, keys: Column*): DataFrame =
     df.persist().orderBy(keys: _*)
 
+  /** Idempotent warehouse-table materialization for the physical-layout
+    * operators (bucketed join, partition-pruned scan). The subtle case is
+    * a FRESH session catalog over a STALE warehouse directory — exactly
+    * what the second JVM of a Verify-then-Bench driver sequence sees: the
+    * in-memory catalog has no table, but the managed location exists on
+    * disk, and `saveAsTable` refuses to create over it. A table the
+    * catalog doesn't know is garbage by definition (in-memory catalog =
+    * table lifetime is session lifetime), so the stale dir is deleted and
+    * the layout rebuilt. Synchronized: two queries materializing the same
+    * layout concurrently must not interleave create/delete.
+    */
+  def materializedTable(s: SparkSession, name: String)(
+      write: => Unit): DataFrame = synchronized {
+    if (!s.catalog.tableExists(name)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val dir = new java.io.File(wh, name)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+      write
+    }
+    s.table(name)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -34,6 +34,29 @@ object JoinOps {
     */
   private val HiValue = 400000.0
 
+  /** Bucketed-table materialization for [[q_join_bucketed]] (idempotent per
+    * (session, sfDir); table names carry an sfDir tag so scale factors
+    * don't collide in one warehouse). Returns the two bucketed frames.
+    * Shared with BucketedJoinSpec so the spec asserts the exact production
+    * layout. */
+  def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val nBuckets = 8
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    val li = Tables.materializedTable(s, s"li_bkt_$tag") {
+      Tables.lineitem(s, d).repartition(nBuckets, col("l_orderkey"))
+        .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"li_bkt_$tag")
+    }
+    val ord = Tables.materializedTable(s, s"ord_bkt_$tag") {
+      Tables.orders(s, d).repartition(nBuckets, col("o_orderkey"))
+        .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"ord_bkt_$tag")
+    }
+    (li, ord)
+  }
+
   val queries: Map[String, Q] = Map(
     // lineitem ⋈ orders ⋈ customer equi-chain. Shuffles on l_orderkey then
     // o_custkey; both are the natural keys a 100 TB layout would bucket by.
@@ -180,6 +203,32 @@ object JoinOps {
           col("o_orderkey").asc_nulls_first)
     }),
 
+    // Bucket-co-located join ("reuse a partitioning across stages"): both
+    // fact tables are materialized ONCE as bucketed+sorted tables on the
+    // join key, and every later join between them runs with ZERO exchange
+    // and ZERO sort — the physical layout a 100 TB warehouse maintains so
+    // its hottest join never pays the shuffle again. Mechanics that make
+    // the files line up: the pre-write repartition uses the SAME
+    // HashPartitioning expression the bucket-id assignment uses
+    // (pmod(murmur3, n)), so each write task holds exactly one bucket and
+    // each bucket lands in ONE file — the single-file-per-bucket condition
+    // under which the scan reports the sortBy order and the downstream
+    // SortMergeJoin needs neither Exchange nor Sort (BucketedJoinSpec
+    // asserts both absences against the stock plan's two shuffles). The
+    // `merge` hint pins SMJ so small scale factors don't flip to a
+    // broadcast plan and vacuously pass. One-time materialization per
+    // (session, sfDir): of Bench's 3 passes only the first pays the write.
+    "q_join_bucketed" -> ((s, d) => {
+      val (li, ord) = bucketedTables(s, d)
+      val revenue = round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,2)")
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // AS-OF join (generalizes reference knobs.go:101-102, "latest record at
     // or before the probe time"): for each purchase event, the latest click
     // by the same user with click.ts <= purchase.ts. Implemented as the
@@ -284,6 +333,15 @@ object JoinOps {
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY band
          ORDER BY band""",
+    // Bucketing is a physical layout only — the relational spec is the
+    // plain join over the raw tables.
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) / 100
+             AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_asof" ->
       """WITH ev AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events

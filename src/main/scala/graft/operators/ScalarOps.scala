@@ -23,7 +23,43 @@ import graft.functions.Num.round2
   */
 object ScalarOps {
 
+  /** Date-partitioned events materialization for [[q_partition_prune]]
+    * (idempotent per (session, sfDir), same tag scheme as
+    * JoinOps.bucketedTables). Directory-partitioning by day is the OTHER
+    * physical-layout lever next to bucketing: a time-range predicate
+    * becomes a directory listing, so a 100 TB store scans only the days
+    * asked for. Shared with PartitionPruneSpec. */
+  def partitionedEvents(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    val name = s"ev_day_$tag"
+    Tables.materializedTable(s, name) {
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day").mode("overwrite").saveAsTable(name)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // Partition-pruned time-range scan over the day-partitioned events
+    // layout: the `day` predicate is a PARTITION filter (PartitionFilters
+    // in the scan, not PushedFilters), so the 23 out-of-range days are
+    // never opened — directory pruning, the scan-side complement of
+    // q_join_bucketed's exchange elimination. PartitionPruneSpec asserts
+    // the filter lands partition-side and that only the 7 matching
+    // partitions are read; the oracle replays the same week over the raw
+    // table (partitioning is physical only).
+    "q_partition_prune" -> ((s, d) => {
+      partitionedEvents(s, d)
+        .filter(col("day") >= "2024-01-08" && col("day") <= "2024-01-14")
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round2(col("value")).cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // The most-used operator in any workload: scan, predicate, narrow
     // projection. Filter lands in PushedFilters; ReadSchema carries only
     // the 6 referenced columns of lineitem's 11.
@@ -123,6 +159,19 @@ object ScalarOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Partitioning is physical only — the spec is the same week over the
+    // raw table. day is derived (not filtered on ts) so both engines cut
+    // on the identical string boundary.
+    "q_partition_prune" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value
+                    FROM events)
+         SELECT day, event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) / 100 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sum_value
+         FROM e
+         WHERE day >= '2024-01-08' AND day <= '2024-01-14'
+         GROUP BY day, event_type
+         ORDER BY day, event_type""",
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
                 round(l_extendedprice * (1.0 - l_discount) * 100) / 100 AS disc_price
