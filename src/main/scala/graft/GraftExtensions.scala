@@ -22,6 +22,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    shingles ([[graft.functions.SimHash64]])
   *  - `shingle_hashes(text)` — one-pass array of per-position 3-word
   *    shingle hashes ([[graft.functions.ShingleHashes]])
+  *  - `text_canon(text)` — Unicode-robust canonicalization (NFC + case
+  *    fold + whitespace collapse) for dedup keys ([[graft.functions.TextCanon]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -67,6 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "shingle_hashes"),
       (children: Seq[Expression]) =>
         graft.functions.ShingleHashes(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("text_canon"),
+      new ExpressionInfo(classOf[graft.functions.TextCanon].getName,
+        "text_canon"),
+      (children: Seq[Expression]) => graft.functions.TextCanon(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),

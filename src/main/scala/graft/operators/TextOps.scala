@@ -316,6 +316,23 @@ object TextOps {
         .orderBy("keep_id")
     }),
 
+    // Unicode-robust exact dedup: the key is the native text_canon
+    // canonical form (NFC + case fold + whitespace collapse, one fused
+    // scan-projection pass — functions/TextCanon), so two crawls of the
+    // same page that differ only in Unicode normal form (é composed vs
+    // e+combining-acute), case, or whitespace layout land in ONE group —
+    // the duplicate class q_dedup_exact's byte-level key structurally
+    // misses. Same scale shape as dedup_exact: only the sha256 of the
+    // canon shuffles, never the text. The ASCII fixtures exercise the
+    // case/whitespace legs; the NFC leg is pinned by TextCanonSpec's
+    // planted NFD/NFC twins (both engines, same canon rule).
+    "q_unicode_canon" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(sha2(expr("text_canon(text)"), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
     // Classic wordcount: tokenize, explode, count. Partial agg collapses
     // each partition to its local vocabulary before the shuffle.
     "q_text_wordcount" -> ((s, d) => {
@@ -1092,6 +1109,15 @@ object TextOps {
     "q_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
                 count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    // text_canon's exact cross-engine spelling: NFC, lower, collapse the
+    // 6-char ASCII whitespace class (explicit class, not \s — Java and
+    // RE2 disagree on U+000B), then a space-only trim (sufficient once
+    // runs are single spaces).
+    "q_unicode_canon" ->
+      """SELECT sha256(trim(regexp_replace(lower(nfc_normalize(text)),
+                  '[ \t\n\f\r\v]+', ' ', 'g'))) AS h,
+                min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "q_text_wordcount" ->
       """SELECT word, count(*) AS cnt
