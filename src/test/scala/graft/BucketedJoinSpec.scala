@@ -59,6 +59,19 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(bucketed == raw)
   }
 
+  test("aggregation on the bucket key also plans without an exchange") {
+    // The layout pays for more than the join: any groupBy on the bucket
+    // column reads the scan's HashPartitioning as already-satisfied
+    // distribution, so per-key aggregation over the hottest key is
+    // exchange-free too — one layout, every downstream re-keying free.
+    val (li, _) = JoinOps.bucketedTables(spark, TestSpark.sf)
+    val agg = li.groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 0,
+      s"bucket-key aggregation must not shuffle:\n$plan")
+  }
+
   test("materialization survives a stale warehouse dir under a fresh catalog") {
     // The second JVM of a Verify-then-Bench driver sequence: in-memory
     // catalog knows nothing, but the managed location survives on disk

@@ -31,6 +31,32 @@ class PartitionPruneSpec extends AnyFunSuite {
       s"day must not appear in dataFilters: ${scan.dataFilters}")
   }
 
+  test("a selective dim join prunes partitions dynamically (DPP)") {
+    // The star-schema form of the same lever: the partition predicate is
+    // not known until a DIM side is filtered — here a 30-row date dim cut
+    // to 3 days — and dynamic partition pruning turns the broadcast dim's
+    // keys into a runtime partition filter on the fact scan. At 100 TB
+    // this is the difference between scanning 3 days and scanning 10
+    // years because the predicate lived on the dim's attribute.
+    import spark.implicits._
+    val ev = ScalarOps.partitionedEvents(spark, TestSpark.sf)
+    // The dim must be storage-backed: a LocalRelation dim gets its filter
+    // constant-folded away before the PartitionPruning rule looks for a
+    // selective predicate, and DPP silently never injects.
+    val dimPath = "/tmp/graft-warehouse/dpp_date_dim"
+    (1 to 30).map(i => (f"2024-01-$i%02d", i)).toDF("dday", "idx")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = ev.join(broadcast(dim).filter(col("idx") <= 3),
+        col("day") === col("dday"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+    val got = joined.orderBy("day").collect().map(r => r.getString(0))
+    assert(got.toSeq == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+  }
+
   test("pruned result equals the raw-table filter") {
     val pruned = SparkEntry.queries("q_partition_prune")(spark, TestSpark.sf)
       .collect().toSeq
