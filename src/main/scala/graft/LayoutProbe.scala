@@ -31,12 +31,19 @@ object LayoutProbe {
     val base = "/tmp/graft-warehouse/layout_probe"
     val nBuckets = 32
 
-    // Synthetic fact/dim: every fact row joins (key = hash mod nDim).
+    // Synthetic fact/dim: every fact row joins exactly once — which
+    // requires d_key to be a PERMUTATION of [0, nDim), i.e. a multiplier
+    // coprime to nDim (a shared factor g would leave only nDim/g distinct
+    // dim keys, silently dropping most fact rows and fanning out the
+    // rest). Distinct primes: at least one divides no nDim.
+    val dimMult = Seq(40507L, 40519L, 40529L, 40531L)
+      .find(m => BigInt(m).gcd(BigInt(nDim)) == 1)
+      .getOrElse(sys.error(s"no coprime multiplier for nDim=$nDim"))
     val fact = spark.range(nFact).select(
       pmod(col("id") * 2654435761L, lit(nDim)).as("f_key"),
       (col("id") % 100).cast("double").as("f_qty"))
     val dim = spark.range(nDim).select(
-      pmod(col("id") * 40503L, lit(nDim)).as("d_key"),
+      pmod(col("id") * dimMult, lit(nDim)).as("d_key"),
       (col("id") % 7).as("d_grp"))
 
     def timed[A](body: => A): (A, Double) = {
@@ -54,11 +61,8 @@ object LayoutProbe {
     // Tables.materializedTable.
     Seq("layout_probe_fact", "layout_probe_dim").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File("/tmp/graft-warehouse", t))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File("/tmp/graft-warehouse", t))
     }
     val (_, tBktWrite) = timed {
       spark.read.parquet(s"$base/fact_raw")

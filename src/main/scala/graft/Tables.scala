@@ -52,18 +52,17 @@ object Tables {
     if (!s.catalog.tableExists(name)) {
       val wh = s.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
-      val dir = new java.io.File(wh, name)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, name))
       write
     }
     s.table(name)
   }
+
+  /** The per-sfDir table-name tag the layout operators share (bucketed
+    * tables, partitioned events). One definition so specs that address
+    * the tables by name can never drift from the production spelling. */
+  def sfTag(d: String): String =
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

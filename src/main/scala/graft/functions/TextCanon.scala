@@ -22,10 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * in DuckDB. Whitespace is pinned to the explicit 6-char ASCII class —
   * NOT regex `\s` — because Java's `\s` includes U+000B while RE2's does
   * not; the fused loop below and the oracle's character class agree by
-  * construction. Lowercasing is Unicode simple case folding in both
-  * engines (Java `toLowerCase(ROOT)` / utf8proc); content where the two
-  * diverge (locale-sensitive dotted-I, conditional sigma) is exactly the
-  * content a dedup key wants folded anyway.
+  * construction. Lowercasing is SIMPLE per-codepoint mapping
+  * (`Character.toLowerCase(int)`), NOT `String.toLowerCase` — the String
+  * method applies FULL/contextual mapping (İ → i + combining dot-above,
+  * final-position Σ → ς) where DuckDB's utf8proc applies the simple 1:1
+  * UnicodeData table (İ → i, Σ → σ always); the two agree only under the
+  * simple mapping (probed: U+0130, U+03A3-in-ΟΔΟΣ, U+1E9E, U+212A/B).
   */
 case class TextCanon(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -51,25 +53,25 @@ object TextCanon {
 
   /** Called from both eval and generated code. NFC needs the JVM String
     * form, so the pass is String-level: normalize, then one fused
-    * lower+trim+collapse loop (no intermediate regex/replace strings). */
+    * lower+trim+collapse loop over CODEPOINTS (simple case mapping — see
+    * the class doc for why `String.toLowerCase` would break the oracle). */
   def canon(text: UTF8String): UTF8String = {
     val nfc = java.text.Normalizer.normalize(
       text.toString, java.text.Normalizer.Form.NFC)
-    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
-    val n = lower.length
+    val n = nfc.length
     val out = new java.lang.StringBuilder(n)
     var i = 0
     var pendingSpace = false
     while (i < n) {
-      val c = lower.charAt(i)
-      if (isWs(c)) {
+      val cp = nfc.codePointAt(i)
+      if (cp < 0x80 && isWs(cp.toChar)) {
         // emit at most one space, and none before the first word (trim)
         pendingSpace = out.length() > 0
       } else {
         if (pendingSpace) { out.append(' '); pendingSpace = false }
-        out.append(c)
+        out.appendCodePoint(Character.toLowerCase(cp))
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(out.toString)
   }

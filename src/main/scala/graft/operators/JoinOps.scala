@@ -42,8 +42,7 @@ object JoinOps {
   def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val nBuckets = 8
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(d))
+    val tag = Tables.sfTag(d)
     val li = Tables.materializedTable(s, s"li_bkt_$tag") {
       Tables.lineitem(s, d).repartition(nBuckets, col("l_orderkey"))
         .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")

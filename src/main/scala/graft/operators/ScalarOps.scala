@@ -31,9 +31,7 @@ object ScalarOps {
     * asked for. Shared with PartitionPruneSpec. */
   def partitionedEvents(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(d))
-    val name = s"ev_day_$tag"
+    val name = s"ev_day_${Tables.sfTag(d)}"
     Tables.materializedTable(s, name) {
       Tables.events(s, d)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

@@ -77,8 +77,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     // catalog knows nothing, but the managed location survives on disk
     // from the previous process — saveAsTable refuses to create over it
     // unless the helper clears the orphan first.
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(TestSpark.sf))
+    val tag = Tables.sfTag(TestSpark.sf)
     spark.sql(s"DROP TABLE IF EXISTS li_bkt_$tag") // drops dir too (managed)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val orphan = new java.io.File(wh, s"li_bkt_$tag")
@@ -95,8 +94,10 @@ class BucketedJoinSpec extends AnyFunSuite {
     // changing HashPartitioning, a refactor dropping the repartition) the
     // sorted-scan condition silently vanishes and only this spec notices
     // (the join would re-gain Sort nodes but still answer correctly).
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(TestSpark.sf))
+    // Self-sufficient under `testOnly -- -z`: materialize before describing
+    // (a fresh JVM's catalog has no li_bkt table until something builds it).
+    JoinOps.bucketedTables(spark, TestSpark.sf)
+    val tag = Tables.sfTag(TestSpark.sf)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED li_bkt_$tag")
       .filter(col("col_name") === "Location")
       .head().getString(1).stripPrefix("file:")

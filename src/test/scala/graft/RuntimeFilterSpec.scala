@@ -78,11 +78,15 @@ class RuntimeFilterSpec extends AnyFunSuite {
         .join(c, o("o_custkey") === c("c_custkey"))
         .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
       val plain = {
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
         try o.join(c, o("o_custkey") === c("c_custkey"))
           .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
-        finally spark.conf
-          .set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
       assert(pruned == plain)
     }

@@ -34,6 +34,16 @@ class TextCanonSpec extends AnyFunSuite {
     assert(canon("already canonical") == "already canonical")
   }
 
+  test("case mapping is SIMPLE (per-codepoint), matching DuckDB's lower") {
+    // Full/contextual mapping (String.toLowerCase) would emit i+combining
+    // dot for dotted-İ and final sigma ς — DuckDB's utf8proc does neither.
+    assert(canon("\u0130") == "i")             // dotted-I, 1 codepoint out
+    assert(canon("\u039f\u0394\u039f\u03a3") ==
+      "\u03bf\u03b4\u03bf\u03c3")          // NOT final sigma \u03c2
+    assert(canon("\u1e9e") == "\u00df")        // capital sharp s -> eszett
+    assert(canon("\u212a") == "k")             // Kelvin sign
+  }
+
   test("non-BMP content (emoji, CJK) passes through untouched") {
     val s = "\ud83d\ude00 \u4f60\u597d"
     assert(canon(s) == s)
