@@ -77,7 +77,10 @@ object TextProbe {
     Seq("q_pii_redact", "q_repetition", "q_tfidf_top_terms",
       "q_bm25_top_terms", "q_decontaminate", "q_chunk_overlap",
       "q_unigram_logprob", "q_domain_cap", "q_corpus_pipeline",
-      "q_substring_dedup", "q_pack_sequences")
+      "q_substring_dedup", "q_pack_sequences",
+      // the exact-dedup pair: byte-digest vs text_canon digest — the
+      // canon's String-level NFC pass is the cost delta under scrutiny
+      "q_dedup_exact", "q_unicode_canon")
       .filter(want).foreach(run)
     // substring PRUNE with the twin canary: a twin shares its first 57
     // words with its base doc, i.e. all 38 of the base's 20-word windows
