@@ -6,8 +6,18 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `text_canon(s)` — Unicode-robust text canonicalization for dedup keys:
-  * NFC normalize → lowercase (root locale) → trim → collapse whitespace
-  * runs to a single space, in ONE fused pass at the scan projection.
+  * lowercase (simple mapping) + trim + collapse whitespace runs in ONE
+  * fused pass at the scan projection, then NFC normalize LAST.
+  *
+  * Order matters and is load-bearing: lowering must precede NFC. Some
+  * combining sequences have a precomposed form only in lowercase (T +
+  * U+0308 has none; ẗ = U+1E97 exists), so NFC-then-lower leaves
+  * "T̈" decomposed while precomposed "ẗ" input stays composed — two
+  * render-identical texts keyed differently, and canon(canon(s)) ≠
+  * canon(s). Lower-then-NFC makes canon a PROJECTION (idempotent —
+  * TextCanonProps found the original violation and now pins the fix) and
+  * collapses that duplicate class. Whitespace order is immaterial: NFC
+  * neither produces nor composes across the ASCII ws class.
   *
   * Why a dedicated canon step: exact dedup keyed on raw bytes misses the
   * duplicate class where two crawls of the same page differ ONLY in
@@ -18,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * instead of a near-dup pipeline.
   *
   * Cross-engine contract (the oracle replays this exactly):
-  * `regexp_replace(trim(lower(nfc_normalize(s))), '[ \t\n\f\r\v]+', ' ', 'g')`
+  * `nfc_normalize(trim(regexp_replace(lower(s), '[ \t\n\f\r\v]+', ' ', 'g')))`
   * in DuckDB. Whitespace is pinned to the explicit 6-char ASCII class —
   * NOT regex `\s` — because Java's `\s` includes U+000B while RE2's does
   * not; the fused loop below and the oracle's character class agree by
@@ -52,18 +62,18 @@ object TextCanon {
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == '\u000B'
 
   /** Called from both eval and generated code. NFC needs the JVM String
-    * form, so the pass is String-level: normalize, then one fused
-    * lower+trim+collapse loop over CODEPOINTS (simple case mapping — see
-    * the class doc for why `String.toLowerCase` would break the oracle). */
+    * form, so the pass is String-level: one fused lower+trim+collapse
+    * loop over CODEPOINTS (simple case mapping — see the class doc for
+    * why `String.toLowerCase` would break the oracle), then NFC LAST
+    * (see the class doc for why lower must precede NFC). */
   def canon(text: UTF8String): UTF8String = {
-    val nfc = java.text.Normalizer.normalize(
-      text.toString, java.text.Normalizer.Form.NFC)
-    val n = nfc.length
+    val s = text.toString
+    val n = s.length
     val out = new java.lang.StringBuilder(n)
     var i = 0
     var pendingSpace = false
     while (i < n) {
-      val cp = nfc.codePointAt(i)
+      val cp = s.codePointAt(i)
       if (cp < 0x80 && isWs(cp.toChar)) {
         // emit at most one space, and none before the first word (trim)
         pendingSpace = out.length() > 0
@@ -73,6 +83,7 @@ object TextCanon {
       }
       i += Character.charCount(cp)
     }
-    UTF8String.fromString(out.toString)
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      out, java.text.Normalizer.Form.NFC))
   }
 }

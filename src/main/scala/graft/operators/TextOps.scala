@@ -1110,13 +1110,15 @@ object TextOps {
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
                 count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
-    // text_canon's exact cross-engine spelling: NFC, lower, collapse the
+    // text_canon's exact cross-engine spelling: lower, collapse the
     // 6-char ASCII whitespace class (explicit class, not \s — Java and
-    // RE2 disagree on U+000B), then a space-only trim (sufficient once
-    // runs are single spaces).
+    // RE2 disagree on U+000B), space-only trim (sufficient once runs are
+    // single spaces), then NFC LAST — lower-then-NFC, not the reverse,
+    // because some sequences compose only in lowercase (functions/
+    // TextCanon scaladoc; TextCanonProps pins idempotence).
     "q_unicode_canon" ->
-      """SELECT sha256(trim(regexp_replace(lower(nfc_normalize(text)),
-                  '[ \t\n\f\r\v]+', ' ', 'g'))) AS h,
+      """SELECT sha256(nfc_normalize(trim(regexp_replace(lower(text),
+                  '[ \t\n\f\r\v]+', ' ', 'g')))) AS h,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "q_text_wordcount" ->

@@ -44,6 +44,16 @@ class TextCanonSpec extends AnyFunSuite {
     assert(canon("\u212a") == "k")             // Kelvin sign
   }
 
+  test("lower-then-NFC: lowercase-only compositions key identically") {
+    // T+combining-diaeresis has no uppercase precomposed form, so the
+    // old NFC-then-lower order left it decomposed while precomposed
+    // U+1E97 input stayed composed — render-identical texts, different
+    // keys, and canon(canon(s)) != canon(s). TextCanonProps found it.
+    assert(canon("T\u0308") == "\u1e97")
+    assert(canon("\u1e97") == "\u1e97")
+    assert(canon(canon("T\u0308")) == canon("T\u0308"))
+  }
+
   test("non-BMP content (emoji, CJK) passes through untouched") {
     val s = "\ud83d\ude00 \u4f60\u597d"
     assert(canon(s) == s)
