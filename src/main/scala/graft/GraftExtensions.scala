@@ -22,8 +22,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    shingles ([[graft.functions.SimHash64]])
   *  - `shingle_hashes(text)` — one-pass array of per-position 3-word
   *    shingle hashes ([[graft.functions.ShingleHashes]])
-  *  - `text_canon(text)` — Unicode-robust canonicalization (NFC + case
-  *    fold + whitespace collapse) for dedup keys ([[graft.functions.TextCanon]])
+  *  - `text_canon(text)` — Unicode-robust canonicalization (case fold +
+  *    whitespace collapse, then NFC) for dedup keys ([[graft.functions.TextCanon]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -78,8 +78,10 @@ object TextProbe {
       "q_bm25_top_terms", "q_decontaminate", "q_chunk_overlap",
       "q_unigram_logprob", "q_domain_cap", "q_corpus_pipeline",
       "q_substring_dedup", "q_pack_sequences",
-      // the exact-dedup pair: byte-digest vs text_canon digest — the
-      // canon's String-level NFC pass is the cost delta under scrutiny
+      // the exact-dedup pair: both key on a normalized-text sha256
+      // (dedup_exact = lower+trim built-ins; unicode_canon = the native
+      // codepoint loop + NFC) — the canon's String-level pass is the
+      // cost delta under scrutiny
       "q_dedup_exact", "q_unicode_canon")
       .filter(want).foreach(run)
     // substring PRUNE with the twin canary: a twin shares its first 57

@@ -317,8 +317,9 @@ object TextOps {
     }),
 
     // Unicode-robust exact dedup: the key is the native text_canon
-    // canonical form (NFC + case fold + whitespace collapse, one fused
-    // scan-projection pass — functions/TextCanon), so two crawls of the
+    // canonical form (case fold + whitespace collapse, then NFC LAST —
+    // one fused scan-projection pass, order load-bearing: see
+    // functions/TextCanon), so two crawls of the
     // same page that differ only in Unicode normal form (é composed vs
     // e+combining-acute), case, or whitespace layout land in ONE group —
     // the duplicate class q_dedup_exact's byte-level key structurally

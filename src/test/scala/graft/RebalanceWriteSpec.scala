@@ -16,21 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class RebalanceWriteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
-    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("REBALANCE splits a hot write partition to the advisory size") {
-    withConfs(
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
-      // rebalance only splits when a partition exceeds factor x advisory
-      "spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor" -> "0.2") {
+    // Splitting is optimizeSkewsInRebalancePartitions (on by default)
+    // paced by the advisory size — that one conf is the whole experiment.
+    TestSpark.withConfs(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB") {
       // 95% of rows in one key, incompressible payload (the SkewJoinSpec
       // lesson: sizes are compressed bytes).
       val skewed = spark.range(400000L).select(

@@ -19,23 +19,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class RuntimeFilterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def withRuntimeFilterConfs(body: => Unit): Unit = {
-    val confs = Seq(
+  private def withRuntimeFilterConfs(body: => Unit): Unit =
+    TestSpark.withConfs(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       // AQE's broadcast demotion doesn't matter here, but a broadcast
       // JOIN would: runtime filters only pay off (and only inject) on
       // shuffle joins, so pin the join strategy via hint below and keep
       // autoBroadcast off for the control's benefit.
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")(body)
 
   test("selective dim predicate injects a bloom filter into the fact scan") {
     withRuntimeFilterConfs {
@@ -77,16 +69,11 @@ class RuntimeFilterSpec extends AnyFunSuite {
       val pruned = o.hint("merge")
         .join(c, o("o_custkey") === c("c_custkey"))
         .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
-      val plain = {
-        val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-        val prior = spark.conf.getOption(key)
-        spark.conf.set(key, "false")
-        try o.join(c, o("o_custkey") === c("c_custkey"))
+      var plain: Seq[org.apache.spark.sql.Row] = Seq.empty
+      TestSpark.withConfs(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        plain = o.join(c, o("o_custkey") === c("c_custkey"))
           .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
-        finally prior match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
       }
       assert(pruned == plain)
     }

@@ -16,18 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
-    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("a planted hot join key is split by AQE (skew=true in final plan)") {
-    withConfs(
+    TestSpark.withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       // the planted hot partition is ~10 MB; production-size gates would
       // never see it, so scale them to the fixture

@@ -43,8 +43,8 @@ object TextCanonProps extends Properties("text_canon") {
   property("no leading/trailing/doubled whitespace in output") =
     Prop.forAll(textGen) { s =>
       val c = canon(s)
-      val wsOk = !c.exists(ch => ch != ' ' &&
-        (ch == '\t' || ch == '\n' || ch == '\f' || ch == '\r' || ch == ''))
+      val wsOk = !c.exists(ch =>
+        ch == '\t' || ch == '\n' || ch == '\f' || ch == '\r' || ch == '\u000B')
       c == c.trim && !c.contains("  ") && wsOk
     }
 
