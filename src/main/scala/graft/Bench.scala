@@ -136,6 +136,19 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up of events FAILED: ${e.getMessage}")
     }
+    // The layout operators read a MAINTAINED physical layout; its
+    // materialization is one-time by contract (LayoutProbe reports the
+    // write cost explicitly). Build it here so the timed runs measure
+    // the read path — otherwise run 1 carries the write, the max/min
+    // ratio trips, and the query is flagged contended every round.
+    try {
+      graft.operators.JoinOps.bucketedTables(spark, sfDir)
+      graft.operators.ScalarOps.partitionedEvents(spark, sfDir)
+      ()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] layout warm-up FAILED (first timed " +
+        s"run will carry the write): ${e.getMessage}")
+    }
     names.headOption.foreach(runOnce)
 
     val mpsSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
