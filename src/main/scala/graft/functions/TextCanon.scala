@@ -38,6 +38,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * final-position Σ → ς) where DuckDB's utf8proc applies the simple 1:1
   * UnicodeData table (İ → i, Σ → σ always); the two agree only under the
   * simple mapping (probed: U+0130, U+03A3-in-ΟΔΟΣ, U+1E9E, U+212A/B).
+  *
+  * Contract bounds, from an exhaustive sweep (every codepoint
+  * U+0020..U+2FFFF embedded as "x_y", JVM canon vs the DuckDB spelling):
+  * 194,495 agree; the ONLY 3 divergences are U+A7C7/U+A7C9/U+A7F5 —
+  * case pairs ADDED in Unicode 13, which JDK 17 lowers and DuckDB 1.0's
+  * utf8proc (older Unicode) does not. Unicode-VERSION skew is inherent
+  * to any cross-engine case mapping; it is documented rather than
+  * special-cased, since pinning to the oracle's table would flip the
+  * divergence on the oracle's next upgrade.
   */
 case class TextCanon(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
