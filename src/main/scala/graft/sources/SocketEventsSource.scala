@@ -138,7 +138,10 @@ private[sources] final class BrokerClient(host: String, port: Int) {
   // reconnect/fail-loudly paths already handle, never a silent stall
   // (the round-9 receiver-death ADVICE, applied to the pull design).
   sock.setSoTimeout(60000)
-  private val out = new PrintWriter(sock.getOutputStream, false)
+  // charset pinned to match the broker's UTF-8 readers (a bare
+  // PrintWriter writes the JVM default charset)
+  private val out = new PrintWriter(new java.io.OutputStreamWriter(
+    sock.getOutputStream, StandardCharsets.UTF_8), false)
   private val in = new BufferedReader(
     new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
 
@@ -289,6 +292,15 @@ private class SocketMicroBatchStream(host: String, port: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].v
     val (latest, _) = stat()
+    // a latest seq BELOW the checkpointed offset means the broker lost
+    // its log (restarted with empty state): clamping would idle the
+    // query forever with empty batches — the silent-stall mode this
+    // connector was designed to refuse. Fail loudly; the operator
+    // decides whether to reset the checkpoint or restore the broker.
+    if (latest < s)
+      throw new IllegalStateException(
+        s"broker seq regressed: latest=$latest < checkpointed offset=$s " +
+          s"(topic $topicName — broker restarted with empty state?)")
     lastLatest = latest
     val cap = limit match {
       case rl: streaming.ReadMaxRows => rl.maxRows()

@@ -55,6 +55,23 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     conns(m)
   }
 
+  /** One request/response exchange. EOF (member died, or the broker's
+    * chaos hook dropped connections) evicts the cached Conn — so the
+    * next call re-dials instead of reusing a dead socket forever — and
+    * fails with a diagnosable error instead of an NPE on `.trim`. */
+  private def exchange(m: Int, line: String): String = {
+    val c = conn(m)
+    c.send(line)
+    val resp = c.read()
+    if (resp == null) {
+      try c.sock.close() catch { case _: Throwable => () }
+      conns(m) = null
+      throw new IllegalStateException(
+        s"member $m: connection EOF answering '$line'")
+    }
+    resp
+  }
+
   def size: Int = endpoints.size
 
   /** The member owning a shard. */
@@ -65,10 +82,8 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     * per-member, like everything else). */
   def regAll(topic: String, sub: String): Seq[Long] =
     endpoints.indices.map { m =>
-      val c = conn(m)
-      c.send(s"REG $topic $sub")
-      val resp = c.read()
-      require(resp != null && resp.startsWith("OK "),
+      val resp = exchange(m, s"REG $topic $sub")
+      require(resp.startsWith("OK "),
         s"member $m: unexpected REG response $resp")
       resp.drop(3).trim.toLong
     }
@@ -79,9 +94,7 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     * aggregate. */
   def statAll(topic: String, sub: String): (Long, Long) =
     endpoints.indices.foldLeft((0L, 0L)) { case ((lat, ack), m) =>
-      val c = conn(m)
-      c.send(s"STAT $topic $sub")
-      val resp = c.read()
+      val resp = exchange(m, s"STAT $topic $sub")
       val parts = resp.trim.split("\\s+")
       require(parts.length == 3 && parts(0) == "SEQ",
         s"member $m: unexpected STAT response $resp")
@@ -89,9 +102,22 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     }
 
   /** Cumulative ack on ONE member (the consumer leasing that member's
-    * slice is the only party that may ack it). */
-  def ack(memberIdx: Int, topic: String, sub: String, seq: Long): Unit =
+    * slice is the only party that may ack it). The broker's ACK verb
+    * succeeds SILENTLY but fails with an ERR reply, so a fire-and-forget
+    * send would leave that ERR buffered and desync every later exchange
+    * on this control connection. Pairing the ack with a STAT barrier
+    * makes it checked in one round trip: the next line is either the
+    * STAT's SEQ (ack accepted) or the ACK's ERR (drain the trailing STAT
+    * reply, then fail loudly). */
+  def ack(memberIdx: Int, topic: String, sub: String, seq: Long): Unit = {
     conn(memberIdx).send(s"ACK $topic $sub $seq")
+    val resp = exchange(memberIdx, s"STAT $topic $sub")
+    if (resp.startsWith("ERR")) {
+      conn(memberIdx).read() // the trailing STAT reply
+      throw new IllegalStateException(
+        s"member $memberIdx: ack refused: $resp")
+    }
+  }
 
   /** Bulk-publish payload lines to the member owning `shard`. */
   def publish(shard: Int, topic: String, payloads: Seq[String]): Unit = {

@@ -67,7 +67,9 @@ object BrokerSink {
           RetrySink.pushWithRetry() { () =>
             val sock = new Socket(host, port)
             try {
-              val out = new PrintWriter(sock.getOutputStream, false)
+              val out = new PrintWriter(new java.io.OutputStreamWriter(
+                sock.getOutputStream,
+                java.nio.charset.StandardCharsets.UTF_8), false)
               // PUBB chunks: one broker-side lock per 1000 payloads, and
               // the payload lines are never tokenized (per-message PUB
               // measured ~25k msg/s under 4 producers; chunked bulk is

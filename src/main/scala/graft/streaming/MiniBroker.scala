@@ -91,6 +91,12 @@ class MiniBroker {
     // notifyAll so pushers/fetchers waiting on new data wake up.
     val log = new ArrayBuffer[(Long, String)]() // (seq, base64 payload)
     var base = 0L
+    // THIS topic's subscriptions (guarded by the log monitor, populated
+    // in sub()): the trim's min-ack scan iterates these, not the global
+    // subs map — scanning every subscription of every topic under this
+    // topic's log lock serialized unrelated topics' publish paths
+    // against each ACK
+    val topicSubs = new ArrayBuffer[Sub]()
   }
   private final class Sub(val topic: String, start: Long) {
     val acked = new AtomicLong(start)
@@ -119,10 +125,13 @@ class MiniBroker {
     // then trim away a backlog this new sub was created expecting (its
     // start read base=B, the trim then passed B) — a silent delivery gap
     t.log.synchronized {
-      subs.computeIfAbsent(s"$topicName/$subName", _ =>
+      subs.computeIfAbsent(s"$topicName/$subName", _ => {
         // created after a trim ⇒ starts at the trim point: the dropped
         // prefix cannot be re-delivered to anyone
-        new Sub(topicName, t.base))
+        val s = new Sub(topicName, t.base)
+        t.topicSubs += s
+        s
+      })
     }
   }
 
@@ -205,8 +214,8 @@ class MiniBroker {
     val t = topic(topicName)
     t.log.synchronized {
       var minAck = Long.MaxValue
-      subs.forEach { (_, s) =>
-        if (s.topic == topicName) minAck = math.min(minAck, s.acked.get())
+      t.topicSubs.foreach { s =>
+        minAck = math.min(minAck, s.acked.get())
       }
       if (minAck == Long.MaxValue) return
       // an over-ack (client acking past the published seq) clamps to the
@@ -230,7 +239,11 @@ class MiniBroker {
     conns.add(sock)
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(sock.getOutputStream, false)
+    // writer charset pinned to match every reader: a bare PrintWriter
+    // uses the JVM default charset, so on a non-UTF-8-default JVM any
+    // non-ASCII name in a reply line would decode as mojibake client-side
+    val out = new PrintWriter(new java.io.OutputStreamWriter(
+      sock.getOutputStream, StandardCharsets.UTF_8), false)
     val closed = new AtomicBoolean(false)
     val pusherStarted = new AtomicBoolean(false)
     val localSubs = mutable.Map.empty[String, String] // sub name → topic
@@ -244,7 +257,23 @@ class MiniBroker {
         // the handler into a bare unexplained disconnect
         try parts(0) match {
           case "SUB" if parts.length == 3 || parts.length == 5 =>
-            if (pusherStarted.getAndSet(true)) {
+            // parse AND range-check the shard pair before ANY state
+            // change: a malformed SUB used to flip pusherStarted first,
+            // poisoning the connection into answering already-subscribed
+            // to its own retry; and an un-checked pair (nShards=0,
+            // shard>=nShards) passed validation here only to kill the
+            // pusher thread with an uncaught arithmetic error — the
+            // client then waited forever on a silent stream, while this
+            // handler's comment claimed zero shards answer ERR
+            val (shard, nShards) =
+              if (parts.length == 5) (parts(3).toInt, parts(4).toInt)
+              else (0, 1)
+            if (nShards <= 0 || shard < 0 || shard >= nShards) {
+              out.synchronized {
+                out.println(s"ERR sub bad-shard $shard/$nShards")
+                out.flush()
+              }
+            } else if (pusherStarted.getAndSet(true)) {
               // one pusher per connection: a second would share this
               // PrintWriter and interleave a duplicate MSG stream. The
               // refusal must come BEFORE any registration: a refused SUB
@@ -255,9 +284,6 @@ class MiniBroker {
                 out.println("ERR already-subscribed"); out.flush()
               }
             } else {
-              val (shard, nShards) =
-                if (parts.length == 5) (parts(3).toInt, parts(4).toInt)
-                else (0, 1)
               val s0 = sub(parts(1), parts(2))
               localSubs(parts(2)) = parts(1)
               val pusher = new Thread(
@@ -306,7 +332,18 @@ class MiniBroker {
             // a 4-producer publish path ~25k msg/s; this form measures
             // ~20× that in ChainSoak). Consumers see identical seqs.
             val t = topic(parts(1))
-            val n = parts(2).toInt
+            // an unparseable count must take the SAME drop-the-connection
+            // path as an out-of-range one: the generic bad-request catch
+            // keeps the connection, but the client still sends its
+            // payload lines, which would then be misread as verbs
+            val n = try parts(2).toInt catch {
+              case _: NumberFormatException =>
+                out.synchronized {
+                  out.println(s"ERR pubb-count ${parts(2)} not an int")
+                  out.flush()
+                }
+                throw new SocketException("pubb count unparseable")
+            }
             if (n < 0 || n > MaxPubBatch) {
               // refuse BEFORE allocating or reading payload: a bogus
               // `PUBB t 2000000000` must answer ERR, not OOM the broker

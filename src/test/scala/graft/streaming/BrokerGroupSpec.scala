@@ -42,6 +42,33 @@ class BrokerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("a refused ack fails loudly and leaves the control connection usable") {
+    withGroup { (g, b0, _) =>
+      b0.publish("t", "m1")
+      // ack before regAll: the broker answers ERR unknown-subscription.
+      // A fire-and-forget client left that reply buffered, and every
+      // later exchange on the connection read the wrong line forever.
+      val e = intercept[IllegalStateException](g.ack(0, "t", "s", 1L))
+      assert(e.getMessage.contains("ack refused"))
+      // the paired-STAT barrier drained the stream: the same connection
+      // still answers correctly
+      assert(g.regAll("t", "s") == Seq(0L, 0L))
+      g.ack(0, "t", "s", 1L)
+      assert(g.statAll("t", "s") == (1L, 1L))
+    }
+  }
+
+  test("a dead member connection is evicted and fails diagnosably, not with an NPE") {
+    withGroup { (g, b0, b1) =>
+      g.regAll("t", "s")
+      b1.dropAllConnections()
+      val e = intercept[IllegalStateException](g.statAll("t", "s"))
+      assert(e.getMessage.contains("EOF"), s"got: ${e.getMessage}")
+      // the dead Conn was evicted, so the next call re-dials and works
+      assert(g.statAll("t", "s") == (0L, 0L))
+    }
+  }
+
   test("shard routing is disjoint and statAll aggregates by sum") {
     withGroup { (g, b0, b1) =>
       g.regAll("t", "s")

@@ -234,6 +234,50 @@ class MiniBrokerSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("SUB validates its shard pair; a rejected SUB doesn't poison the connection") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      broker.publish("ts", "m1")
+      val c = new Cli(port)
+      try {
+        // nShards=0 used to pass validation and kill the pusher thread
+        // with an uncaught division — the client then waited forever on
+        // a silently dead stream
+        c.send("SUB ts s 0 0")
+        assert(c.read().startsWith("ERR sub bad-shard"))
+        // shard >= nShards likewise streams nothing, silently
+        c.send("SUB ts s 5 2")
+        assert(c.read().startsWith("ERR sub bad-shard"))
+        // a malformed pair used to flip the one-pusher guard BEFORE
+        // parsing, so the retry answered already-subscribed forever
+        c.send("SUB ts s x y")
+        assert(c.read().startsWith("ERR bad-request"))
+        // the corrected SUB on the SAME connection must now stream
+        c.send("SUB ts s 0 1")
+        val got = c.readUntil(3)(_.startsWith("MSG"))
+        assert(got.exists(_.startsWith("MSG 1 ")),
+          s"valid SUB after rejected ones did not stream: $got")
+      } finally c.close()
+    } finally broker.stop()
+  }
+
+  test("PUBB with a non-numeric count drops the connection like out-of-range") {
+    val broker = new MiniBroker
+    val port = broker.start()
+    try {
+      val c = new Cli(port)
+      try {
+        // the generic bad-request path would keep the connection and
+        // misread the payload lines that follow as verbs
+        c.send("PUBB tn 3x")
+        assert(c.read().startsWith("ERR pubb-count"))
+        assert(c.read() == null, "connection survived an unparseable PUBB")
+      } finally c.close()
+      assert(broker.retainedCount("tn") == 0)
+    } finally broker.stop()
+  }
+
   test("PUBB with an absurd count answers ERR instead of allocating (round-11 ADVICE)") {
     val broker = new MiniBroker
     val port = broker.start()
