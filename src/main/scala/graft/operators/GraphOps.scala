@@ -65,18 +65,27 @@ object GraphOps {
     * flag or raises its own. */
   private def smallStarRows(e: DataFrame): DataFrame = {
     val withM = e.withColumn("m", min("v").over(Window.partitionBy("u")))
-    val bridges = withM.filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"), lit(true).as("chg"))
-    val toMin = withM
-      .select(col("u"), col("m").as("v"),
-        (col("chg") || col("v") =!= col("m")).as("chg"))
-    bridges.union(toMin)
+    // both output rows of a source row in ONE pass over the window
+    // result: the previous bridges/toMin two-branch union re-ran the
+    // window's sort (and under a cold exchange, the exchange itself) once
+    // per branch every round. The bridge row exists only when v ≠ m —
+    // spelled as a null array element and dropped after the explode.
+    withM
+      .select(explode(array(
+        when(col("v") =!= col("m"),
+          struct(col("v").as("u"), col("m").as("v"), lit(true).as("chg"))),
+        struct(col("u"), col("m").as("v"),
+          (col("chg") || col("v") =!= col("m")).as("chg")))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.u").as("u"), col("r.v").as("v"), col("r.chg").as("chg"))
   }
 
-  /** (id, component) for every node that appears in `edgesIn` (isolated
-    * nodes, having no edges, are the caller's concern); component = the
-    * component's minimum id. The first two columns of `edgesIn` are the
-    * endpoints — any orderable type. */
+  /** (id, component) for every node that appears in `edgesIn` — including
+    * nodes whose only rows are SELF-LOOPS (x, x), which label as their own
+    * component (a reflexive pair list is a natural dedup-relation shape).
+    * Nodes appearing in no row at all are the caller's concern.
+    * component = the component's minimum id. The first two columns of
+    * `edgesIn` are the endpoints — any orderable type. */
   def connectedComponents(edgesIn: DataFrame): DataFrame =
     connectedComponentsWithRounds(edgesIn)._1
 
@@ -118,20 +127,32 @@ object GraphOps {
     }
     // No silent caps (round-6 principle): an unconverged edge set means
     // some component is still multi-level and its members would get
-    // inconsistent labels. With O(log n) convergence, 60 rounds covers any
-    // physically storable graph, so reaching this is a logic error, not a
-    // data-size limitation.
+    // inconsistent labels, so this throws rather than returning. The
+    // PROVEN bound for the alternating algorithm is O(log² n) rounds
+    // (Kiveris et al. SoCC'14, Thm 4); the O(log n) behavior is their
+    // empirical result (and GraphProbe's, ≤ ~12 rounds on adversarial
+    // shapes at 10⁶ nodes), so 60 is generous headroom, not a theorem —
+    // a graph legitimately needing more is cured by raising maxRounds.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: star contraction did not converge in " +
-          s"$maxRounds rounds — this indicates a bug, not an oversized " +
-          "graph; O(log n) rounds suffice for any n")
+          s"$maxRounds rounds; labels would be inconsistent if returned. " +
+          "Raise maxRounds (proven bound is O(log^2 n); the default " +
+          "covers the empirical O(log n) behavior with slack)")
     // Fixpoint edges are stars (member → component min): members label
     // from their one edge, roots label themselves (a root never appears
     // as the big endpoint at fixpoint).
-    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+    val ccLabels = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
-    (labels, rounds)
+    // Self-loop-only nodes: (x, x) rows are dropped by the canonical
+    // filter, so a node with no distinct neighbor would otherwise vanish
+    // from the output in violation of the every-node-labeled contract —
+    // it is its own component.
+    val selfOnly = edgesIn.filter(col(ua) === col(va))
+      .select(col(ua).as("id")).distinct()
+      .join(ccLabels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    (ccLabels.union(selfOnly), rounds)
   }
 }

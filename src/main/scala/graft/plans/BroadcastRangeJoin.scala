@@ -76,9 +76,24 @@ object RangeJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // batch-only: a micro-batch plan must keep Spark's streaming join
-    // execs (state store, watermark semantics) — stand down on streaming
-    case Join(left, right, Inner, Some(cond), _)
+    // execs (state store, watermark semantics) — stand down on streaming.
+    // Also stand down on (a) NON-DETERMINISTIC conditions — this exec
+    // evaluates each interval bound ONCE at driver collect time where
+    // the nested-loop plan re-evaluates per (row, interval) pair, so
+    // claiming e.g. a rand()-perturbed bound would change semantics
+    // (Spark's own equi-join extraction requires determinism too) — and
+    // (b) joins whose explicit strategy hint asks for something OTHER
+    // than broadcasting the interval side: a user who wrote
+    // hint("merge") to keep that side off the driver must get their
+    // plan, not this one. `broadcast(intervals)` — a BROADCAST hint on
+    // the right — is exactly what this exec does, so it stays eligible
+    // (the production q_join_theta_range spells it that way).
+    case Join(left, right, Inner, Some(cond), hint)
         if !left.isStreaming && !right.isStreaming &&
+          cond.deterministic &&
+          hint.leftHint.forall(_.strategy.isEmpty) &&
+          hint.rightHint.forall(_.strategy.forall(
+            _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) &&
           right.stats.sizeInBytes <=
           org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold =>
       matchRange(cond, left, right) match {
@@ -104,6 +119,14 @@ case class BroadcastRangeJoinExec(left: SparkPlan, right: SparkPlan,
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
+
+  // partition-preserving over the streamed side (the broadcast side adds
+  // columns, never moves rows) — without this claim the default
+  // UnknownPartitioning forces a needless re-shuffle when a downstream
+  // operator re-keys on the left side's existing distribution, exactly
+  // like Spark's own broadcast joins propagate streamedPlan partitioning
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
@@ -135,6 +158,11 @@ case class BroadcastRangeJoinExec(left: SparkPlan, right: SparkPlan,
     val bc = sparkContext.broadcast((los, his, rows, prefixMaxHi))
     val pointBound = BindReferences.bindReference(point, left.output)
     val outputAttrs = output
+    // local copies: referencing the case-class fields inside the closure
+    // would capture `this` — the whole operator including both child
+    // plan trees — into every task's serialized closure
+    val loIncl = loInclusive
+    val hiIncl = hiInclusive
     left.execute().mapPartitions { iter =>
       val (blos, bhis, brows, bmax) = bc.value
       val joined = new JoinedRow
@@ -148,12 +176,12 @@ case class BroadcastRangeJoinExec(left: SparkPlan, right: SparkPlan,
           var a = 0; var b = blos.length
           while (a < b) {
             val m = (a + b) >>> 1
-            val loOk = if (loInclusive) ordering.lteq(blos(m), p)
+            val loOk = if (loIncl) ordering.lteq(blos(m), p)
                        else ordering.lt(blos(m), p)
             if (loOk) a = m + 1 else b = m
           }
           def hiOk(h: Any): Boolean =
-            if (hiInclusive) ordering.gteq(h, p) else ordering.gt(h, p)
+            if (hiIncl) ordering.gteq(h, p) else ordering.gt(h, p)
           // scan backwards while some earlier interval can still reach p
           val out = Iterator.unfold(a - 1) { j =>
             if (j < 0 || !hiOk(bmax(j))) None

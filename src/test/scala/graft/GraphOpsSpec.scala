@@ -72,9 +72,12 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rounds == 0)
   }
 
-  test("self-loops are ignored") {
+  test("self-loops label their node instead of erasing it") {
     val (got, _) = run(Seq[(Long, Long)]((7, 7), (7, 8), (9, 9)))
-    // 9's only edge is a self-loop → it has no edges → not labelled
-    assert(got == Map(7L -> 7L, 8L -> 7L))
+    // 9 appears only as a self-loop: it must come back as its own
+    // component (a reflexive dedup relation is a natural input shape —
+    // silently dropping the node violated the every-node-labeled
+    // contract); 7's self-loop adds nothing to its real component
+    assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 }
