@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of
+// re-logging each line with an "[info] "/"[error] " prefix: the bench
+// driver machine-parses the one-line JSON summary from stdout, and the
+// logger prefix breaks that parse (BENCH_r12.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

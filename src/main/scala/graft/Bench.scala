@@ -110,6 +110,46 @@ object Bench {
       updates * fanout / secs
     }
 
+    /** Per-table parquet layout stats for the FULL artifact (round-12
+      * verdict #3): 16 scan-bound queries shifted 1.3–1.7× in r12 and the
+      * triage took a hand A/B to pin on the driver's fixture regen
+      * (row-group/encoding layout), because the bench carried no fixture
+      * fingerprint. With row-group count/size and the encoding set recorded
+      * per table, the next regen-induced MIN shift is self-diagnosing: diff
+      * this block across rounds and the changed table names itself. Footer
+      * reads only — a few KB per file, no data pages touched. */
+    def fixtureStats(): String = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      (Tables.names :+ "events").map { t =>
+        try {
+          val root = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+          val fs = root.getFileSystem(conf)
+          val st = fs.getFileStatus(root)
+          val files =
+            if (st.isDirectory)
+              fs.listStatus(root).filter(f =>
+                f.isFile && !f.getPath.getName.startsWith("_") &&
+                  !f.getPath.getName.startsWith("."))
+            else Array(st)
+          var rows = 0L; var rgs = 0L; var bytes = 0L
+          val encs = scala.collection.mutable.SortedSet.empty[String]
+          files.foreach { f =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+            try rdr.getFooter.getBlocks.asScala.foreach { b =>
+              rgs += 1; rows += b.getRowCount; bytes += b.getCompressedSize
+              b.getColumns.asScala.foreach(c =>
+                c.getEncodings.asScala.foreach(e => encs += e.toString))
+            } finally rdr.close()
+          }
+          s""""$t":{"files":${files.length},"rows":$rows,"row_groups":$rgs,"compressed_bytes":$bytes,"encodings":[${encs.map("\"" + _ + "\"").mkString(",")}]}"""
+        } catch { case scala.util.control.NonFatal(e) =>
+          s""""$t":{"error":"${e.getClass.getSimpleName}"}"""
+        }
+      }.mkString("{", ",", "}")
+    }
+
     // Optional args filter: `runMain graft.Bench q_a q_b` times only those
     // queries — the full-suite default is what the driver runs. Unknown
     // names fail LOUDLY: silently intersecting would let a typo produce a
@@ -141,9 +181,14 @@ object Bench {
     // write cost explicitly). Build it here so the timed runs measure
     // the read path — otherwise run 1 carries the write, the max/min
     // ratio trips, and the query is flagged contended every round.
+    // Gated on the selected names (round-12 ADVICE): a subset bench of
+    // queries that never read these layouts shouldn't pay two table
+    // writes of warm-up.
     try {
-      graft.operators.JoinOps.bucketedTables(spark, sfDir)
-      graft.operators.ScalarOps.partitionedEvents(spark, sfDir)
+      if (names.contains("q_join_bucketed"))
+        graft.operators.JoinOps.bucketedTables(spark, sfDir)
+      if (names.contains("q_partition_prune"))
+        graft.operators.ScalarOps.partitionedEvents(spark, sfDir)
       ()
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] layout warm-up FAILED (first timed " +
@@ -226,7 +271,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax,"fixtures":${fixtureStats()}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // Repo-root copy (round-12, advisor): target/ is gitignored and the

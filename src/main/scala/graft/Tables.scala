@@ -44,16 +44,28 @@ object Tables {
     * disk, and `saveAsTable` refuses to create over it. A table the
     * catalog doesn't know is garbage by definition (in-memory catalog =
     * table lifetime is session lifetime), so the stale dir is deleted and
-    * the layout rebuilt. Synchronized: two queries materializing the same
-    * layout concurrently must not interleave create/delete.
+    * the layout rebuilt. Synchronized for threads in THIS JVM; an
+    * OS-level FileLock on `<warehouse>/.graft.lock` for OTHER JVMs —
+    * `sbt test` running alongside a Bench JVM shares the warehouse
+    * directory, and an unguarded delete/create interleaving corrupts the
+    * table for both.
     */
   def materializedTable(s: SparkSession, name: String)(
       write: => Unit): DataFrame = synchronized {
     if (!s.catalog.tableExists(name)) {
       val wh = s.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, name))
-      write
+      val whDir = new java.io.File(wh)
+      whDir.mkdirs()
+      val lockCh = java.nio.channels.FileChannel.open(
+        new java.io.File(whDir, ".graft.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock() // blocks until the peer JVM finishes
+      try {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, name))
+        write
+      } finally { lock.release(); lockCh.close() }
     }
     s.table(name)
   }

@@ -55,17 +55,29 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     conns(m)
   }
 
+  private def evict(m: Int): Unit = {
+    val c = conns(m)
+    if (c != null) {
+      try c.sock.close() catch { case _: Throwable => () }
+      conns(m) = null
+    }
+  }
+
   /** One request/response exchange. EOF (member died, or the broker's
     * chaos hook dropped connections) evicts the cached Conn — so the
     * next call re-dials instead of reusing a dead socket forever — and
-    * fails with a diagnosable error instead of an NPE on `.trim`. */
+    * fails with a diagnosable error instead of an NPE on `.trim`.
+    * Any IOException (notably SocketTimeoutException under the 10s
+    * soTimeout) evicts too: a timed-out Conn may still have the late
+    * reply in flight, and reusing it would hand that stale line to the
+    * NEXT exchange as its answer — a silent protocol desync. */
   private def exchange(m: Int, line: String): String = {
     val c = conn(m)
-    c.send(line)
-    val resp = c.read()
+    val resp =
+      try { c.send(line); c.read() }
+      catch { case e: java.io.IOException => evict(m); throw e }
     if (resp == null) {
-      try c.sock.close() catch { case _: Throwable => () }
-      conns(m) = null
+      evict(m)
       throw new IllegalStateException(
         s"member $m: connection EOF answering '$line'")
     }
@@ -113,7 +125,12 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     conn(memberIdx).send(s"ACK $topic $sub $seq")
     val resp = exchange(memberIdx, s"STAT $topic $sub")
     if (resp.startsWith("ERR")) {
-      conn(memberIdx).read() // the trailing STAT reply
+      // Drain the trailing STAT reply so the connection stays framed —
+      // but the drain itself can hit a dead socket (null/IOException);
+      // evict in that case rather than cache a desynced Conn, and never
+      // let the drain failure mask the real 'ack refused' error.
+      try { if (conn(memberIdx).read() == null) evict(memberIdx) }
+      catch { case _: java.io.IOException => evict(memberIdx) }
       throw new IllegalStateException(
         s"member $memberIdx: ack refused: $resp")
     }

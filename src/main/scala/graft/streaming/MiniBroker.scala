@@ -331,7 +331,6 @@ class MiniBroker {
             // tokenized (per-message regex split + lock + notifyAll made
             // a 4-producer publish path ~25k msg/s; this form measures
             // ~20× that in ChainSoak). Consumers see identical seqs.
-            val t = topic(parts(1))
             // an unparseable count must take the SAME drop-the-connection
             // path as an out-of-range one: the generic bad-request catch
             // keeps the connection, but the client still sends its
@@ -356,6 +355,10 @@ class MiniBroker {
               }
               throw new SocketException("pubb count out of range")
             }
+            // get-or-create the topic only AFTER the count validates: a
+            // rejected PUBB must not mint a phantom empty topic that
+            // lingers in the topics map (round-12 ADVICE)
+            val t = topic(parts(1))
             val batch = new Array[String](n)
             var i = 0
             var eof = false
