@@ -122,12 +122,20 @@ object ScaleProbe {
     // within-cell collapse. The high group meets a normal centroid set
     // and must land in ONE cell and dedup to its min id.
     val hiBase = nVecs - 11
+    // HOT-CELL BLOCK (round-12 verdict task #1b): 20% of the corpus is
+    // BIT-IDENTICAL copies of one vector — the duplicate-heavy cell that
+    // dedup targets and that used to make the within-cell self-join
+    // quadratic. k-means puts the whole block in one cell; the exact
+    // pre-collapse must fold it to a single rep before pair work.
+    val hotBase = nVecs / 2
+    val hotLen = nVecs / 5
     val comps = (0 until dim).map { j =>
       val own = gauss(col("id"), j)
       val probe = gauss(lit("0"), j)
       val base2 = gauss(lit("B"), j)
       when(col("id").between(1, 10), probe + lit(0.05) * own)
         .when(col("id") >= hiBase, base2 + lit(0.05) * own)
+        .when(col("id").between(hotBase, hotBase + hotLen - 1), gauss(lit("H"), j))
         .otherwise(own).cast("float")
     }
     spark.range(0, nVecs)
@@ -201,6 +209,25 @@ object ScaleProbe {
     }
     val cellsOk = cells.length == nVecs
     val hiCell = cells.filter(_._1 >= hiBase).map(_._2).toSet
+
+    // ---- pruned-vs-brute identity + speedup at production k (round-12
+    // verdict task #1a): both paths over the SAME centroids; labels and
+    // distances must be bit-identical, and the pruned wall-time is the
+    // number that replaces the old brute 147.7 s headline.
+    val (bruteDf, prunedDf) =
+      graft.operators.SimilarityOps.assignBoth(spark, vdir, kScaled, 2)
+    def grab(df: org.apache.spark.sql.DataFrame): Array[(Long, Int, Long)] =
+      df.select("vec_id", "cid", "d").collect().map(r =>
+        (r.getLong(0), r.getInt(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    var brute, pruned = Array.empty[(Long, Int, Long)]
+    time("assign_brute") { brute = grab(bruteDf); brute.length }
+    time("assign_pruned") { pruned = grab(prunedDf); pruned.length }
+    val mismatches = brute.sortBy(_._1).zip(pruned.sortBy(_._1))
+      .count { case (a, b) => a != b }
+    require(mismatches == 0,
+      s"pruned assignment diverged from brute on $mismatches vectors")
+
     var keptKm = Array.empty[Long]
     time(s"cluster_dedup k=$kScaled") {
       keptKm = graft.operators.SimilarityOps
@@ -211,10 +238,28 @@ object ScaleProbe {
     val keptSet = keptKm.toSet
     val hiCollapsed = keptSet.contains(hiBase) &&
       ((hiBase + 1) until nVecs).forall(!keptSet.contains(_))
+    // hot-cell evidence: the 20% bit-identical block must fold to one
+    // kept rep, and the collapse must have bounded the pair work — report
+    // naive Σ|cell|²/2 vs post-collapse Σ|reps|²/2 from the real data
+    val hotCollapsed = keptSet.contains(hotBase) &&
+      ((hotBase + 1) until (hotBase + hotLen)).forall(!keptSet.contains(_))
+    val naivePairs = cells.groupBy(_._2).values
+      .map { a => val m = a.length.toLong; m * (m - 1) / 2 }.sum
+    val repCounts = graft.operators.SimilarityOps
+      .kmeansAssignQ(kScaled, 2)(spark, vdir).select("vec_id", "cluster")
+      .join(spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select("vec_id", "embedding"), "vec_id")
+      .select("cluster", "embedding").distinct()
+      .groupBy("cluster").count().as[(Long, Long)].collect()
+    val collapsedPairs = repCounts.map { case (_, r) => r * (r - 1) / 2 }.sum
     println(s"[scale-probe] kmeans cells=$kScaled partition_ok=$cellsOk " +
       s"planted_one_cell=${hiCell.size == 1} " +
+      s"assign_identical=${mismatches == 0} " +
       s"cluster_dedup kept=${keptKm.length}/$nVecs " +
-      s"planted_collapsed=$hiCollapsed")
+      s"planted_collapsed=$hiCollapsed hot_collapsed=$hotCollapsed " +
+      s"hot_cell_size=${cells.groupBy(_._2).values.map(_.length).max} " +
+      s"naive_pairs=$naivePairs collapsed_pairs=$collapsedPairs " +
+      f"pair_reduction=${naivePairs.toDouble / math.max(1, collapsedPairs)}%.1fx")
     spark.stop()
   }
 }

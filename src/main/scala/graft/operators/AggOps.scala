@@ -226,16 +226,25 @@ object AggOps {
     "q_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      // ONE corpus pass total (round-12 verdict #6): the cumsum's eager
+      // localCheckpoint is the only read of parquet — group sizes, the
+      // bounds extraction, AND the final clip pass all re-derive from the
+      // checkpointed range-partitioned frame (Catalyst's ColumnPruning
+      // removes the rank window from the consumers that never reference
+      // `cum`, so those passes are plain scans of the cached partitions,
+      // not re-sorts). The previous spelling re-scanned lineitem for the
+      // sizes and the clip — three parquet passes where one suffices.
+      val cs = graft.operators.TextOps.distributedCumsum(
+        li.withColumn("one", lit(1L)), "one", "cum", col("g"), col("x"))
       // per-group sizes and rank offsets: a group-cardinality-bounded
       // frame (3 rows), so its single-partition window is trivial
-      val sizes = li.groupBy("g").agg(count(lit(1)).as("n"))
+      val sizes = cs.groupBy("g").agg(count(lit(1)).as("n"))
         .withColumn("off", coalesce(
           sum("n").over(org.apache.spark.sql.expressions.Window
             .orderBy("g").rowsBetween(
               org.apache.spark.sql.expressions.Window.unboundedPreceding,
               -1)), lit(0L)))
-      val ranked = graft.operators.TextOps.distributedCumsum(
-          li.withColumn("one", lit(1L)), "one", "cum", col("g"), col("x"))
+      val ranked = cs
         .join(broadcast(sizes), "g")
         .withColumn("r", col("cum") - col("off"))
       // ceil(n/100) and ceil(99n/100) in pure integer arithmetic — `div`,
@@ -244,7 +253,7 @@ object AggOps {
         .filter(col("r") === expr("(n + 99) div 100") ||
           col("r") === expr("(n * 99 + 99) div 100"))
         .groupBy("g").agg(min("x").as("lo"), max("x").as("hi"))
-      li.join(broadcast(bounds), "g")
+      cs.join(broadcast(bounds), "g")
         .select(col("g"),
           least(greatest(col("x"), col("lo")), col("hi")).as("wx"),
           (col("x") < col("lo")).cast("long").as("below"),

@@ -183,6 +183,33 @@ object SimilarityOps {
     size(filter(zip_with(sa, sb, (x, y) => x === y), b => b))
       .cast("double") / lit(K)
 
+  /** Signature width of the at-ingest dedup GATE (NeardupIngest). The
+    * hash family is component-indexed (component j = min over
+    * xxhash64(j, shingle-id)), so a wider signature's first K components
+    * ARE the batch-family signature and every LSH band key — built from
+    * components 1..K — is unchanged. Only the accept/reject estimator
+    * reads the tail. 96 components cut the estimator's spread 1/√3: at
+    * the planted J≈0.90 / threshold 0.8 of the probe,
+    * P(miss) = P(Binomial(96,.90) < 77)/96 ≈ 8×10⁻⁴ vs ~3-4% at K=32 —
+    * the round-12 recall gap (0.96) was ESTIMATOR VARIANCE, not banding
+    * (a J=0.9 pair misses all 8 bands with prob (1−0.9⁴)⁸ ≈ 2×10⁻⁴).
+    * Cost: 3× hashes at signature time (map-side, a few µs/doc) and
+    * 768 B/doc of sig state; the band index — the only table the
+    * candidate join scans — does not grow. NOTE an index built at one
+    * width must not be read at another (zip_with null-pads, silently
+    * deflating the estimate); compaction keeps widths as written, so
+    * this only bites a mixed-width in-place upgrade — rebuild the sigs
+    * table for that. */
+  private[graft] val GateK = 96
+
+  private[graft] def sigExprK(text: Column, k: Int): Column =
+    call_function("minhash_sig", text, lit(k))
+
+  /** [[estSim]] at an explicit signature width. */
+  private[graft] def estSimK(sa: Column, sb: Column, k: Int): Column =
+    size(filter(zip_with(sa, sb, (x, y) => x === y), b => b))
+      .cast("double") / lit(k)
+
   /** MinHash K-mins over a (doc_id, sh) shingle-id column: component j is
     * min over xxhash64(j, shingle-id) — a valid deterministic hash family
     * over pre-hashed longs (cheaper to evaluate K× than re-hashing the
@@ -776,37 +803,103 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** ScaleProbe hook: the brute and pruned assignment frames over the
+    * SAME centroids, so the probe can assert label/distance identity and
+    * report the wall-clock gap at production k. */
+  private[graft] def assignBoth(
+      s: SparkSession, d: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val e = vecs(s, d)
+    val cents = kmCentroids(e, k, iters)
+    (kmAssignBrute(e, cents), kmAssignPruned(e, cents))
+  }
+
   /** The q_cluster_dedup pipeline at arbitrary (k, iters, τ) — see
-    * [[kmeansAssignQ]] for why the registry pins the parameters. */
-  private[graft] def clusterDedupQ(k: Int, iters: Int, tau: Double): Q =
+    * [[kmeansAssignQ]] for why the registry pins the parameters.
+    *
+    * Two scale guards over the naive within-cell all-pairs (round-12
+    * verdict: Σ|cell|²/2 is uncapped, and a duplicate-heavy corpus — the
+    * very thing dedup targets — concentrates it into one cell):
+    *
+    *  1. EXACT pre-collapse, semantics-preserving: bit-identical vectors
+    *     in a cell fold to their min vec_id before any pair work, with a
+    *     member→rep edge replacing each folded row (cos(v,v)=1 ≥ τ, so
+    *     brute would connect the group anyway; identical arrays give
+    *     identical cosines against everything else, so rep-level pairs
+    *     decide exactly what member-level pairs would). The adversarial
+    *     hot cell — millions of copies of one document's embedding —
+    *     costs |group| window rows instead of |group|²/2 cosines, and the
+    *     ORACLE STAYS EXACT because the output is provably unchanged.
+    *     Zero-norm vectors are left uncollapsed: their self-cosine is
+    *     NaN, so brute gives them NO edges and they must all be kept.
+    *
+    *  2. Hot-cell band cap, a recall trade that only arms past
+    *     `maxCellReps` DISTINCT vectors in one cell: such cells sub-split
+    *     by the top ⌈log₂(size/cap)⌉ bits of the 8-hyperplane ANN sketch,
+    *     and pairs are only generated within (cell, band). True near-dups
+    *     agree per-bit with prob 1−θ/π (≈0.97 at cos 0.99), so the pairs
+    *     this can drop are the far-apart ones near τ; the cap bounds any
+    *     one join key's block at ~cap²/2 pairs regardless of skew. The
+    *     registry default (65,536 reps ⇒ ≤ ~2×10⁹ cosines per cell) is
+    *     far above any fixture/probe cell, so every oracle replay runs
+    *     band-free; at 100 TB it is the executor-memory bound that keeps
+    *     the one giant-cell task from running for hours.
+    */
+  private[graft] def clusterDedupQ(k: Int, iters: Int, tau: Double,
+      maxCellReps: Int = 1 << 16): Q =
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val e = vecs(s, d)
       val cents = kmCentroids(e, k, iters)
-      // Persisted: both sides of the within-cell self-join scan the
-      // assignment, and without the persist each side re-pays the n×k
-      // distance projection (the family's standard share-the-derivation
-      // rule; callers clearCache between queries).
-      val cells = kmAssign(e, cents)
+      // Persisted at the POST-collapse frame: every downstream branch
+      // (dup edges, both join sides) re-reads it, and without the persist
+      // each re-pays the n×k assignment plus the (cid, v) window shuffle
+      // (the family's share-the-derivation rule; callers clearCache
+      // between queries).
+      val marked = kmAssign(e, cents)
+        .withColumn("rep",
+          min(col("vec_id")).over(Window.partitionBy(col("cid"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l = cells.select(col("cid"), col("vec_id").as("vec_a"),
-        col("v").as("va"))
-      val r = cells.select(col("cid").as("cid_b"),
+      val dupEdges = marked
+        .filter(col("vec_id") =!= col("rep") && dot(col("v"), col("v")) =!= 0d)
+        .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+      val repRows = marked.filter(col("vec_id") === col("rep"))
+      val sized = repRows.withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("cid"))))
+      // band = 0 (single band) for every cell under the cap; the sketch
+      // sits inside the when() so under-cap rows never pay its 8 dots
+      val bits = least(lit(8),
+        ceil(log(2.0, col("csize") / maxCellReps))).cast("int")
+      val banded = sized.withColumn("band",
+        when(col("csize") > maxCellReps,
+          pmod(annSketch(col("v")), pow(lit(2.0), bits).cast("int"))).otherwise(lit(0)))
+      val l = banded.select(col("cid"), col("band"),
+        col("vec_id").as("vec_a"), col("v").as("va"))
+      val r = banded.select(col("cid").as("cid_b"), col("band").as("band_b"),
         col("vec_id").as("vec_b"), col("v").as("vb"))
       val kcos = expr("cosine_sim(va, vb)")
       val pairs = l.join(r,
-          col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+          col("cid") === col("cid_b") && col("band") === col("band_b")
+            && col("vec_a") < col("vec_b"))
         // !isnan first: a zero-norm member must never "duplicate" its
         // cell-mates (NaN >= τ is TRUE in both engines — see
         // q_similarity_topk's guard comment)
         .filter(!isnan(kcos) && round(kcos * 1000000) / 1000000 >= tau)
         .select("vec_a", "vec_b")
-      val dropped = GraphOps.connectedComponents(pairs)
+      val dropped = GraphOps.connectedComponents(pairs.unionByName(dupEdges))
         .filter(col("id") =!= col("component"))
         .select(col("id").as("vec_id"))
       e.join(dropped, Seq("vec_id"), "left_anti")
         .select(col("vec_id"))
         .orderBy("vec_id")
     }
+
+  /** The q_ann_lsh_topk 8-bit sign-of-projection sketch as a reusable
+    * column (deterministic planes, [[AnnPlanes]]). */
+  private def annSketch(vcol: Column): Column =
+    (0 until 8).map { m =>
+      val plane = array(AnnPlanes.planes(m).map(lit): _*)
+      when(dot(vcol, plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+    }.reduce(_ + _)
 
   /** Squared-distance scores to every centroid, as one materialized array
     * (the ivfCentroids argmax lesson: a when()-chain argmin re-evaluates
@@ -827,14 +920,180 @@ object SimilarityOps {
   /** (vec_id, v, cid, d): nearest centroid per vector, ties to the lowest
     * cell id (array_position takes the FIRST occurrence of the min — the
     * oracle's ORDER BY d, cid). Map-side only: centroids ride along as
-    * literals, so at 100 TB this is a scan, never a shuffle. */
-  private def kmAssign(
+    * literals (small k) or a broadcast (large k), so at 100 TB this is a
+    * scan, never a shuffle. Dispatches on k: below [[PruneK]] the flat
+    * codegen'd scores array wins (and the k=8 oracle path keeps its
+    * proven plan); at or above it the brute n×k distance work is the job
+    * that eats the cluster (round-12 verdict: Θ(n^1.5)·Dim under the
+    * k=√(n/2) rule, 147.7 s at just 1M×64d), so the triangle-inequality
+    * pruned path takes over — LABEL- AND DISTANCE-BIT-IDENTICAL by
+    * construction (KmeansPruneSpec + ScaleProbe assert it). */
+  private[graft] def kmAssign(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    if (cents.length >= PruneK) kmAssignPruned(e, cents)
+    else kmAssignBrute(e, cents)
+
+  private[graft] def kmAssignBrute(
       e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
     e.select(col("vec_id"), col("v"), kmScores(cents).as("ds"))
       .select(col("vec_id"), col("v"),
         (array_position(col("ds"), array_min(col("ds"))) - 1)
           .cast("int").as("cid"),
         array_min(col("ds")).as("d"))
+
+  /** k at which [[kmAssign]] switches to the pruned path. 32 keeps every
+    * oracle-replayed registry query (k=8) on the brute plan while the
+    * scale rule k=√(n/2) (k ≥ 32 from n ≥ 2048) always prunes. */
+  private val PruneK = 32
+
+  /** Driver-side index over the k centroids for assignment pruning: the
+    * centroids themselves are clustered into G ≈ √k groups (a few Lloyd's
+    * rounds over k points — microseconds), and each group stores its
+    * center, its max member distance (radius), and each member's distance
+    * to the center. Assignment then computes G group distances per vector
+    * and skips whole groups / members via the reverse triangle
+    * inequality: d(v,c) ≥ |d(v,g) − d(g,c)|. Expected per-vector work
+    * drops from k full Dim-dot-products to ~√k + the members of the few
+    * competitive groups.
+    *
+    * Exactness: any centroid actually EVALUATED uses the identical
+    * decomposition (v·v − 2·v·c) + Σc² with the identical left-to-right
+    * folds as the brute Column path, so the winning (cid, d) is the same
+    * double. A skip needs lb² > best where lb is real-arithmetic-safe;
+    * the 1e-9 relative slack on the comparison absorbs the ~1e-15-scale
+    * float error in the bound chain, so a true argmin can never be
+    * skipped. Ties break to the lowest cid, the brute path's
+    * first-occurrence-of-min rule.
+    */
+  private final class CentIndex(cents: Array[(Int, Array[Double])]) extends Serializable {
+    val k: Int = cents.length
+    val cids: Array[Int] = cents.map(_._1) // ascending by construction
+    val cs: Array[Array[Double]] = cents.map(_._2)
+    val cc: Array[Double] = cs.map(c => c.map(x => x * x).sum) // same fold as kmScores' lit
+    private val dim = cs(0).length
+
+    private def dE(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      math.sqrt(s)
+    }
+
+    // group the centroids: G ≈ √k, init = evenly-strided members, 3
+    // Lloyd's rounds (plain driver arithmetic — bounds only, so float
+    // details here are irrelevant to exactness)
+    val nGroups: Int = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val centers: Array[Array[Double]] = {
+      var g = Array.tabulate(nGroups)(j => cs(j * k / nGroups).clone())
+      for (_ <- 1 to 3) {
+        val sums = Array.fill(nGroups, dim)(0.0)
+        val ns = new Array[Int](nGroups)
+        var i = 0
+        while (i < k) {
+          var bj = 0; var bd = Double.PositiveInfinity; var j = 0
+          while (j < nGroups) {
+            val dd = dE(cs(i), g(j)); if (dd < bd) { bd = dd; bj = j }; j += 1
+          }
+          var t = 0
+          while (t < dim) { sums(bj)(t) += cs(i)(t); t += 1 }
+          ns(bj) += 1; i += 1
+        }
+        g = Array.tabulate(nGroups)(j =>
+          if (ns(j) == 0) g(j)
+          else Array.tabulate(dim)(t => sums(j)(t) / ns(j)))
+      }
+      g
+    }
+    /** member centroid indices per group (ascending, so scans stay in cid
+      * order within a group), their distance to the group center, and the
+      * group radius. */
+    val (members, memberDist, radius) = {
+      val byGroup = Array.fill(nGroups)(List.newBuilder[Int])
+      var i = 0
+      while (i < k) {
+        var bj = 0; var bd = Double.PositiveInfinity; var j = 0
+        while (j < nGroups) {
+          val dd = dE(cs(i), centers(j)); if (dd < bd) { bd = dd; bj = j }; j += 1
+        }
+        byGroup(bj) += i; i += 1
+      }
+      val mem = byGroup.map(_.result().toArray)
+      val md = mem.zipWithIndex.map { case (m, j) => m.map(i => dE(cs(i), centers(j))) }
+      val rad = md.map(d => if (d.isEmpty) 0.0 else d.max)
+      (mem, md, rad)
+    }
+
+    val ccCenters: Array[Double] = centers.map(c => c.map(x => x * x).sum)
+
+    /** Nearest centroid of v: (cid, d) with d the brute path's exact
+      * double. */
+    def assign(v: Array[Double]): (Int, Double) = {
+      var vv = 0.0
+      var i = 0
+      while (i < dim) { vv += v(i) * v(i); i += 1 }
+      // Euclidean distance to every group center (bounds only)
+      val dvg = new Array[Double](nGroups)
+      var j = 0
+      while (j < nGroups) {
+        var vc = 0.0; var t = 0
+        val g = centers(j)
+        while (t < dim) { vc += v(t) * g(t); t += 1 }
+        dvg(j) = math.sqrt(math.max(0.0, (vv - 2 * vc) + ccCenters(j)))
+        j += 1
+      }
+      val order = Array.range(0, nGroups).sortBy(dvg)
+      var best = Double.PositiveInfinity
+      var bestIdx = -1
+      var oi = 0
+      while (oi < nGroups) {
+        val gj = order(oi)
+        val glb = dvg(gj) - radius(gj)
+        if (!(glb > 0 && glb * glb * (1 - 1e-9) > best)) {
+          val mem = members(gj); val md = memberDist(gj)
+          var m = 0
+          while (m < mem.length) {
+            val lb = math.abs(dvg(gj) - md(m))
+            if (!(lb * lb * (1 - 1e-9) > best)) {
+              val ci = mem(m)
+              val c = cs(ci)
+              var vc = 0.0; var t = 0
+              while (t < dim) { vc += v(t) * c(t); t += 1 }
+              val d = (vv - 2 * vc) + cc(ci) // == kmScores term, bit for bit
+              if (d < best || (d == best && (bestIdx < 0 || cids(ci) < cids(bestIdx)))) {
+                best = d; bestIdx = ci
+              }
+            }
+            m += 1
+          }
+        }
+        oi += 1
+      }
+      (cids(bestIdx), best)
+    }
+  }
+
+  /** The pruned twin of [[kmAssignBrute]]: same (vec_id, v, cid, d)
+    * output, map-side only (centroid index ships as one broadcast, not a
+    * k×Dim literal tree — at k in the tens of thousands the literal plan
+    * alone would be megabytes). mapPartitions is deliberate: the skip
+    * logic is data-dependent control flow that no Column tree expresses
+    * without evaluating every branch, which is exactly the work being
+    * avoided. */
+  private[graft] def kmAssignPruned(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new CentIndex(cents))
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.map { case (id, v) =>
+          val (cid, d) = idx.assign(v)
+          (id, v, cid, d)
+        }
+      }
+      .toDF("vec_id", "v", "cid", "d")
+  }
 
   /** k centroids after `iters` full Lloyd's rounds (assign + mean update),
     * means rounded to 1e-4 per component (see the family comment above).

@@ -89,11 +89,16 @@ object NeardupIngest {
     val bandsDir = s"$indexDir/bands"
     val sigsDir = s"$indexDir/sigs"
 
-    // Map-side signatures; persisted because verdicts, the bands write,
-    // and the sigs write all consume this frame within the batch.
+    // Map-side signatures at the WIDE gate width (SimilarityOps.GateK):
+    // the first K components — the only ones the band keys read — are
+    // bit-identical to the batch family, while the tail tightens the
+    // accept/reject estimator from se≈0.07 to ≈0.04 at J=0.8 (the
+    // round-12 recall gap was estimator variance, not banding — see the
+    // GateK scaladoc). Persisted because verdicts, the bands write, and
+    // the sigs write all consume this frame within the batch.
     val sigs = batchRaw
       .select(col("doc_id").cast("long").as("doc_id"),
-        SimilarityOps.sigExpr(col("text")).as("sig"))
+        SimilarityOps.sigExprK(col("text"), SimilarityOps.GateK).as("sig"))
       .persist()
     try {
       val newBands = sigs
@@ -124,8 +129,8 @@ object NeardupIngest {
             .distinct()
             .join(cSigs, Seq("corpus_doc"))
             .join(sigs.select(col("doc_id"), col("sig")), Seq("doc_id"))
-            .filter(SimilarityOps.estSim(col("sig"), col("corpus_sig"))
-              >= simThreshold)
+            .filter(SimilarityOps.estSimK(col("sig"), col("corpus_sig"),
+              SimilarityOps.GateK) >= simThreshold)
             .groupBy("doc_id")
             .agg(min("corpus_doc").as("dup_of"))
         }
