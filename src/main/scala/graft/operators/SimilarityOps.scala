@@ -1067,6 +1067,23 @@ object SimilarityOps {
         }
         oi += 1
       }
+      if (bestIdx < 0) {
+        // Unreachable for finite inputs (the nearest group is never
+        // skipped at best=∞, so at least one centroid is evaluated and a
+        // finite d always updates). Reachable only if EVERY distance is
+        // NaN (|v|² overflow to ∞ gives ∞−∞) — mirror the brute path,
+        // whose array_position-of-NaN-min lands on the first centroid,
+        // rather than crash on cids(-1).
+        var i = 0
+        while (i < k) {
+          val c = cs(i)
+          var vc = 0.0; var t = 0
+          while (t < dim) { vc += v(t) * c(t); t += 1 }
+          val d = (vv - 2 * vc) + cc(i)
+          if (bestIdx < 0 || d < best) { best = d; bestIdx = i }
+          i += 1
+        }
+      }
       (cids(bestIdx), best)
     }
   }
