@@ -223,6 +223,9 @@ object ScaleProbe {
     var brute, pruned = Array.empty[(Long, Int, Long)]
     time("assign_brute") { brute = grab(bruteDf); brute.length }
     time("assign_pruned") { pruned = grab(prunedDf); pruned.length }
+    require(brute.length == pruned.length,
+      s"pruned returned ${pruned.length} rows vs brute ${brute.length} — " +
+        "zip would silently truncate the comparison")
     val mismatches = brute.sortBy(_._1).zip(pruned.sortBy(_._1))
       .count { case (a, b) => a != b }
     require(mismatches == 0,

@@ -45,10 +45,14 @@ object Tables {
     * catalog doesn't know is garbage by definition (in-memory catalog =
     * table lifetime is session lifetime), so the stale dir is deleted and
     * the layout rebuilt. Synchronized for threads in THIS JVM; an
-    * OS-level FileLock on `<warehouse>/.graft.lock` for OTHER JVMs —
-    * `sbt test` running alongside a Bench JVM shares the warehouse
-    * directory, and an unguarded delete/create interleaving corrupts the
-    * table for both.
+    * OS-level FileLock on `<warehouse>/.graft.lock` serializes OTHER
+    * JVMs' writes — `sbt test` running alongside a Bench JVM shares the
+    * warehouse directory, and an unguarded delete/create interleaving
+    * corrupts the table for both. SCOPE: the lock covers writer-vs-writer
+    * only. A second JVM can still delete a directory the first is
+    * actively SCANNING (readers take no lock) — concurrent cross-JVM
+    * warehouse use remains read-unsafe and unsupported; the lock turns
+    * the write race from silent corruption into last-writer-wins.
     */
   def materializedTable(s: SparkSession, name: String)(
       write: => Unit): DataFrame = synchronized {

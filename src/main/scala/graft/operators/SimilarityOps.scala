@@ -164,8 +164,7 @@ object SimilarityOps {
     * queries: there the explode feeds three consumers (signatures, set
     * sizes, exact-verify intersections) from one persisted frame, which
     * the in-row form cannot. */
-  private[graft] def sigExpr(text: Column): Column =
-    call_function("minhash_sig", text, lit(K))
+  private[graft] def sigExpr(text: Column): Column = sigExprK(text, K)
 
   /** LSH band keys of an in-row signature: array of (band, bh) structs,
     * identical (band, bh) values to [[bandsOf]] on the same signature. */
@@ -180,8 +179,7 @@ object SimilarityOps {
     * raises K for a tighter gate; the hash family is K-indexed so that is
     * a config change, not a code change). */
   private[graft] def estSim(sa: Column, sb: Column): Column =
-    size(filter(zip_with(sa, sb, (x, y) => x === y), b => b))
-      .cast("double") / lit(K)
+    estSimK(sa, sb, K)
 
   /** Signature width of the at-ingest dedup GATE (NeardupIngest). The
     * hash family is component-indexed (component j = min over
@@ -859,8 +857,16 @@ object SimilarityOps {
         .withColumn("rep",
           min(col("vec_id")).over(Window.partitionBy(col("cid"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // member→rep edge ONLY where brute would have one: cos(v,v) = 1
+      // requires a finite nonzero |v|². Zero-norm, NaN-component, and
+      // ±Inf-component duplicates all give NaN self-cosine, which the
+      // !isnan pair filter keeps edgeless — so they must stay uncollapsed
+      // here too (Spark groups NaN = NaN as true, so identical NaN
+      // vectors DO share a (cid, v) window group).
+      val nrm2 = dot(col("v"), col("v"))
       val dupEdges = marked
-        .filter(col("vec_id") =!= col("rep") && dot(col("v"), col("v")) =!= 0d)
+        .filter(col("vec_id") =!= col("rep") && nrm2 =!= 0d &&
+          !isnan(nrm2) && nrm2 < lit(Double.PositiveInfinity))
         .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
       val repRows = marked.filter(col("vec_id") === col("rep"))
       val sized = repRows.withColumn("csize",
@@ -960,10 +966,19 @@ object SimilarityOps {
     * decomposition (v·v − 2·v·c) + Σc² with the identical left-to-right
     * folds as the brute Column path, so the winning (cid, d) is the same
     * double. A skip needs lb² > best where lb is real-arithmetic-safe;
-    * the 1e-9 relative slack on the comparison absorbs the ~1e-15-scale
-    * float error in the bound chain, so a true argmin can never be
-    * skipped. Ties break to the lowest cid, the brute path's
-    * first-occurrence-of-min rule.
+    * the 1e-9 RELATIVE slack absorbs the ~1e-15-scale float error in the
+    * bound chain, and the ABSOLUTE slack (1e-12·(v·v + max Σc²)) covers
+    * the cancellation regime the relative slack can't: when best ≈ 0 (a
+    * vector sitting on one of two near-identical centroids), the brute
+    * path's computed d for the OTHER centroid can come out as a tiny
+    * NEGATIVE number (catastrophic cancellation in (v·v − 2·v·c) + Σc²
+    * at true d ≈ 1e-14), and a skip test against best alone would prune
+    * the centroid brute would crown. The absolute slack is proportional
+    * to the decomposition's own operand scale — the scale its rounding
+    * error lives at — so every near-tied candidate gets evaluated and
+    * the comparison happens on the identical computed doubles. Ties
+    * break to the lowest cid, the brute path's first-occurrence-of-min
+    * rule.
     */
   private final class CentIndex(cents: Array[(Int, Array[Double])]) extends Serializable {
     val k: Int = cents.length
@@ -1023,6 +1038,7 @@ object SimilarityOps {
     }
 
     val ccCenters: Array[Double] = centers.map(c => c.map(x => x * x).sum)
+    private val maxCC: Double = cc.max
 
     /** Nearest centroid of v: (cid, d) with d the brute path's exact
       * double. */
@@ -1041,18 +1057,21 @@ object SimilarityOps {
         j += 1
       }
       val order = Array.range(0, nGroups).sortBy(dvg)
+      // absolute slack at the decomposition's operand scale — see the
+      // class scaladoc's cancellation-regime note
+      val absEps = 1e-12 * (vv + maxCC + 1.0)
       var best = Double.PositiveInfinity
       var bestIdx = -1
       var oi = 0
       while (oi < nGroups) {
         val gj = order(oi)
         val glb = dvg(gj) - radius(gj)
-        if (!(glb > 0 && glb * glb * (1 - 1e-9) > best)) {
+        if (!(glb > 0 && glb * glb * (1 - 1e-9) > best + absEps)) {
           val mem = members(gj); val md = memberDist(gj)
           var m = 0
           while (m < mem.length) {
             val lb = math.abs(dvg(gj) - md(m))
-            if (!(lb * lb * (1 - 1e-9) > best)) {
+            if (!(lb * lb * (1 - 1e-9) > best + absEps)) {
               val ci = mem(m)
               val c = cs(ci)
               var vc = 0.0; var t = 0

@@ -122,7 +122,12 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     * STAT's SEQ (ack accepted) or the ACK's ERR (drain the trailing STAT
     * reply, then fail loudly). */
   def ack(memberIdx: Int, topic: String, sub: String, seq: Long): Unit = {
-    conn(memberIdx).send(s"ACK $topic $sub $seq")
+    // the raw ACK send gets the same eviction discipline as exchange():
+    // a partial write (broken pipe on flush) must not leave a Conn cached
+    // with half a verb line buffered — the retry's bytes would
+    // concatenate onto it and the broker would parse a garbage verb
+    try conn(memberIdx).send(s"ACK $topic $sub $seq")
+    catch { case e: java.io.IOException => evict(memberIdx); throw e }
     val resp = exchange(memberIdx, s"STAT $topic $sub")
     if (resp.startsWith("ERR")) {
       // Drain the trailing STAT reply so the connection stays framed —
@@ -136,12 +141,17 @@ final class BrokerGroup(val endpoints: Seq[(String, Int)]) extends AutoCloseable
     }
   }
 
-  /** Bulk-publish payload lines to the member owning `shard`. */
+  /** Bulk-publish payload lines to the member owning `shard`. Evicts on
+    * any IOException like every other path — a half-written PUBB frame
+    * on a cached Conn would desync the member's verb stream on reuse. */
   def publish(shard: Int, topic: String, payloads: Seq[String]): Unit = {
-    val c = conn(member(shard))
-    c.out.write(s"PUBB $topic ${payloads.size}\n")
-    payloads.foreach { p => c.out.write(p); c.out.write("\n") }
-    c.out.flush()
+    val m = member(shard)
+    try {
+      val c = conn(m)
+      c.out.write(s"PUBB $topic ${payloads.size}\n")
+      payloads.foreach { p => c.out.write(p); c.out.write("\n") }
+      c.out.flush()
+    } catch { case e: java.io.IOException => evict(m); throw e }
   }
 
   override def close(): Unit =

@@ -382,10 +382,16 @@ class MiniBroker {
               t.log.notifyAll()
             }
           case "STAT" if parts.length == 3 =>
-            // metadata read — must NOT get-or-create the subscription: a
+            // metadata read — must NOT get-or-create the subscription (a
             // STAT against a name that never SUBs would pin retention at
-            // the phantom's frozen ack (round-11 ADVICE). No sub ⇒ 0.
-            val latest = topic(parts(1)).seq.get()
+            // the phantom's frozen ack, round-11 ADVICE) NOR the topic
+            // (a mistyped name would mint an empty phantom that lingers
+            // in the topics map and answers SEQ 0 0 forever — the same
+            // leak class the PUBB count fix closed; a metadata READ
+            // creating state is strictly worse). Unknown topic ⇒ 0 0,
+            // without creating it.
+            val latest = Option(topics.get(parts(1)))
+              .map(_.seq.get()).getOrElse(0L)
             val acked = ackedSeq(parts(1), parts(2))
             out.synchronized {
               out.println(s"SEQ $latest $acked"); out.flush()

@@ -118,10 +118,22 @@ object NeardupIngest {
           val cBands = spark.read
             .schema("doc_id long, band int, bh long")
             .parquet(corpusBandPaths: _*)
+          // Loud width guard: an index written at a different signature
+          // width (pre-GateK deployments) must FAIL, not silently gate at
+          // a deflated estimate — zip_with null-pads a 32-wide corpus sig
+          // against a 96-wide batch sig, capping est at 0.33 < any sane
+          // threshold, which would wave EVERY historical near-dup through
+          // as novel with zero errors. Rebuild the sigs table to upgrade.
           val cSigs = spark.read
             .schema("doc_id long, sig array<long>")
             .parquet(IngestIndex.batchPaths(spark, sigsDir, batchId): _*)
-            .select(col("doc_id").as("corpus_doc"), col("sig").as("corpus_sig"))
+            .select(col("doc_id").as("corpus_doc"),
+              when(size(col("sig")) === SimilarityOps.GateK, col("sig"))
+                .otherwise(raise_error(concat(
+                  lit(s"sigs index width "), size(col("sig")).cast("string"),
+                  lit(s" != gate width ${SimilarityOps.GateK} for doc "),
+                  col("doc_id").cast("string"))))
+                .as("corpus_sig"))
           newBands.as("n")
             .join(cBands.as("c"),
               col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))

@@ -122,6 +122,61 @@ class KmeansPruneSpec extends AnyFunSuite {
     assert(kept.contains(50L))
   }
 
+  test("cancellation regime: near-identical centroids, vectors ON centroids (d≈0)") {
+    // centroid pairs (2j, 2j+1) differ by 1e-7 in ONE component, and the
+    // probe vectors ARE the centroids — so best ≈ 0 while the twin
+    // centroid's brute distance computes at true d ≈ 1e-14, where the
+    // (v·v − 2·v·c) + Σc² decomposition's cancellation can land BELOW
+    // zero. A skip test without the absolute slack prunes the twin that
+    // brute would crown (review finding); this pins the fix.
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(24)(Array.fill(dim)(rng.nextGaussian()))
+    val cents = (0 until 48).map { i =>
+      val c = base(i / 2).clone()
+      if (i % 2 == 1) c(i % dim) += 1e-7
+      i -> c
+    }.toArray
+    val rows = cents.map { case (i, c) => (1000L + i, c) } ++
+      (0 until 200).map(i => (2000L + i, Array.fill(dim)(rng.nextGaussian())))
+    val df = spark.createDataFrame(rows.toSeq).toDF("vec_id", "v")
+    def grab(d: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long)] =
+      d.select("vec_id", "cid", "d").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), java.lang.Double.doubleToLongBits(r.getDouble(2)))))
+        .toMap
+    val brute = grab(SimilarityOps.kmAssignBrute(df, cents))
+    val pruned = grab(SimilarityOps.kmAssignPruned(df, cents))
+    val diffs = brute.keys.filter(id => brute(id) != pruned(id))
+    assert(diffs.isEmpty,
+      s"cancellation divergence on ${diffs.take(5).map(id => s"$id: ${brute(id)} vs ${pruned(id)}").mkString("; ")}")
+  }
+
+  test("NaN-component duplicates are kept, not collapsed (brute gives them no edges)") {
+    // identical vectors with a NaN component: cosine_sim(v, v) is NaN, so
+    // the !isnan pair filter gives brute NO edge between them — the
+    // collapse's member→rep edge must therefore not fire either (Spark
+    // groups NaN = NaN as true in the window, so they DO share a group).
+    // A finite bit-identical twin pair rides along to prove the collapse
+    // still fires right next to the NaN group.
+    val dir2 = "/tmp/graft_kmprune_nan_spec"
+    val rng = new scala.util.Random(99)
+    val nanVec = Array.fill(dim)(rng.nextGaussian().toFloat)
+    nanVec(7) = Float.NaN
+    val finTwin = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val rows = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian().toFloat), 0)) ++
+      Seq((300L, nanVec.clone(), 0), (301L, nanVec.clone(), 0),
+        (302L, finTwin.clone(), 0), (303L, finTwin.clone(), 0))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val kept = SimilarityOps.clusterDedupQ(8, 2, 0.9)(spark, dir2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(300L) && kept.contains(301L),
+      "NaN-component duplicates must BOTH be kept (no valid cosine edge)")
+    assert(kept.contains(302L) && !kept.contains(303L),
+      "finite bit-identical twin must still collapse to its min id")
+  }
+
   test("hot-cell banding (forced via tiny cap) still collapses exact duplicates") {
     val kept = SimilarityOps.clusterDedupQ(8, 2, 0.9, maxCellReps = 16)(spark, dir)
       .collect().map(_.getLong(0)).toSet
