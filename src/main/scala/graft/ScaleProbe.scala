@@ -255,6 +255,27 @@ object ScaleProbe {
       .select("cluster", "embedding").distinct()
       .groupBy("cluster").count().as[(Long, Long)].collect()
     val collapsedPairs = repCounts.map { case (_, r) => r * (r - 1) / 2 }.sum
+    // ---- band-face dedup at scale: adaptive band depth (bandBits) plus
+    // the exact pre-collapse must survive the 20% bit-identical hot block
+    // (which shares every sketch bucket — no depth prunes it) AND still
+    // catch the hi near-twin group through the deeper bands (b=10 at 1M:
+    // per-pair band recall ≈ 0.96 at the plant's cos ≈ 0.998, and the
+    // 11-node group needs only a spanning subset of its 55 pairs).
+    var keptEmbed = Array.empty[Long]
+    time("embed_dedup tau=0.9") {
+      keptEmbed = graft.operators.SimilarityOps.embedDedupQ(0.9)(spark, vdir)
+        .select("vec_id").as[Long].collect()
+      keptEmbed.length
+    }
+    val keptE = keptEmbed.toSet
+    val hotCollapsedE = keptE.contains(hotBase) &&
+      ((hotBase + 1) until (hotBase + hotLen)).forall(!keptE.contains(_))
+    val hiCollapsedE = keptE.contains(hiBase) &&
+      ((hiBase + 1) until nVecs).forall(!keptE.contains(_))
+    println(s"[scale-probe] embed_dedup kept=${keptEmbed.length}/$nVecs " +
+      s"hot_collapsed=$hotCollapsedE hi_collapsed=$hiCollapsedE " +
+      s"band_bits=${graft.operators.SimilarityOps.bandBits(nVecs)}")
+
     println(s"[scale-probe] kmeans cells=$kScaled partition_ok=$cellsOk " +
       s"planted_one_cell=${hiCell.size == 1} " +
       s"assign_identical=${mismatches == 0} " +

@@ -345,9 +345,21 @@ object SimilarityOps {
     // SimHash near-duplicate pairs: 64-bit sketch over 3-word SHINGLES
     // (word-level sketches are useless here — the corpus vocabulary is
     // ~31 words, so every document's word multiset looks alike; shingles
-    // restore discriminating power). Pairs within hamming ≤ 3, bucketed
-    // by 16-bit sketch chunks (pigeonhole: ≤3 flipped bits of 64 leave
-    // ≥1 of the 4 chunks untouched).
+    // restore discriminating power). Pairs within hamming ≤ 3, candidates
+    // from Manku/Jain/Das Sarma block-permutation tables (WWW'07 §3): the
+    // 64 sketch bits split into 6 blocks, one table per 3-of-6 block
+    // subset (C(6,3)=20), keyed on the subset's ~32 concatenated bits.
+    // Recall is a THEOREM either way — ≤3 flipped bits touch ≤3 blocks,
+    // leaving ≥3 clean, so some 3-subset agrees exactly — but the old
+    // 4×16-bit chunk pigeonhole had a FIXED 65,536-value key space per
+    // chunk: at 10⁹ documents every bucket holds ~15k docs and the
+    // candidate join is Θ(n²/2¹⁶) — the same uncapped-quadratic class
+    // the k-means family was flagged for. A ~32-bit key space makes
+    // random collisions ~n²/2³² (≈ nothing at any realistic corpus) at
+    // the price of 20 index rows per doc instead of 4. The final pair
+    // set — every hamming ≤ 3 pair, exactly — is identical, so the
+    // DuckDB oracle (which replays the chunk structure) stays hash-green
+    // by construction.
     "q_simhash_neardup" -> ((s, d) => {
       // The sketch comes from the native one-pass simhash64 expression in
       // the scan projection (bit-identical to the old explode + 64
@@ -360,12 +372,23 @@ object SimilarityOps {
       val sk = Tables.documents(s, d)
         .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
         .filter(col("simhash").isNotNull)
-      val chunks = sk.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("chunk"))
-        .select(col("doc_id"), col("simhash"), col("chunk"),
-          expr("shiftright(simhash, chunk * 16)").bitwiseAND(65535).as("cv"))
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+      // 6 blocks of [11,11,11,11,10,10] bits; table t = the t-th 3-subset
+      val starts = Array(0, 11, 22, 33, 44, 54)
+      val widths = Array(11, 11, 11, 11, 10, 10)
+      def blockVal(b: Int): Column =
+        expr(s"shiftright(simhash, ${starts(b)})")
+          .bitwiseAND(lit((1L << widths(b)) - 1))
+      val combos = (0 until 6).combinations(3).toArray
+      val tables = sk.select(col("doc_id"), col("simhash"),
+          explode(array(combos.zipWithIndex.map { case (c, ci) =>
+            struct(lit(ci).as("t"), blockVal(c(0)).as("k1"),
+              blockVal(c(1)).as("k2"), blockVal(c(2)).as("k3"))
+          }: _*)).as("tb"))
+        .select(col("doc_id"), col("simhash"), col("tb.t").as("t"),
+          col("tb.k1").as("k1"), col("tb.k2").as("k2"), col("tb.k3").as("k3"))
+      tables.as("x").join(tables.as("y"),
+          col("x.t") === col("y.t") && col("x.k1") === col("y.k1") &&
+            col("x.k2") === col("y.k2") && col("x.k3") === col("y.k3") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
@@ -605,37 +628,113 @@ object SimilarityOps {
 
   /** The embedding-space members of [[queries]] (split out only so the
     * map literal stays within one screen per family). */
+  /** Band DEPTH for the sketch-band candidate generator, adaptive to
+    * corpus size: bits b = round(log₂(n / 1024)), clamped to [4, 16], so
+    * expected bucket population stays ~1k and the candidate-cosine count
+    * stays ~LINEAR (B·n·1024/2 pairs) instead of the fixed-4-bit
+    * structure's Θ(n²/32) — the same uncapped-quadratic class the
+    * k-means family was flagged for at 100×, one face over. The fixture
+    * corpora (500–2000 vectors; anything under ~23k) land exactly on the
+    * historical b=4, so every oracle replay keeps the bit-identical 2×4
+    * banding.
+    *
+    * Recall is the standard LSH depth trade, and the design point is
+    * NEAR-EXACT semantic duplicates: per-bit agreement p = 1 − θ/π, a
+    * pair survives with 1−(1−p^b)^B — at b=10/B=2 that is 0.98 for
+    * cos ≈ 0.998 twins (the probe's plant), 0.91 at cos 0.99, but only
+    * ~0.57 at cos 0.95: moderate-τ corpus dedup at scale belongs to
+    * q_cluster_dedup (cells scale with n and are hot-cell-capped), which
+    * is this engine's designated 100 TB face; the band face is the
+    * cheap high-precision screen. */
+  private[graft] def bandBits(n: Long): Int =
+    math.max(4, math.min(16, math.round(
+      math.log(math.max(1L, n).toDouble / 1024) / math.log(2.0)).toInt))
+
   /** Sketch-band candidate pairs with exact cosine — shared by
     * q_embed_neardup (top-50 face) and q_embed_dedup_canonical (the
-    * SemDeDup corpus face). 2 bands of 4 sketch bits: a pair is a
-    * candidate if ≥1 band matches (~12% of random pairs; clustered
-    * neighbors nearly always). The pair-dedup runs on BARE IDS — vectors
-    * are re-attached afterwards, never shuffled through the distinct
-    * (that mistake cost 79 s at sf0.1; this shape runs in ~1 s). Cosine
-    * via the native codegen'd expression — same left-to-right arithmetic
-    * as the HOF form (bit-identical results), one fused loop instead of
-    * three lambda-dispatched array traversals per pair. */
-  private def embedCosinePairs(s: SparkSession, d: String): DataFrame = {
-    val planes = AnnPlanes.planes
+    * SemDeDup corpus face). 2 bands of [[bandBits]] sketch bits: a pair
+    * is a candidate if ≥1 band matches (~12% of random pairs at the
+    * fixture's b=4; clustered neighbors nearly always). The pair-dedup
+    * runs on BARE IDS — vectors are re-attached afterwards, never
+    * shuffled through the distinct (that mistake cost 79 s at sf0.1;
+    * this shape runs in ~1 s). Cosine via the native codegen'd
+    * expression — same left-to-right arithmetic as the HOF form
+    * (bit-identical results), one fused loop instead of three
+    * lambda-dispatched array traversals per pair. The count() that
+    * sizes the banding is a column-pruned metadata-cheap scan, paid
+    * once per call. */
+  private def embedCosinePairs(s: SparkSession, d: String): DataFrame =
+    sketchBandPairs(vecs(s, d), None)
+
+  /** The band-face dedup at arbitrary τ (registry pins 0.35, ~3σ above
+    * the fixture's random-cosine spread; ScaleProbe calls 0.9 — at probe
+    * scale a 2.8σ threshold matches millions of genuinely-threshold-
+    * passing random pairs, which is a property of the τ, not the
+    * structure). */
+  private[graft] def embedDedupQ(tau: Double): Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val e = vecs(s, d)
+    val marked = e
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nrm2 = dot(col("v"), col("v"))
+    val dupEdges = marked
+      .filter(col("vec_id") =!= col("rep") && nrm2 =!= 0d &&
+        !isnan(nrm2) && nrm2 < lit(Double.PositiveInfinity))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val reps = marked.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("v"))
+    val pairs = sketchBandPairs(reps, Some(tau))
+      .select("vec_a", "vec_b")
+    val dropped = GraphOps.connectedComponents(pairs.unionByName(dupEdges))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** The banding core over an arbitrary (vec_id, v) frame, so the dedup
+    * face can feed it COLLAPSED representatives while the top-k face
+    * keeps the raw corpus. Returns deduped (vec_a, vec_b, cos).
+    *
+    * Shuffle discipline, probe-measured at 100k vectors (b=7, ~5×10⁷
+    * candidates): vectors ride ONLY the 2n-row (band, bv) exchange of
+    * the join inputs — the cosine is computed inside the band join and
+    * the vectors dropped in the same projection, so candidate PAIRS only
+    * ever move as 24-byte (ids, cos) rows. The earlier spelling
+    * (distinct on bare ids, then two joins re-attaching vectors) shuffled
+    * every candidate row WITH a 520-byte vector through both attach
+    * joins — 348 s at 100k where this shape takes seconds; at fixture
+    * scale (where candidates ≈ 2×10⁵) the two spellings are
+    * indistinguishable and the outputs are value-identical, so the
+    * oracles never notice. `minCos` lets the dedup face apply its τ
+    * BEFORE the cross-band dedup shuffle, so at τ=0.9 the groupBy sees
+    * only true near-dup edges, not all ~B·n·bucket candidates. */
+  private def sketchBandPairs(e: DataFrame, minCos: Option[Double]): DataFrame = {
+    val b = bandBits(e.count())
+    val nBands = 2
+    val planes = AnnPlanes.planesFor(nBands * b)
     def sketchBit(m: Int): Column = {
       val plane = array(planes(m).map(lit): _*)
-      when(dot(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
+      // long sketch: at b=16 the top band reaches bit 31, where an int
+      // shiftleft would go negative and arithmetic shiftright would smear
+      when(dot(col("v"), plane) > 0, shiftleft(lit(1L), m)).otherwise(0L)
     }
     val sk = e.select(col("vec_id"), col("v"),
-      (0 until 8).map(sketchBit).reduce(_ + _).as("sketch"))
-    val banded = sk.select(col("vec_id"),
-        explode(sequence(lit(0), lit(1))).as("band"), col("sketch"))
-      .select(col("vec_id"), col("band"),
-        expr("shiftright(sketch, band * 4)").bitwiseAND(15).as("bv"))
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      (0 until nBands * b).map(sketchBit).reduce(_ + _).as("sketch"))
+    val banded = sk.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sketch"))
+      .select(col("vec_id"), col("v"), col("band"),
+        expr(s"shiftright(sketch, band * $b)")
+          .bitwiseAND(lit((1L << b) - 1)).as("bv"))
+    val l = banded.select(col("band"), col("bv"),
+      col("vec_id").as("vec_a"), col("v").as("va"))
+    val r = banded.select(col("band").as("band_r"), col("bv").as("bv_r"),
+      col("vec_id").as("vec_b"), col("v").as("vb"))
+    val scored = l.join(r,
+        col("band") === col("band_r") && col("bv") === col("bv_r") &&
+          col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (round(expr("cosine_sim(va, vb)") * 1000000) / 1000000).as("cos"))
       // Zero-norm guard: NaN cosine would both top q_embed_neardup's
@@ -643,6 +742,10 @@ object SimilarityOps {
       // engines treat NaN as greater than every number), making one
       // zero vector a "duplicate" of every bucket-mate.
       .filter(!isnan(col("cos")))
+    val gated = minCos.map(t => scored.filter(col("cos") >= t)).getOrElse(scored)
+    // dedup across the 2 bands: identical inputs give identical cos, so
+    // max == the single value (the old bare-id distinct, now 24 B/row)
+    gated.groupBy("vec_a", "vec_b").agg(max("cos").as("cos"))
   }
 
   private def vectorQueries: Map[String, Q] = Map(
@@ -666,17 +769,15 @@ object SimilarityOps {
     // text-dedup family, re-keyed to embedding space. τ = 0.35 sits ~3σ
     // above the random-vector cosine spread of the fixture, so the pairs
     // are genuinely clustered, not noise.
-    "q_embed_dedup_canonical" -> ((s, d) => {
-      val dropped = GraphOps.connectedComponents(
-          embedCosinePairs(s, d).filter(col("cos") >= 0.35)
-            .select("vec_a", "vec_b"))
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("vec_id"))
-      vecs(s, d)
-        .join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"))
-        .orderBy("vec_id")
-    }),
+    // The same EXACT pre-collapse as clusterDedupQ guards the band face
+    // against duplicate-heavy corpora: bit-identical vectors share every
+    // sketch bucket, so without the collapse a block of m copies is
+    // m²/2 in-bucket cosines no band depth can prune. Collapse to the
+    // min-id rep (identical v ⇒ identical cosines and identical buckets
+    // ⇒ rep-level pairs decide exactly what member-level pairs would;
+    // non-finite-norm rows stay uncollapsed since brute keeps them
+    // edgeless) — output provably unchanged, oracle untouched.
+    "q_embed_dedup_canonical" -> embedDedupQ(0.35),
 
     // k-means cell assignment (Lloyd's, k=8, 2 rounds, deterministic
     // init = vectors 0..k-1): the clustering step of cluster-based data
@@ -1685,8 +1786,13 @@ object SimilarityOps {
 /** Deterministic pseudo-random hyperplanes for the ANN LSH sketch: fixed
   * seed so every run (and every engine replica) buckets identically. */
 object AnnPlanes {
-  val planes: Array[Array[Double]] = {
+  /** First `n` deterministic hyperplanes (seed 42). A longer prefix
+    * EXTENDS the historical 8 without changing them — same RNG stream,
+    * same draw order — so deepening a band structure can never silently
+    * re-randomize the sketch bits an oracle already replays. */
+  def planesFor(n: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    Array.fill(n)(Array.fill(64)(rng.nextGaussian()))
   }
+  val planes: Array[Array[Double]] = planesFor(8)
 }

@@ -44,17 +44,29 @@ object EmbedIngest {
     * frame. Verdicts land in `verdictDir/batch=N` as (vec_id, kept,
     * dup_of — smallest matching corpus vec, NULL when kept); the
     * accepted corpus index accumulates under
-    * `indexDir/{bands,vecs}/batch=N`. */
+    * `indexDir/{bands,vecs}/batch=N`.
+    *
+    * `bandBits` sizes the candidate structure to the DEPLOYMENT scale:
+    * 2 bands of b bits ⇒ per-batch candidate cosines ≈ 2·batch·corpus/2^b.
+    * The default 4 matches the historical fixture-scale structure; a
+    * corpus expected to reach 10⁸+ vectors wants 12-16 (the same
+    * fixed-key-space quadratic the batch face's adaptive bandBits
+    * closes — a stream can't re-count its corpus per batch, so the width
+    * is a deployment choice, pinned per index by an on-disk marker that
+    * makes a mismatched restart FAIL instead of silently re-bucketing
+    * and missing every historical candidate). */
   def start(
       vecs: DataFrame,
       indexDir: String,
       verdictDir: String,
       checkpointDir: String,
-      cosThreshold: Double = 0.9): StreamingQuery =
+      cosThreshold: Double = 0.9,
+      bandBits: Int = 4): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch, batchId, indexDir, verdictDir, cosThreshold)
+        processBatch(batch, batchId, indexDir, verdictDir, cosThreshold,
+          bandBits)
       }
       .start()
 
@@ -62,26 +74,61 @@ object EmbedIngest {
     * operator's two tables. Run while the ingest query is STOPPED. */
   def compact(spark: SparkSession, indexDir: String): Unit =
     IngestIndex.compact(spark,
-      Seq(s"$indexDir/bands" -> "vec_id long, band int, bv int",
+      Seq(s"$indexDir/bands" -> "vec_id long, band int, bv long",
         s"$indexDir/vecs" -> "vec_id long, v array<double>"))
 
-  /** The 8-bit hyperplane sketch of a vector column — the same fixed
-    * planes and bit rule as the batch embed family, so a vector buckets
-    * identically whether it arrives by stream or by batch. */
-  private def sketchOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 8).map { m =>
-      val plane = array(AnnPlanes.planes(m).map(lit): _*)
-      when(call_function("dot_product", v, plane) > 0, shiftleft(lit(1), m))
-        .otherwise(0)
+  /** The hyperplane sketch of a vector column over the first `nPlanes`
+    * deterministic planes — the same seed-42 family as the batch embed
+    * face (AnnPlanes.planesFor), so at equal width a vector buckets
+    * identically whether it arrives by stream or by batch. Long-typed:
+    * at bandBits=16 the top band reaches bit 31. */
+  private def sketchOf(v: org.apache.spark.sql.Column,
+      nPlanes: Int): org.apache.spark.sql.Column = {
+    val planes = AnnPlanes.planesFor(nPlanes)
+    (0 until nPlanes).map { m =>
+      val plane = array(planes(m).map(lit): _*)
+      when(call_function("dot_product", v, plane) > 0, shiftleft(lit(1L), m))
+        .otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** Pin the index's band width on disk: first touch writes the marker,
+    * every later batch verifies it. A width change re-buckets silently —
+    * every historical candidate would be missed with zero errors — so a
+    * mismatch must be a loud failure, not a recall collapse. */
+  private def checkWidthMarker(
+      spark: SparkSession, indexDir: String, bandBits: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_band_bits")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        .readLine().trim.toInt
+      finally in.close()
+      require(stored == bandBits,
+        s"index at $indexDir was built with bandBits=$stored; " +
+          s"reopening it at $bandBits would re-bucket silently and miss " +
+          "every historical candidate — use the original width or rebuild")
+    } else {
+      fs.mkdirs(dir)
+      val out = fs.create(marker, true)
+      try out.write(s"$bandBits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   private[graft] def processBatch(
       batchRaw: DataFrame,
       batchId: Long,
       indexDir: String,
       verdictDir: String,
-      cosThreshold: Double): Unit = {
+      cosThreshold: Double,
+      bandBits: Int = 4): Unit = {
+    require(bandBits >= 1 && bandBits <= 16, s"bandBits=$bandBits not in [1,16]")
     val spark = batchRaw.sparkSession
+    checkWidthMarker(spark, indexDir, bandBits)
     val bandsDir = s"$indexDir/bands"
     val vecsDir = s"$indexDir/vecs"
 
@@ -91,11 +138,12 @@ object EmbedIngest {
       .persist()
     try {
       val newBands = feats
-        .select(col("vec_id"), sketchOf(col("v")).as("sketch"))
+        .select(col("vec_id"), sketchOf(col("v"), 2 * bandBits).as("sketch"))
         .select(col("vec_id"), explode(sequence(lit(0), lit(1))).as("band"),
           col("sketch"))
         .select(col("vec_id"), col("band"),
-          expr("shiftright(sketch, band * 4)").bitwiseAND(15).as("bv"))
+          expr(s"shiftright(sketch, band * $bandBits)")
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))
 
       val corpusBandPaths = IngestIndex.batchPaths(spark, bandsDir, batchId)
       val dupped: DataFrame =
@@ -103,7 +151,7 @@ object EmbedIngest {
           spark.range(0).select(col("id").as("vec_id"), col("id").as("dup_of"))
         else {
           val cBands = spark.read
-            .schema("vec_id long, band int, bv int")
+            .schema("vec_id long, band int, bv long")
             .parquet(corpusBandPaths: _*)
           val cVecs = spark.read
             .schema("vec_id long, v array<double>")

@@ -90,6 +90,27 @@ class EmbedIngestSpec extends AnyFunSuite {
       s"true scaled copy must still drop under the guard: $v")
   }
 
+  test("band width is pinned per index: a mismatched reopen fails loudly") {
+    import spark.implicits._
+    val (idx, out, _) = dirs()
+    def batch(rows: (Long, Seq[Double])*): DataFrame =
+      rows.toDF("vec_id", "v")
+    // width 12 (the 10^8-corpus deployment choice) works end to end:
+    // a true duplicate still drops through the deeper bands
+    EmbedIngest.processBatch(batch((1L, u)), 0L, idx, out, 0.9, bandBits = 12)
+    EmbedIngest.processBatch(batch((2L, u.map(_ * 2.0))), 1L, idx, out, 0.9,
+      bandBits = 12)
+    val v = verdicts(out)
+    assert(v(2L) == ((false, Some(1L))),
+      s"scaled copy must drop at bandBits=12: $v")
+    // reopening the same index at another width must FAIL, not silently
+    // re-bucket and miss every historical candidate
+    val e = intercept[IllegalArgumentException] {
+      EmbedIngest.processBatch(batch((3L, u)), 2L, idx, out, 0.9, bandBits = 4)
+    }
+    assert(e.getMessage.contains("bandBits=12"), e.getMessage)
+  }
+
   test("compaction and newest-batch replay behave like the text twin on this operator's tables") {
     import spark.implicits._
     val (idx, out, _) = dirs()
