@@ -82,7 +82,12 @@ object TextProbe {
       // (dedup_exact = lower+trim built-ins; unicode_canon = the native
       // codepoint loop + NFC) — the canon's String-level pass is the
       // cost delta under scrutiny
-      "q_dedup_exact", "q_unicode_canon")
+      "q_dedup_exact", "q_unicode_canon",
+      // simhash with the Manku block-permutation tables (20 index rows
+      // per doc, ~32-bit keys): the 1M-doc wall time evidences that the
+      // 5× index fan-out stays cheap while the old 65k-bucket chunk
+      // join's quadratic term is gone
+      "q_simhash_neardup")
       .filter(want).foreach(run)
     // substring PRUNE with the twin canary: a twin shares its first 57
     // words with its base doc, i.e. all 38 of the base's 20-word windows
