@@ -272,9 +272,15 @@ object ScaleProbe {
       ((hotBase + 1) until (hotBase + hotLen)).forall(!keptE.contains(_))
     val hiCollapsedE = keptE.contains(hiBase) &&
       ((hiBase + 1) until nVecs).forall(!keptE.contains(_))
+    // report the depth the query ACTUALLY used: embedDedupQ sizes its
+    // banding from the POST-collapse rep count, not the raw corpus (the
+    // 20% hot block collapses before banding), and near a log2 rounding
+    // boundary the two differ by a bit
+    val nReps = spark.read.parquet(s"$vdir/embeddings.parquet")
+      .select("embedding").distinct().count()
     println(s"[scale-probe] embed_dedup kept=${keptEmbed.length}/$nVecs " +
       s"hot_collapsed=$hotCollapsedE hi_collapsed=$hiCollapsedE " +
-      s"band_bits=${graft.operators.SimilarityOps.bandBits(nVecs)}")
+      s"reps=$nReps band_bits=${graft.operators.SimilarityOps.bandBits(nReps)}")
 
     println(s"[scale-probe] kmeans cells=$kScaled partition_ok=$cellsOk " +
       s"planted_one_cell=${hiCell.size == 1} " +

@@ -393,8 +393,12 @@ object SimilarityOps {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
             .as("hamming"))
-        .distinct()
+        // hamming is a pure function of the pair: filter BEFORE the
+        // cross-table distinct so pairs that matched a 3-block subset but
+        // sit beyond radius never ride the dedup exchange (the 20-table
+        // fan-out quintupled what the old order shuffled)
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -714,15 +718,8 @@ object SimilarityOps {
   private def sketchBandPairs(e: DataFrame, minCos: Option[Double]): DataFrame = {
     val b = bandBits(e.count())
     val nBands = 2
-    val planes = AnnPlanes.planesFor(nBands * b)
-    def sketchBit(m: Int): Column = {
-      val plane = array(planes(m).map(lit): _*)
-      // long sketch: at b=16 the top band reaches bit 31, where an int
-      // shiftleft would go negative and arithmetic shiftright would smear
-      when(dot(col("v"), plane) > 0, shiftleft(lit(1L), m)).otherwise(0L)
-    }
     val sk = e.select(col("vec_id"), col("v"),
-      (0 until nBands * b).map(sketchBit).reduce(_ + _).as("sketch"))
+      AnnPlanes.sketchCol(col("v"), nBands * b).as("sketch"))
     val banded = sk.select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sketch"))
       .select(col("vec_id"), col("v"), col("band"),
@@ -1003,10 +1000,7 @@ object SimilarityOps {
   /** The q_ann_lsh_topk 8-bit sign-of-projection sketch as a reusable
     * column (deterministic planes, [[AnnPlanes]]). */
   private def annSketch(vcol: Column): Column =
-    (0 until 8).map { m =>
-      val plane = array(AnnPlanes.planes(m).map(lit): _*)
-      when(dot(vcol, plane) > 0, shiftleft(lit(1), m)).otherwise(0)
-    }.reduce(_ + _)
+    AnnPlanes.sketchCol(vcol, 8)
 
   /** Squared-distance scores to every centroid, as one materialized array
     * (the ivfCentroids argmax lesson: a when()-chain argmin re-evaluates
@@ -1795,4 +1789,22 @@ object AnnPlanes {
     Array.fill(n)(Array.fill(64)(rng.nextGaussian()))
   }
   val planes: Array[Array[Double]] = planesFor(8)
+
+  /** THE sign-of-projection sketch over the first `nPlanes` planes —
+    * the one shared construction behind batch banding (sketchBandPairs),
+    * the cluster-dedup hot-cell splitter, and the streaming EmbedIngest
+    * bucketing. One definition so the batch/stream "buckets identically
+    * at equal width" contract is enforced by the compiler, not by three
+    * manually-synced copies. Long-typed: a 2×16-band structure reaches
+    * bit 31, where an int shiftleft goes negative and arithmetic
+    * shiftright smears. */
+  def sketchCol(v: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val ps = planesFor(nPlanes)
+    (0 until nPlanes).map { m =>
+      val plane = array(ps(m).map(lit): _*)
+      when(call_function("dot_product", v, plane) > 0, shiftleft(lit(1L), m))
+        .otherwise(0L)
+    }.reduce(_ + _)
+  }
 }

@@ -77,25 +77,27 @@ object EmbedIngest {
       Seq(s"$indexDir/bands" -> "vec_id long, band int, bv long",
         s"$indexDir/vecs" -> "vec_id long, v array<double>"))
 
-  /** The hyperplane sketch of a vector column over the first `nPlanes`
-    * deterministic planes — the same seed-42 family as the batch embed
-    * face (AnnPlanes.planesFor), so at equal width a vector buckets
-    * identically whether it arrives by stream or by batch. Long-typed:
-    * at bandBits=16 the top band reaches bit 31. */
+  /** The hyperplane sketch — the ONE shared construction
+    * ([[AnnPlanes.sketchCol]]), so at equal width a vector buckets
+    * identically whether it arrives by stream or by batch, enforced by
+    * the compiler rather than a manually-synced copy. */
   private def sketchOf(v: org.apache.spark.sql.Column,
-      nPlanes: Int): org.apache.spark.sql.Column = {
-    val planes = AnnPlanes.planesFor(nPlanes)
-    (0 until nPlanes).map { m =>
-      val plane = array(planes(m).map(lit): _*)
-      when(call_function("dot_product", v, plane) > 0, shiftleft(lit(1L), m))
-        .otherwise(0L)
-    }.reduce(_ + _)
-  }
+      nPlanes: Int): org.apache.spark.sql.Column =
+    AnnPlanes.sketchCol(v, nPlanes)
 
   /** Pin the index's band width on disk: first touch writes the marker,
     * every later batch verifies it. A width change re-buckets silently —
     * every historical candidate would be missed with zero errors — so a
-    * mismatch must be a loud failure, not a recall collapse. */
+    * mismatch must be a loud failure, not a recall collapse.
+    *
+    * Two review-found edges: (a) a LEGACY index (bands data, no marker)
+    * predates width markers and was necessarily built at the historical
+    * default 4 — minting a marker at the passed width would be the exact
+    * silent re-bucketing this guard exists to prevent, so the legacy
+    * case requires bandBits == 4 and then pins it; (b) the marker write
+    * is create-temp-then-rename (atomic on real filesystems) and the
+    * read treats an empty/garbled marker — a crash inside a non-atomic
+    * write, or hand editing — as the same loud failure, never an NPE. */
   private def checkWidthMarker(
       spark: SparkSession, indexDir: String, bandBits: Int): Unit = {
     val dir = new org.apache.hadoop.fs.Path(indexDir)
@@ -103,19 +105,37 @@ object EmbedIngest {
     val marker = new org.apache.hadoop.fs.Path(dir, "_band_bits")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      val stored = try new java.io.BufferedReader(
+      val line = try new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-        .readLine().trim.toInt
+        .readLine()
       finally in.close()
-      require(stored == bandBits,
-        s"index at $indexDir was built with bandBits=$stored; " +
+      val stored = Option(line).map(_.trim).filter(_.matches("\\d+")).map(_.toInt)
+      require(stored.isDefined,
+        s"unreadable band-width marker $marker (content: $line) — a crashed " +
+          "write or hand edit; restore it to the width the index was built " +
+          "with, or rebuild the index")
+      require(stored.get == bandBits,
+        s"index at $indexDir was built with bandBits=${stored.get}; " +
           s"reopening it at $bandBits would re-bucket silently and miss " +
           "every historical candidate — use the original width or rebuild")
     } else {
+      val hasLegacyData = fs.exists(new org.apache.hadoop.fs.Path(dir, "bands")) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir, "bands")).nonEmpty
+      require(!hasLegacyData || bandBits == 4,
+        s"index at $indexDir has band data but no width marker — it " +
+          "predates width pinning and was built at the historical default " +
+          s"4; reopening it at $bandBits would re-bucket silently. Reopen " +
+          "at 4 or rebuild the index at the new width")
       fs.mkdirs(dir)
-      val out = fs.create(marker, true)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_band_bits.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$bandBits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        // lost a create race or stale tmp: re-validate against whoever won
+        fs.delete(tmp, false)
+        checkWidthMarker(spark, indexDir, bandBits)
+      }
     }
   }
 

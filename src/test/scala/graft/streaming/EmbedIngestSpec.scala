@@ -109,6 +109,23 @@ class EmbedIngestSpec extends AnyFunSuite {
       EmbedIngest.processBatch(batch((3L, u)), 2L, idx, out, 0.9, bandBits = 4)
     }
     assert(e.getMessage.contains("bandBits=12"), e.getMessage)
+    // LEGACY index (bands data, no marker — predates width pinning): it
+    // was necessarily built at the historical default, so a non-4 reopen
+    // must refuse rather than mint a marker at the new width (the silent
+    // re-bucketing the pin exists to prevent); a reopen at 4 re-pins and
+    // keeps answering
+    val (idx2, out2, _) = dirs()
+    EmbedIngest.processBatch(batch((1L, u)), 0L, idx2, out2, 0.9)
+    val fs = new org.apache.hadoop.fs.Path(idx2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx2, "_band_bits"), false)
+    val e2 = intercept[IllegalArgumentException] {
+      EmbedIngest.processBatch(batch((4L, u)), 1L, idx2, out2, 0.9, bandBits = 12)
+    }
+    assert(e2.getMessage.contains("predates width pinning"), e2.getMessage)
+    EmbedIngest.processBatch(batch((5L, u.map(_ * 0.5))), 1L, idx2, out2, 0.9)
+    assert(verdicts(out2)(5L) == ((false, Some(1L))),
+      "legacy index must keep answering after a same-width re-pin")
   }
 
   test("compaction and newest-batch replay behave like the text twin on this operator's tables") {
