@@ -967,8 +967,12 @@ object SimilarityOps {
           !isnan(nrm2) && nrm2 < lit(Double.PositiveInfinity))
         .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
       val repRows = marked.filter(col("vec_id") === col("rep"))
-      val sized = repRows.withColumn("csize",
-        count(lit(1)).over(Window.partitionBy(col("cid"))))
+      // cell sizes via groupBy + broadcast, NOT a count-over-window: the
+      // window form re-exchanges the whole 520 B/row vector frame by cid
+      // just to annotate a count, where the groupBy partial-aggregates
+      // map-side to k rows and the broadcast join adds no exchange at all
+      val cellSizes = repRows.groupBy("cid").agg(count(lit(1)).as("csize"))
+      val sized = repRows.join(broadcast(cellSizes), "cid")
       // band = 0 (single band) for every cell under the cap; the sketch
       // sits inside the when() so under-cap rows never pay its 8 dots
       val bits = least(lit(8),
