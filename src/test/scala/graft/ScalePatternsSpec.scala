@@ -261,6 +261,34 @@ class ScalePatternsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("simhash tables: hamming filter fused into the candidate join, no cartesian") {
+    // The Manku block-permutation structure must plan as an equality
+    // join on (t, k1, k2, k3) with the hamming <= 3 predicate FUSED into
+    // the join condition (filter-before-distinct lets Catalyst push it),
+    // and never a cartesian/nested-loop — the 20-table fan-out would
+    // amplify any such fallback 20x.
+    val plan = SparkEntry.queries("q_simhash_neardup")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"cartesian in simhash plan:\n$plan")
+    assert(plan.contains("bit_count"), s"hamming not fused into the join:\n$plan")
+  }
+
+  test("embed dedup: banded candidates only, no cartesian, vectors never ride pair rows") {
+    val qe = SparkEntry.queries("q_embed_dedup_canonical")(spark, TestSpark.sf)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"cartesian in embed-dedup plan:\n$plan")
+    // the cross-band dedup aggregate must key on bare ids + cos — a
+    // vector column reaching it would mean candidate pairs shuffle with
+    // 520-byte payloads again (the 348-s regression shape)
+    val aggOverPairs = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("vec_a"))
+    assert(aggOverPairs.forall(!_.contains("va#")),
+      s"vector column rides the pair-dedup aggregate:\n$plan")
+  }
+
   test("substring family plans aggregation over the digest, never a digest window") {
     // The round-11 de-skew: per-digest facts (first occurrence, ≥2
     // distinct docs) come from groupBy(gh) — partial aggregation absorbs
