@@ -1079,7 +1079,7 @@ object SimilarityOps {
     * break to the lowest cid, the brute path's first-occurrence-of-min
     * rule.
     */
-  private final class CentIndex(cents: Array[(Int, Array[Double])]) extends Serializable {
+  private[graft] final class CentIndex(cents: Array[(Int, Array[Double])]) extends Serializable {
     val k: Int = cents.length
     val cids: Array[Int] = cents.map(_._1) // ascending by construction
     val cs: Array[Array[Double]] = cents.map(_._2)
@@ -1205,6 +1205,12 @@ object SimilarityOps {
       (cids(bestIdx), best)
     }
   }
+
+  /** Test hook (KmeansPruneProps): the pruning index over a centroid
+    * set, so the property layer can hammer `assign` against a full-scan
+    * reference across random geometries without Spark jobs. */
+  private[graft] def assignIndexFor(
+      cents: Array[(Int, Array[Double])]): CentIndex = new CentIndex(cents)
 
   /** The pruned twin of [[kmAssignBrute]]: same (vec_id, v, cid, d)
     * output, map-side only (centroid index ships as one broadcast, not a
