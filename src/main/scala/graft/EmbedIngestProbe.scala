@@ -73,15 +73,27 @@ object EmbedIngestProbe {
     val exacts = baseVecs(0, seen).filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + nVecs).as("vec_id"),
         transform(col("v"), x => x * 2.0).as("v"))
+    // noise salt MUST differ from the base generation's: gauss(vec_id, j)
+    // here resolves to the ORIGINAL id (sibling select expressions read
+    // input columns), and with the same _a/_b salts the "noise" would be
+    // bit-identical to the vector itself — a 1.05x scaled copy at cos
+    // exactly 1, making near_recall vacuous (review find: the probe
+    // measured nothing until the salt diverged)
+    def noise(c: org.apache.spark.sql.Column, j: Int) =
+      sqrt(lit(-2.0) * log(unif(c, s"_na$j"))) *
+        cos(lit(2 * math.Pi) * unif(c, s"_nb$j"))
     val nears = baseVecs(0, seen).filter(col("vec_id") % 100 === 50)
       .select((col("vec_id") + 2 * nVecs).as("vec_id"),
         array((0 until dim).map(j =>
           element_at(col("v"), j + 1) +
-            lit(0.05) * gauss(col("vec_id"), j)): _*).as("v"))
+            lit(0.05) * noise(col("vec_id"), j)): _*).as("v"))
     val novel = spark.range(4 * nVecs, 4 * nVecs + seen / 100)
       .select(col("id").as("vec_id"),
         array((0 until dim).map(j => gauss(concat(col("id"), lit("_n")), j)): _*).as("v"))
     val nExact = exacts.count(); val nNear = nears.count()
+    require(nExact > 0 && nNear > 0,
+      s"args too small to plant twins (exact=$nExact near=$nNear) — " +
+        "the recall ratios would be NaN and the JSON line unparseable")
     val tb = System.nanoTime()
     EmbedIngest.processBatch(exacts.unionByName(nears).unionByName(novel),
       (nBatches - 1).toLong, idx, out, 0.9, bandBits)

@@ -698,6 +698,14 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Test hook (ScalePatternsSpec): the banding core's frame for plan
+    * assertions — the registry dedup query consumes it inside the EAGER
+    * connected-components rounds, so its plan shape is invisible from
+    * the query's own executedPlan. */
+  private[graft] def bandPairsFor(s: SparkSession, d: String,
+      minCos: Option[Double]): DataFrame =
+    sketchBandPairs(vecs(s, d), minCos)
+
   /** The banding core over an arbitrary (vec_id, v) frame, so the dedup
     * face can feed it COLLAPSED representatives while the top-k face
     * keeps the raw corpus. Returns deduped (vec_a, vec_b, cos).

@@ -72,12 +72,8 @@ object KmeansPruneProps extends Properties("KmeansPrune") {
 
   property("index.assign == full-scan brute, bit for bit") =
     forAll(genCorpus) { case (cents, vecs) =>
-      // the index is private; drive it through the package-private
-      // mapPartitions twin's core by reflection-free construction: the
-      // CentIndex class is private, so exercise it via kmAssignPruned's
-      // enclosing object — instead, replicate through the public seam:
-      // SimilarityOps.assignIndexFor (test hook)
-      val idx = SimilarityOps.assignIndexFor(cents)
+      val idx = SimilarityOps.assignIndexFor(cents) // test hook
+
       vecs.forall { v =>
         val (pc, pd) = idx.assign(v)
         val (bc, bd) = bruteRef(v, cents)

@@ -271,21 +271,31 @@ class ScalePatternsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"cartesian in simhash plan:\n$plan")
-    assert(plan.contains("bit_count"), s"hamming not fused into the join:\n$plan")
+    // the predicate must sit ON the join node itself — bit_count
+    // appearing in a post-join Filter would mean every bucket's full
+    // pair fan-out materializes before filtering
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.exists(_.contains("bit_count")),
+      s"hamming not fused into the join condition:\n$plan")
   }
 
-  test("embed dedup: banded candidates only, no cartesian, vectors never ride pair rows") {
-    val qe = SparkEntry.queries("q_embed_dedup_canonical")(spark, TestSpark.sf)
-      .queryExecution
-    val plan = qe.executedPlan.toString
+  test("embed banding core: no cartesian, vectors never ride pair rows") {
+    // Asserted on the banding core's OWN frame (test hook): the registry
+    // dedup query consumes it inside the eager connected-components
+    // rounds, so this subtree never appears in the query's executedPlan.
+    val plan = graft.operators.SimilarityOps
+      .bandPairsFor(spark, TestSpark.sf, Some(0.35))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
-      s"cartesian in embed-dedup plan:\n$plan")
+      s"cartesian in banding plan:\n$plan")
     // the cross-band dedup aggregate must key on bare ids + cos — a
     // vector column reaching it would mean candidate pairs shuffle with
     // 520-byte payloads again (the 348-s regression shape)
     val aggOverPairs = plan.linesIterator
-      .filter(l => l.contains("HashAggregate") && l.contains("vec_a"))
-    assert(aggOverPairs.forall(!_.contains("va#")),
+      .filter(l => l.contains("Aggregate") && l.contains("vec_a")).toSeq
+    assert(aggOverPairs.nonEmpty,
+      s"pair-dedup aggregate not found — plan shape changed:\n$plan")
+    assert(aggOverPairs.forall(l => !l.contains("va#") && !l.contains("vb#")),
       s"vector column rides the pair-dedup aggregate:\n$plan")
   }
 
