@@ -841,20 +841,14 @@ object SimilarityOps {
       val e = vecs(s, d)
       val k = 8
       val cents = ivfCentroids(e, k, iters = 2)
-      val cLit = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
-      def scoresOf(vcol: Column): Column =
-        array((0 until k).map(i => dot(vcol, element_at(cLit, i + 1))): _*)
       val probeRow = e.filter(col("vec_id") === 0)
       val probe = broadcast(probeRow.select(col("v").as("p")))
       // nprobe=3 cells nearest the probe (by centroid dot product)
       val pv = probeRow.select("v").head().getSeq[Double](0).toArray
       def pdot(c: Array[Double]): Double = c.zip(pv).map { case (a, b) => a * b }.sum
       val cells = cents.sortBy { case (_, c) => -pdot(c) }.take(3).map(_._1)
-      e.filter(col("vec_id") =!= 0)
-        .withColumn("scores", scoresOf(col("v")))
-        .withColumn("cell",
-          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-        .filter(col("cell").isin(cells: _*))
+      ivfAssign(e.filter(col("vec_id") =!= 0), cents)
+        .filter(col("cid").isin(cells: _*))
         .crossJoin(probe)
         .select(col("vec_id"),
           (round(expr("cosine_sim(v, p)") * 1000000) / 1000000).as("cos"))
@@ -915,6 +909,22 @@ object SimilarityOps {
     val e = vecs(s, d)
     val cents = kmCentroids(e, k, iters)
     (kmAssignBrute(e, cents), kmAssignPruned(e, cents))
+  }
+
+  /** ScaleProbe hooks for the IVF quantizer A/B (round-13 verdict task
+    * #1): the full Lloyd's build with the assignment path pinned, and
+    * both assignment frames over one centroid set, mirroring
+    * [[assignBoth]]. */
+  private[graft] def ivfBuildHook(
+      s: SparkSession, d: String, k: Int, iters: Int,
+      forceBrute: Boolean): Array[(Int, Array[Double])] =
+    ivfCentroids(vecs(s, d), k, iters, forceBrute)
+
+  private[graft] def ivfAssignBothHook(
+      s: SparkSession, d: String,
+      cents: Array[(Int, Array[Double])]): (DataFrame, DataFrame) = {
+    val e = vecs(s, d)
+    (ivfAssignBrute(e, cents), ivfAssignPruned(e, cents))
   }
 
   /** The q_cluster_dedup pipeline at arbitrary (k, iters, τ) — see
@@ -1102,19 +1112,36 @@ object SimilarityOps {
 
     // group the centroids: G ≈ √k, init = evenly-strided members, 3
     // Lloyd's rounds (plain driver arithmetic — bounds only, so float
-    // details here are irrelevant to exactness)
+    // details here are irrelevant to exactness). The nearest-group
+    // search is the build's dominant term — O(k·√k·Dim) per round, ~10¹⁰
+    // flops at k=10⁵ — and each centroid's search is independent, so it
+    // fans out over a parallel IntStream; the per-group mean accumulation
+    // that follows is the cheap O(k·Dim) part and stays a sequential
+    // i-ascending fold, keeping the whole build deterministic.
     val nGroups: Int = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+    /** index of the nearest of `g` to every centroid, in parallel. */
+    private def nearestGroup(g: Array[Array[Double]]): Array[Int] = {
+      val out = new Array[Int](k)
+      java.util.stream.IntStream.range(0, k).parallel().forEach { i =>
+        var bj = 0; var bd = Double.PositiveInfinity; var j = 0
+        while (j < g.length) {
+          val dd = dE(cs(i), g(j)); if (dd < bd) { bd = dd; bj = j }; j += 1
+        }
+        out(i) = bj
+      }
+      out
+    }
+
     val centers: Array[Array[Double]] = {
       var g = Array.tabulate(nGroups)(j => cs(j * k / nGroups).clone())
       for (_ <- 1 to 3) {
+        val best = nearestGroup(g)
         val sums = Array.fill(nGroups, dim)(0.0)
         val ns = new Array[Int](nGroups)
         var i = 0
         while (i < k) {
-          var bj = 0; var bd = Double.PositiveInfinity; var j = 0
-          while (j < nGroups) {
-            val dd = dE(cs(i), g(j)); if (dd < bd) { bd = dd; bj = j }; j += 1
-          }
+          val bj = best(i)
           var t = 0
           while (t < dim) { sums(bj)(t) += cs(i)(t); t += 1 }
           ns(bj) += 1; i += 1
@@ -1130,13 +1157,10 @@ object SimilarityOps {
       * group radius. */
     val (members, memberDist, radius) = {
       val byGroup = Array.fill(nGroups)(List.newBuilder[Int])
+      val best = nearestGroup(centers)
       var i = 0
       while (i < k) {
-        var bj = 0; var bd = Double.PositiveInfinity; var j = 0
-        while (j < nGroups) {
-          val dd = dE(cs(i), centers(j)); if (dd < bd) { bd = dd; bj = j }; j += 1
-        }
-        byGroup(bj) += i; i += 1
+        byGroup(best(i)) += i; i += 1
       }
       val mem = byGroup.map(_.result().toArray)
       val md = mem.zipWithIndex.map { case (m, j) => m.map(i => dE(cs(i), centers(j))) }
@@ -1212,6 +1236,90 @@ object SimilarityOps {
       }
       (cids(bestIdx), best)
     }
+
+    // ---- MIPS face: the IVF quantizer's argmax dot(v,c) ----
+    // Same group structure, Cauchy–Schwarz bounds instead of the reverse
+    // triangle inequality: dot(v,c) = dot(v,g) + dot(v, c−g)
+    // ≤ dot(v,g) + |v|·|c−g| (member bound) ≤ dot(v,g) + |v|·radius(g)
+    // (group bound). Any centroid EVALUATED uses the identical strict
+    // left-to-right dot fold as the brute Column path's DotProduct, and
+    // selection replicates Spark's double ordering exactly
+    // (SQLOrderingUtil.compareDoubles: x == y ⇒ equal, so ±0.0 ties
+    // fold; else Double.compare, so NaN outranks everything and equals
+    // NaN — array_max + array_position land on the FIRST index of the
+    // max, i.e. lowest index among ties). Slack on skips mirrors
+    // `assign`: every |dot| term is ≤ |v|·max|c| by Cauchy–Schwarz, so
+    // the float error in the bound chain lives at that operand scale and
+    // absEps = 1e-12·(|v|·max|c| + 1) dominates it with ~100× headroom;
+    // NaN bounds never skip (the < compares false).
+    private val maxNormC: Double = cs.map(c => math.sqrt(c.map(x => x * x).sum)).max
+
+    /** Index (NOT cid) of the argmax-dot centroid of v — the brute
+      * `array_position(scores, array_max(scores)) − 1` cell, bit for
+      * bit. Index and cid coincide for the 0..k-1 quantizer builds, but
+      * returning the index keeps the contract exactly the brute one. */
+    def assignMips(v: Array[Double]): Int = {
+      var vv = 0.0
+      var i = 0
+      while (i < dim) { vv += v(i) * v(i); i += 1 }
+      val nv = math.sqrt(vv)
+      // dot(v, center_j) per group (bounds only — plain driver-float care)
+      val dvg = new Array[Double](nGroups)
+      var j = 0
+      while (j < nGroups) {
+        var vc = 0.0; var t = 0
+        val g = centers(j)
+        while (t < dim) { vc += v(t) * g(t); t += 1 }
+        dvg(j) = vc
+        j += 1
+      }
+      val gub = Array.tabulate(nGroups)(j => dvg(j) + nv * radius(j))
+      // descending upper bound; NaN sorts last under TotalOrdering's
+      // negation but a NaN bound never passes a skip test anyway
+      val order = Array.range(0, nGroups).sortBy(j => -gub(j))
+      val absEps = 1e-12 * (nv * maxNormC + 1.0)
+      var best = Double.NegativeInfinity
+      var bestIdx = -1
+      var oi = 0
+      while (oi < nGroups) {
+        val gj = order(oi)
+        if (!(gub(gj) + math.abs(gub(gj)) * 1e-9 + absEps < best)) {
+          val mem = members(gj); val md = memberDist(gj)
+          var m = 0
+          while (m < mem.length) {
+            val ub = dvg(gj) + nv * md(m)
+            if (!(ub + math.abs(ub) * 1e-9 + absEps < best)) {
+              val ci = mem(m)
+              val c = cs(ci)
+              var vc = 0.0; var t = 0
+              while (t < dim) { vc += v(t) * c(t); t += 1 } // == DotProduct fold
+              val cmp = if (vc == best) 0 else java.lang.Double.compare(vc, best)
+              if (cmp > 0 || (cmp == 0 && ci < bestIdx)) { best = vc; bestIdx = ci }
+            }
+            m += 1
+          }
+        }
+        oi += 1
+      }
+      if (bestIdx < 0) {
+        // all-NaN bounds regime (NaN components in v): evaluate
+        // everything; Double.compare makes the first NaN dot win, the
+        // brute array_position-of-NaN-max cell
+        var ii = 0
+        while (ii < k) {
+          val c = cs(ii)
+          var vc = 0.0; var t = 0
+          while (t < dim) { vc += v(t) * c(t); t += 1 }
+          val cmp =
+            if (bestIdx < 0) 1
+            else if (vc == best) 0
+            else java.lang.Double.compare(vc, best)
+          if (cmp > 0) { best = vc; bestIdx = ii }
+          ii += 1
+        }
+      }
+      bestIdx
+    }
   }
 
   /** Test hook (KmeansPruneProps): the pruning index over a centroid
@@ -1277,16 +1385,72 @@ object SimilarityOps {
     centroids
   }
 
+  /** The brute IVF cell assignment — (vec_id, v, cid) by argmax dot
+    * against a k×Dim literal centroid tree. Argmax via a MATERIALIZED
+    * scores array: a nested when()-chain argmax duplicates each
+    * dot-product subtree exponentially (no CSE across branches; 2^k
+    * evaluations measured as 32 s at k=8). Right at small k (flat
+    * codegen, zero broadcast); at production nlist the literal plan
+    * alone is megabytes and the n×k dots are the cluster-eating job —
+    * [[ivfAssign]] dispatches away from it at [[PruneK]]. */
+  private[graft] def ivfAssignBrute(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val k = cents.length
+    val cLit = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
+    e.select(col("vec_id"), col("v"),
+        array((0 until k).map(i =>
+          dot(col("v"), element_at(cLit, i + 1))): _*).as("scores"))
+      .select(col("vec_id"), col("v"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int").as("cid"))
+  }
+
+  /** The pruned twin: one [[CentIndex]] broadcast + mapPartitions over
+    * the Cauchy–Schwarz MIPS bounds ([[CentIndex.assignMips]]) — same
+    * (vec_id, v, cid) output, cell ids identical to brute by the
+    * evaluated-dots-are-the-same-doubles argument (MipsPruneProps +
+    * IvfPruneSpec assert it). Same shape and rationale as
+    * [[kmAssignPruned]]. */
+  private[graft] def ivfAssignPruned(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new CentIndex(cents))
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.map { case (id, v) => (id, v, idx.cids(idx.assignMips(v))) }
+      }
+      .toDF("vec_id", "v", "cid")
+  }
+
+  /** IVF cell assignment with the [[kmAssign]] dispatch rule: below
+    * [[PruneK]] the flat literal plan (and the registered k=8 oracle
+    * path keeps its proven shape); at or above it the MIPS-pruned
+    * broadcast path. NOTE [[ivfAssignBrute]] returns vec_id at its
+    * source type while the pruned path casts to long — callers compare
+    * on values, and the registry query's downstream casts are
+    * unaffected. */
+  private[graft] def ivfAssign(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    if (cents.length >= PruneK) ivfAssignPruned(e, cents)
+    else ivfAssignBrute(e, cents)
+
   /** IVF coarse quantizer: k centroids refined by `iters` Lloyd's steps,
-    * built entirely from DataFrame ops — assignment is a broadcast-centroid
-    * cross join + per-row argmax, update is the [[VectorAgg]] vector-sum
-    * per cluster. Deterministic: initial centroids are vec_id 0..k-1.
-    * This is the canonical scalable iterative-algorithm shape: each
-    * iteration is one scan + one tiny (k-row) aggregate, no driver math
-    * beyond collecting k centroids for the next broadcast.
+    * built entirely from DataFrame ops — assignment is [[ivfAssign]]
+    * (broadcast-pruned at production nlist, literal-brute at oracle k),
+    * update is a k-row codegen'd per-component aggregate. Deterministic:
+    * initial centroids are vec_id 0..k-1. This is the canonical scalable
+    * iterative-algorithm shape: each iteration is one scan + one tiny
+    * (k-row) aggregate, no driver math beyond collecting k centroids for
+    * the next broadcast. `forceBrute` is the ScaleProbe A/B hook — it
+    * pins the brute plan past PruneK so the probe can assert the two
+    * builds emit bit-identical centroids before trusting the fast one.
     */
-  private def ivfCentroids(
-      e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
+  private[graft] def ivfCentroids(
+      e: DataFrame, k: Int, iters: Int,
+      forceBrute: Boolean = false): Array[(Int, Array[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = e
@@ -1294,19 +1458,9 @@ object SimilarityOps {
       .select(col("vec_id").cast("int"), col("v"))
       .as[(Int, Array[Double])].collect().sortBy(_._1)
     for (_ <- 1 to iters) {
-      val cLit = array(centroids.map { case (_, c) =>
-        array(c.map(lit): _*)
-      }: _*)
-      // argmax via a MATERIALIZED scores array: a nested when()-chain
-      // argmax duplicates each dot-product subtree exponentially (no CSE
-      // across branches; 2^k evaluations measured as 32 s at k=8)
-      val assigned = e
-        .select(col("vec_id"), col("v"),
-          array((0 until k).map(i =>
-            dot(col("v"), element_at(cLit, i + 1))): _*).as("scores"))
-        .select(col("vec_id"), col("v"),
-          (array_position(col("scores"), array_max(col("scores"))) - 1)
-            .cast("int").as("cid"))
+      val assigned =
+        if (forceBrute) ivfAssignBrute(e, centroids)
+        else ivfAssign(e, centroids)
       // Per-component native sums, not the VectorAgg UDAF: 64 codegen'd
       // sum() aggregates hash-aggregate map-side, while the UDAF forces the
       // ObjectHashAggregate path with per-row array (de)serialization —
