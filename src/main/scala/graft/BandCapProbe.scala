@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Band-cap recall probe: `runMain graft.BandCapProbe [nHot]` (default
+  * 50,000).
+  *
+  * q_cluster_dedup's hot-cell band cap (SimilarityOps.clusterDedupQ's
+  * `maxCellReps`) is a recall trade that only arms past 65,536 DISTINCT
+  * vectors in one k-means cell — far above every fixture and every
+  * planted probe cell, so through round 13 its recall cost was a proof
+  * sketch (per-bit sketch agreement 1 − θ/π), never a measured number.
+  * This main builds the adversarial corpus the cap exists for — one cell
+  * holding nHot DISTINCT vectors, with near-dup structure planted at two
+  * cosine levels — lowers the cap so the banding actually arms, and
+  * reports MEASURED recall against an exact within-cell reference.
+  *
+  * Corpus (deterministic, float32 like the fixture):
+  *  - ids 0..6: far-apart anchor vectors (scale 100) that pin seven of
+  *    the k=8 Lloyd's cells away from the hot region, so every hot
+  *    vector lands in ONE cell (id 7's);
+  *  - 600 groups × 3 members at cos ≈ 0.997 (τ=0.99 targets) and 600
+  *    pairs at cos ≈ 0.93 (τ=0.9 targets), their centers spread at
+  *    cos ≈ 0.61 from each other (and ≈ 0.78 from the cell base — wide
+  *    enough that nothing links through the base), planted among a sea
+  *    of distinct vectors at the same spread — in-cell but safely below
+  *    both thresholds.
+  *
+  * Exact reference: all nHot²/2 in-cell cosines on the driver (parallel
+  * over 32 threads — the very quadratic the cap avoids ON AN EXECUTOR is
+  * fine once, here, as ground truth), same left-to-right folds and the
+  * same round(·×10⁶)/10⁶ ≥ τ gate as the engine, then union-find →
+  * dropped = everyone whose component has a smaller id. The capped
+  * engine path can only LOSE pairs (bands partition the cell), so
+  * dropped_capped ⊆ dropped_exact and recall = |capped|/|exact|;
+  * false_drops (capped-dropped outside exact-dropped) must be 0.
+  */
+object BandCapProbe {
+  def main(args: Array[String]): Unit = {
+    val nHot = args.headOption.map(_.toInt).getOrElse(50000)
+    val dim = 64
+    val spark = Sessions.local(appName = "graft-bandcap-probe")
+
+    // ---- deterministic corpus on the driver (float32, fixture-shaped)
+    val rng = new scala.util.Random(41)
+    def gauss(): Array[Float] = Array.fill(dim)(rng.nextGaussian().toFloat)
+    def axpy(base: Array[Float], sigma: Double): Array[Float] = {
+      val n = gauss()
+      Array.tabulate(dim)(i => (base(i) + sigma * n(i)).toFloat)
+    }
+    val anchors = (0 until 7).map { a =>
+      val v = gauss(); v.map(x => x * 100f + (if (a % 2 == 0) 300f else -300f))
+    }
+    val hotBase = gauss()
+    val vecs = Array.newBuilder[Array[Float]]
+    anchors.foreach(vecs += _)
+    vecs += hotBase // id 7: the hot cell's initial centroid
+    val nGroups3 = 600
+    val nPairs93 = 600
+    // center spread 0.8: cos(B, c) ≈ 1/√1.64 ≈ 0.78 and cross-center
+    // cos ≈ 1/1.64 ≈ 0.61 — nothing outside a planted group can reach
+    // τ=0.9, so the exact components are the planted ones, not a giant
+    // star through the base
+    // groups of 3 at cos ≈ 0.997: member = center + 0.07·noise
+    for (_ <- 0 until nGroups3) {
+      val c = axpy(hotBase, 0.8)
+      for (_ <- 0 until 3) vecs += axpy(c, 0.07)
+    }
+    // pairs at cos ≈ 0.93: member = center + 0.35·noise
+    for (_ <- 0 until nPairs93) {
+      val c = axpy(hotBase, 0.8)
+      for (_ <- 0 until 2) vecs += axpy(c, 0.35)
+    }
+    // singleton sea at the same spread (pairwise cos ≈ 0.61)
+    val nSea = nHot - (8 + nGroups3 * 3 + nPairs93 * 2)
+    require(nSea > 0, s"nHot=$nHot too small for the planted structure")
+    for (_ <- 0 until nSea) vecs += axpy(hotBase, 0.8)
+    val all = vecs.result()
+    val n = all.length
+    println(s"[bandcap-probe] corpus: $n vectors " +
+      s"(${nGroups3}x3 groups @~.997, ${nPairs93}x2 pairs @~.93, $nSea sea)")
+
+    val dir = s"/tmp/graft_bandcap_$nHot"
+    spark.createDataFrame(
+        all.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) })
+      .toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // ---- exact within-cell reference on the driver, per τ ----
+    // float32 values widened to double — the identical operands the
+    // engine's transform(cast("double")) sees
+    val vd = all.map(_.map(_.toDouble))
+    // cosine_sim's exact fused fold: dot, |a|², |b|² accumulated in ONE
+    // left-to-right loop, then dot / (√na · √nb) — same doubles as the
+    // engine (the per-term adds are the same additions in the same order
+    // whether one loop carries three accumulators or three loops carry
+    // one each)
+    val norms = vd.map { v =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def cosOf(a: Int, b: Int): Double = {
+      var d = 0.0; var i = 0
+      val va = vd(a); val vb = vd(b)
+      while (i < dim) { d += va(i) * vb(i); i += 1 }
+      d / (norms(a) * norms(b))
+    }
+    /** the engine's gate: round(cos·10⁶, HALF_UP)/10⁶ ≥ τ. The BigDecimal
+      * replication of Spark's Round only runs in the ±1-ulp borderline
+      * window — 1.25e9 BigDecimal constructions would dominate the probe. */
+    def passes(c: Double, tau: Double): Boolean = {
+      val z = c * 1000000
+      val t = tau * 1000000
+      if (z >= t + 1) true
+      else if (z < t - 1) false
+      else java.math.BigDecimal.valueOf(z)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue() / 1000000 >= tau
+    }
+    def exactDropped(tau: Double): Set[Long] = {
+      // per-thread edge buffers, then one sequential union-find
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      val buffers = Array.fill(nThreads)(Vector.newBuilder[(Int, Int)])
+      val t0 = System.nanoTime()
+      java.util.stream.IntStream.range(0, n).parallel().forEach { a =>
+        val buf = buffers((a % nThreads + nThreads) % nThreads)
+        var b = a + 1
+        val local = Vector.newBuilder[(Int, Int)]
+        while (b < n) {
+          if (passes(cosOf(a, b), tau)) local += ((a, b))
+          b += 1
+        }
+        buf.synchronized { buf ++= local.result() }
+      }
+      val edges = buffers.flatMap(_.result())
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val minOf = scala.collection.mutable.Map[Int, Int]()
+      (0 until n).foreach { i =>
+        val r = find(i)
+        if (minOf.getOrElse(r, Int.MaxValue) > i) minOf(r) = i
+      }
+      val dropped = (0 until n).filter(i => minOf(find(i)) != i).map(_.toLong).toSet
+      println(f"[bandcap-probe] exact tau=$tau%.2f: ${edges.length} edges, " +
+        f"${dropped.size} dropped, ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(all ${n.toLong * (n - 1) / 2} in-cell pairs)")
+      dropped
+    }
+
+    def cappedDropped(tau: Double, cap: Int): (Set[Long], Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val kept = graft.operators.SimilarityOps
+        .clusterDedupQ(8, 2, tau, maxCellReps = cap)(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      ((0L until n.toLong).toSet -- kept, secs)
+    }
+
+    // sanity: the hot region really is one cell
+    val cells = graft.operators.SimilarityOps.kmeansAssignQ(8, 2)(spark, dir)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hotCells = cells.filter(_._1 >= 8).map(_._2).toSet
+    println(s"[bandcap-probe] hot vectors occupy cells $hotCells " +
+      s"(must be one cell for the probe to mean anything)")
+
+    for (tau <- Seq(0.99, 0.9)) {
+      val exact = exactDropped(tau)
+      for (cap <- Seq(16384, 4096, 1024)) {
+        val (capped, secs) = cappedDropped(tau, cap)
+        val falseDrops = capped -- exact
+        val recall =
+          if (exact.isEmpty) 1.0 else (capped & exact).size.toDouble / exact.size
+        val capLabel = if (cap == Int.MaxValue) "off" else cap.toString
+        println(f"[bandcap-probe] tau=$tau%.2f cap=$capLabel%-5s: " +
+          f"dropped=${capped.size}%6d/${exact.size}%6d recall=$recall%.4f " +
+          f"false_drops=${falseDrops.size} wall=$secs%6.1f s")
+      }
+    }
+    spark.stop()
+  }
+}

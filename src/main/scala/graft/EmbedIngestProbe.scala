@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EmbedIngest
 
 /** At-ingest EMBEDDING dedup probe: `runMain graft.EmbedIngestProbe
-  * [nVecs] [nBatches] [bandBits]` (defaults 200,000 / 10 / 12).
+  * [nVecs] [nBatches] [bandBits] [nBands]` (defaults 200,000 / 10 / 12 / 2).
   *
   * The embedding twin of NeardupIngestProbe: generates hash-seeded
   * gaussian vectors (the ScaleProbe recipe), splits them into sequential
@@ -19,10 +19,12 @@ import graft.streaming.EmbedIngest
   *
   *  - exact_recall: scaled copies dropped — must be 1.0 (identical
   *    sketch ⇒ candidate for sure; exact cosine gate decides).
-  *  - near_recall: noisy copies dropped — bounded by the 2-band depth-12
-  *    collision rate at cos 0.9988 (per-band p¹² ≈ 0.85, pair ≈ 0.978),
-  *    NOT by any estimator: the gate verifies true cosine on stored
-  *    vectors (contrast the text twin's signature-agreement estimate).
+  *  - near_recall: noisy copies dropped — bounded by the n-band depth-b
+  *    collision rate at cos 0.9988 (per-band p^b; at 2×12 pair ≈ 0.978,
+  *    at 3×12 ≈ 0.995 — nBands is the knob for deployments needing
+  *    ≥0.99, measured ON the bound because the gate verifies true
+  *    cosine on stored vectors, no estimator (contrast the text twin's
+  *    signature-agreement estimate).
   *  - false_drops: novel vectors dropped anywhere — must be 0 (a random
   *    64-d pair at cos ≥ 0.9 is ~impossible even among candidates).
   */
@@ -31,10 +33,11 @@ object EmbedIngestProbe {
     val nVecs = args.headOption.map(_.toLong).getOrElse(200000L)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val bandBits = args.lift(2).map(_.toInt).getOrElse(12)
+    val nBands = args.lift(3).map(_.toInt).getOrElse(2)
     require(nBatches >= 2, "need base batches plus the twin batch")
     val spark = Sessions.local(appName = "graft-ei-probe")
 
-    val root = s"/tmp/graft_ei_probe_$nVecs"
+    val root = s"/tmp/graft_ei_probe_${nVecs}_$nBands"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -57,7 +60,7 @@ object EmbedIngestProbe {
     for (b <- 0 until (nBatches - 1)) {
       val tb = System.nanoTime()
       EmbedIngest.processBatch(baseVecs(b * perBatch, (b + 1) * perBatch),
-        b.toLong, idx, out, 0.9, bandBits)
+        b.toLong, idx, out, 0.9, bandBits, nBands)
       println(f"[ei-probe] batch $b: $perBatch vecs in " +
         f"${(System.nanoTime() - tb) / 1e9}%.2f s")
       if (b == nBatches / 2) {
@@ -96,7 +99,7 @@ object EmbedIngestProbe {
         "the recall ratios would be NaN and the JSON line unparseable")
     val tb = System.nanoTime()
     EmbedIngest.processBatch(exacts.unionByName(nears).unionByName(novel),
-      (nBatches - 1).toLong, idx, out, 0.9, bandBits)
+      (nBatches - 1).toLong, idx, out, 0.9, bandBits, nBands)
     println(f"[ei-probe] final batch: ${nExact + nNear + seen / 100} vecs in " +
       f"${(System.nanoTime() - tb) / 1e9}%.2f s")
     val totalSecs = (System.nanoTime() - t0) / 1e9
@@ -112,7 +115,7 @@ object EmbedIngestProbe {
       col("vec_id") >= 4 * nVecs) && !col("kept")).count()
     val done = seen + nExact + nNear + seen / 100
     println(s"""{"metric":"embed_ingest_probe","vecs":$done,""" +
-      s""""batches":$nBatches,"band_bits":$bandBits,""" +
+      s""""batches":$nBatches,"band_bits":$bandBits,"n_bands":$nBands,""" +
       s""""secs":${f"$totalSecs%.2f"},""" +
       s""""vecs_per_sec":${(done / totalSecs).toLong},""" +
       s""""exact_recall":${f"${exactDropped.toDouble / nExact}%.4f"},""" +

@@ -47,26 +47,37 @@ object EmbedIngest {
     * `indexDir/{bands,vecs}/batch=N`.
     *
     * `bandBits` sizes the candidate structure to the DEPLOYMENT scale:
-    * 2 bands of b bits ⇒ per-batch candidate cosines ≈ 2·batch·corpus/2^b.
+    * n bands of b bits ⇒ per-batch candidate cosines ≈ n·batch·corpus/2^b.
     * The default 4 matches the historical fixture-scale structure; a
     * corpus expected to reach 10⁸+ vectors wants 12-16 (the same
     * fixed-key-space quadratic the batch face's adaptive bandBits
     * closes — a stream can't re-count its corpus per batch, so the width
     * is a deployment choice, pinned per index by an on-disk marker that
     * makes a mismatched restart FAIL instead of silently re-bucketing
-    * and missing every historical candidate). */
+    * and missing every historical candidate).
+    *
+    * `nBands` is the RECALL knob at a given depth (round-13 verdict: the
+    * measured 0.9728 near-recall at 2×12 sat ON the theory bound
+    * 1−(1−p¹²)², so more of the same two bands could never help). Each
+    * extra band multiplies index band-rows and candidate rate by
+    * (n+1)/n but exponentially shrinks the miss: at cos ≈ 0.9988
+    * (per-bit agreement p ≈ 0.9844, p¹² ≈ 0.83) two bands miss ~2.9%,
+    * three ~0.5%. Deployments needing ≥0.99 at cos ≈ 0.999 run
+    * nBands=3 at depth 12; the marker pins bands alongside bits, so a
+    * mismatched reopen on EITHER fails loud. */
   def start(
       vecs: DataFrame,
       indexDir: String,
       verdictDir: String,
       checkpointDir: String,
       cosThreshold: Double = 0.9,
-      bandBits: Int = 4): StreamingQuery =
+      bandBits: Int = 4,
+      nBands: Int = 2): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, indexDir, verdictDir, cosThreshold,
-          bandBits)
+          bandBits, nBands)
       }
       .start()
 
@@ -85,21 +96,30 @@ object EmbedIngest {
       nPlanes: Int): org.apache.spark.sql.Column =
     AnnPlanes.sketchCol(v, nPlanes)
 
-  /** Pin the index's band width on disk: first touch writes the marker,
-    * every later batch verifies it. A width change re-buckets silently —
-    * every historical candidate would be missed with zero errors — so a
-    * mismatch must be a loud failure, not a recall collapse.
+  /** Pin the index's band STRUCTURE (width and band count) on disk:
+    * first touch writes the marker, every later batch verifies it. A
+    * width change re-buckets silently — every historical candidate would
+    * be missed with zero errors — and a band-count change half-misses
+    * (bands past the stored count have no corpus rows), so a mismatch on
+    * either must be a loud failure, not a recall collapse.
+    *
+    * Marker format: `bits` (legacy, written when nBands == 2 so indexes
+    * opened at the historical structure stay byte-compatible) or
+    * `bits bands`. A legacy single-number marker therefore pins
+    * nBands = 2 — exactly the structure every pre-knob index was built
+    * with.
     *
     * Two review-found edges: (a) a LEGACY index (bands data, no marker)
     * predates width markers and was necessarily built at the historical
-    * default 4 — minting a marker at the passed width would be the exact
-    * silent re-bucketing this guard exists to prevent, so the legacy
-    * case requires bandBits == 4 and then pins it; (b) the marker write
-    * is create-temp-then-rename (atomic on real filesystems) and the
-    * read treats an empty/garbled marker — a crash inside a non-atomic
-    * write, or hand editing — as the same loud failure, never an NPE. */
+    * default 4×2 — minting a marker at the passed structure would be the
+    * exact silent re-bucketing this guard exists to prevent, so the
+    * legacy case requires bandBits == 4 && nBands == 2 and then pins it;
+    * (b) the marker write is create-temp-then-rename (atomic on real
+    * filesystems) and the read treats an empty/garbled marker — a crash
+    * inside a non-atomic write, or hand editing — as the same loud
+    * failure, never an NPE. */
   private def checkWidthMarker(
-      spark: SparkSession, indexDir: String, bandBits: Int): Unit = {
+      spark: SparkSession, indexDir: String, bandBits: Int, nBands: Int): Unit = {
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir, "_band_bits")
@@ -109,32 +129,43 @@ object EmbedIngest {
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
         .readLine()
       finally in.close()
-      val stored = Option(line).map(_.trim).filter(_.matches("\\d+")).map(_.toInt)
+      val stored = Option(line).map(_.trim)
+        .filter(_.matches("\\d+( \\d+)?"))
+        .map(_.split(" ") match {
+          case Array(b) => (b.toInt, 2) // legacy: width only ⇒ 2 bands
+          case Array(b, n) => (b.toInt, n.toInt)
+        })
       require(stored.isDefined,
         s"unreadable band-width marker $marker (content: $line) — a crashed " +
-          "write or hand edit; restore it to the width the index was built " +
-          "with, or rebuild the index")
-      require(stored.get == bandBits,
-        s"index at $indexDir was built with bandBits=${stored.get}; " +
+          "write or hand edit; restore it to the structure the index was " +
+          "built with, or rebuild the index")
+      require(stored.get._1 == bandBits,
+        s"index at $indexDir was built with bandBits=${stored.get._1}; " +
           s"reopening it at $bandBits would re-bucket silently and miss " +
           "every historical candidate — use the original width or rebuild")
+      require(stored.get._2 == nBands,
+        s"index at $indexDir was built with nBands=${stored.get._2}; " +
+          s"reopening it at $nBands would mis-join the stored bands and " +
+          "miss historical candidates — use the original band count or rebuild")
     } else {
       val hasLegacyData = fs.exists(new org.apache.hadoop.fs.Path(dir, "bands")) &&
         fs.listStatus(new org.apache.hadoop.fs.Path(dir, "bands")).nonEmpty
-      require(!hasLegacyData || bandBits == 4,
+      require(!hasLegacyData || (bandBits == 4 && nBands == 2),
         s"index at $indexDir has band data but no width marker — it " +
           "predates width pinning and was built at the historical default " +
-          s"4; reopening it at $bandBits would re-bucket silently. Reopen " +
-          "at 4 or rebuild the index at the new width")
+          s"4 bits × 2 bands; reopening it at $bandBits×$nBands would " +
+          "re-bucket silently. Reopen at 4×2 or rebuild the index at the " +
+          "new structure")
       fs.mkdirs(dir)
       val tmp = new org.apache.hadoop.fs.Path(dir, "_band_bits.tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"$bandBits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val content = if (nBands == 2) s"$bandBits\n" else s"$bandBits $nBands\n"
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, marker)) {
         // lost a create race or stale tmp: re-validate against whoever won
         fs.delete(tmp, false)
-        checkWidthMarker(spark, indexDir, bandBits)
+        checkWidthMarker(spark, indexDir, bandBits, nBands)
       }
     }
   }
@@ -145,10 +176,14 @@ object EmbedIngest {
       indexDir: String,
       verdictDir: String,
       cosThreshold: Double,
-      bandBits: Int = 4): Unit = {
+      bandBits: Int = 4,
+      nBands: Int = 2): Unit = {
     require(bandBits >= 1 && bandBits <= 16, s"bandBits=$bandBits not in [1,16]")
+    require(nBands >= 2 && nBands * bandBits <= 63,
+      s"nBands=$nBands: need >= 2 bands and nBands*bandBits <= 63 " +
+        "(the sketch is one long)")
     val spark = batchRaw.sparkSession
-    checkWidthMarker(spark, indexDir, bandBits)
+    checkWidthMarker(spark, indexDir, bandBits, nBands)
     val bandsDir = s"$indexDir/bands"
     val vecsDir = s"$indexDir/vecs"
 
@@ -158,8 +193,10 @@ object EmbedIngest {
       .persist()
     try {
       val newBands = feats
-        .select(col("vec_id"), sketchOf(col("v"), 2 * bandBits).as("sketch"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(1))).as("band"),
+        .select(col("vec_id"),
+          sketchOf(col("v"), nBands * bandBits).as("sketch"))
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(nBands - 1))).as("band"),
           col("sketch"))
         .select(col("vec_id"), col("band"),
           expr(s"shiftright(sketch, band * $bandBits)")

@@ -53,7 +53,18 @@ import scala.collection.mutable.ArrayBuffer
   *    (tests may also use [[publish]] in-process).
   *  - client → `PUBB <topic> <n>` then n raw base64-payload lines — bulk
   *    publish: one lock and one wakeup per chunk instead of per message
-  *    (the producing side's hot path — see [[BrokerSink]]).
+  *    (the producing side's hot path — see [[BrokerSink]]). Fire and
+  *    forget: nothing is answered, so a producer that needs to KNOW the
+  *    batch landed (exactly-once chains across broker crashes) must use
+  *    PUBA instead.
+  *  - client → `PUBA <topic> <n>` then n payload lines — PUBB that
+  *    answers `OK <lastSeq>` only after the batch is appended (and, on a
+  *    durable broker, WAL-flushed). The producer-side half of surviving
+  *    a broker kill: a producer that never reads the OK must retry the
+  *    whole batch, and the broker may then hold both attempts — which is
+  *    exactly the at-least-once + consumer-payload-dedup contract
+  *    ([[BrokerSink]]'s scaladoc). Replies are pipelineable: send k
+  *    chunks, then read k OK lines.
   *  - client → `STAT <topic> <subscription>` — `SEQ <latestSeq>
   *    <ackedSeq>`: the metadata poll a driver uses for admission control
   *    without any data flowing through it. Metadata READ only: it never
@@ -76,8 +87,24 @@ import scala.collection.mutable.ArrayBuffer
   * messages; the trim is what keeps a long-lived topic under that bound,
   * and [[push]] asserts it instead of mis-slicing (round-9 ADVICE on
   * `cursor.toInt`).
+  *
+  * Durability (`dataDir`): when set, every publish, subscription
+  * creation, and ack appends one line to `dataDir/wal.log`
+  * (`M <topic> <seq> <b64>` / `S <topic> <sub> <start>` /
+  * `A <topic> <sub> <seq>`) and flushes BEFORE the mutation becomes
+  * visible to consumers (and before PUBA answers OK), so a killed broker
+  * process restarted on the same dataDir replays to exactly the state
+  * its clients could have observed: messages a producer got an OK for
+  * are never lost, acks recorded are never regressed. Flush-not-fsync —
+  * process-kill durability (the chaos the specs inject); power-loss
+  * durability is the same code with a `getFD.sync()` after the flush.
+  * A torn final line (killed mid-append) is skipped on replay — by
+  * construction only the last line can be torn. Replay re-applies the
+  * retention trim and then REWRITES the WAL compacted (retained suffix +
+  * current acks only), so the log a long-lived broker restarts from is
+  * bounded by live state, not by history.
   */
-class MiniBroker {
+class MiniBroker(dataDir: Option[String] = None) {
   /** Upper bound on a PUBB batch's client-declared line count. The broker
     * allocates the batch buffer from this number before any payload
     * arrives, so it must be bounded by the server, not trusted from the

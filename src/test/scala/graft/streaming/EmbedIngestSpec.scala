@@ -156,4 +156,45 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(v2(9L) == ((false, Some(1L))) && v2(10L) == ((false, Some(7L))),
       s"dups vs compacted corpus: $v2")
   }
+
+  test("band count is pinned alongside width; 3-band ingest works end to end") {
+    import spark.implicits._
+    def batch(rows: (Long, Seq[Double])*): DataFrame =
+      rows.toDF("vec_id", "v")
+    // three bands of 12 (the ≥0.99-near-recall deployment setting) end
+    // to end: exact dup drops, novel keeps
+    val (idx, out, _) = dirs()
+    EmbedIngest.processBatch(batch((1L, u), (2L, w)), 0L, idx, out, 0.9,
+      bandBits = 12, nBands = 3)
+    EmbedIngest.processBatch(batch((3L, u2), (4L, x)), 1L, idx, out, 0.9,
+      bandBits = 12, nBands = 3)
+    val v = verdicts(out)
+    assert(v(3L) == ((false, Some(1L))) && v(4L) == ((true, None)),
+      s"3-band ingest verdicts: $v")
+    // the index stores exactly 3 band rows per accepted vector
+    val bandRows = spark.read.schema("vec_id long, band int, bv long")
+      .parquet(s"$idx/bands")
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandRows == Map(1L -> 3L, 2L -> 3L, 4L -> 3L),
+      s"band rows per vector: $bandRows")
+    // reopening at another band count must FAIL loud (same width)
+    val e = intercept[IllegalArgumentException] {
+      EmbedIngest.processBatch(batch((5L, u)), 2L, idx, out, 0.9,
+        bandBits = 12, nBands = 2)
+    }
+    assert(e.getMessage.contains("nBands=3"), e.getMessage)
+    // a LEGACY width-only marker pins nBands = 2: reopening the round-13
+    // structure at 3 bands must refuse rather than mis-join history
+    val (idx2, out2, _) = dirs()
+    EmbedIngest.processBatch(batch((1L, u)), 0L, idx2, out2, 0.9, bandBits = 12)
+    val e2 = intercept[IllegalArgumentException] {
+      EmbedIngest.processBatch(batch((2L, w)), 1L, idx2, out2, 0.9,
+        bandBits = 12, nBands = 3)
+    }
+    assert(e2.getMessage.contains("nBands=2"), e2.getMessage)
+    // and the legacy index keeps answering at its pinned structure
+    EmbedIngest.processBatch(batch((6L, u2)), 1L, idx2, out2, 0.9, bandBits = 12)
+    assert(verdicts(out2)(6L) == ((false, Some(1L))))
+  }
 }
