@@ -13,9 +13,17 @@ package graft.streaming
   * for the same reason — deploy:34-77).
   */
 object BrokerMain {
+  /** `BrokerMain [dataDir [port]]` — a non-empty dataDir makes the
+    * broker durable (WAL replay on start, see [[MiniBroker]]'s
+    * durability contract); a non-zero port rebinds a restarted broker to
+    * its previous endpoint so producers' retry loops reconnect without
+    * re-discovery. [[graft.streaming.BrokerKillChaosSpec]] drives both:
+    * kill -9 this process mid-PUBA, restart on the same dataDir. */
   def main(args: Array[String]): Unit = {
-    val broker = new MiniBroker
-    val port = broker.start()
+    val dataDir = args.headOption.filter(_.nonEmpty)
+    val fixedPort = if (args.length > 1) args(1).toInt else 0
+    val broker = new MiniBroker(dataDir)
+    val port = broker.start(fixedPort)
     // parent parses this line; flush before blocking
     println(s"PORT $port")
     Console.out.flush()

@@ -26,10 +26,16 @@ import org.apache.spark.sql.Dataset
   * transient connect failures retry up to 10×/100 ms, exhaustion fails
   * the batch (streaming restart-at-least-once, never a silent drop).
   *
-  * Delivery contract: at-least-once. A failed-then-retried batch
-  * republishes its rows with fresh broker seqs — the consumer dedups by
-  * payload identity (StreamOps.dedupPayload, the same redelivery horizon
-  * the reference's ack-always model needs). Payloads are the KnobsMessage
+  * Delivery contract: at-least-once, ACKED. Chunks go out as PUBA, and
+  * the partition blocks on one `OK` per chunk before declaring itself
+  * done — on a durable broker the OK follows the WAL flush, so a
+  * committed Spark batch means every row survives a broker kill
+  * ([[BrokerKillChaosSpec]]). A failed-then-retried batch (connect
+  * error, missing OK) republishes its rows with fresh broker seqs — the
+  * consumer dedups by payload identity (StreamOps.dedupPayload, the same
+  * redelivery horizon the reference's ack-always model needs), which is
+  * also how a retry whose first attempt's OK was written-but-never-read
+  * collapses back to one logical row. Payloads are the KnobsMessage
   * JSON shape `{"id":..,"n":..,"ts_us":..}` (util/util.go:17-20), so a
   * chained stage parses them with the same codec as any other producer.
   */
@@ -67,20 +73,41 @@ object BrokerSink {
           RetrySink.pushWithRetry() { () =>
             val sock = new Socket(host, port)
             try {
+              sock.setSoTimeout(30000)
               val out = new PrintWriter(new java.io.OutputStreamWriter(
                 sock.getOutputStream,
                 java.nio.charset.StandardCharsets.UTF_8), false)
-              // PUBB chunks: one broker-side lock per 1000 payloads, and
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(sock.getInputStream,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              // PUBA chunks: one broker-side lock per 1000 payloads, and
               // the payload lines are never tokenized (per-message PUB
               // measured ~25k msg/s under 4 producers; chunked bulk is
-              // ~20× that in ChainSoak)
+              // ~20× that in ChainSoak). Acked, pipelined: all chunks go
+              // out, then one OK per chunk is read back — the OK is the
+              // durability receipt (on a WAL broker it follows the
+              // flush), so a partition that returns from this closure
+              // KNOWS its rows survive a broker kill. A missing/short OK
+              // stream throws, and pushWithRetry re-sends the WHOLE
+              // partition batch — duplicates are the consumer's
+              // payload-dedup problem by contract (class doc).
+              var nChunks = 0
               lines.grouped(1000).foreach { chunk =>
-                out.println(s"PUBB $topic ${chunk.length}")
+                out.println(s"PUBA $topic ${chunk.length}")
                 chunk.foreach(out.println)
+                nChunks += 1
               }
               out.flush()
               if (out.checkError())
                 throw new java.io.IOException(s"publish to $topic failed")
+              var k = 0
+              while (k < nChunks) {
+                val resp = in.readLine()
+                if (resp == null || !resp.startsWith("OK "))
+                  throw new java.io.IOException(
+                    s"publish to $topic not acked (chunk $k/$nChunks): $resp")
+                k += 1
+              }
             } finally sock.close()
           }
           ()

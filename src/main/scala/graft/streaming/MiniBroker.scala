@@ -96,13 +96,19 @@ import scala.collection.mutable.ArrayBuffer
   * process restarted on the same dataDir replays to exactly the state
   * its clients could have observed: messages a producer got an OK for
   * are never lost, acks recorded are never regressed. Flush-not-fsync —
-  * process-kill durability (the chaos the specs inject); power-loss
-  * durability is the same code with a `getFD.sync()` after the flush.
+  * process-kill durability (the chaos [[BrokerWalSpec]] /
+  * [[BrokerKillChaosSpec]] inject); power-loss durability is the same
+  * code with a `getFD.sync()` after the flush.
   * A torn final line (killed mid-append) is skipped on replay — by
-  * construction only the last line can be torn. Replay re-applies the
-  * retention trim and then REWRITES the WAL compacted (retained suffix +
-  * current acks only), so the log a long-lived broker restarts from is
-  * bounded by live state, not by history.
+  * construction only the last line can be torn, because every append is
+  * one full line followed by a flush. Replay re-applies the retention
+  * trim and then REWRITES the WAL compacted (retained suffix + current
+  * acks only, atomically renamed into place), so the log a long-lived
+  * broker restarts from is bounded by live state, not by history. The
+  * compacted form opens with one `T <topic> <seq>` header per topic
+  * pinning (seq, trim base) — without it, a fully-acked topic (empty
+  * retained log) would restart its seq counter at 0 and hand out seqs
+  * consumers' checkpoints already committed.
   */
 class MiniBroker(dataDir: Option[String] = None) {
   /** Upper bound on a PUBB batch's client-declared line count. The broker
@@ -142,8 +148,126 @@ class MiniBroker(dataDir: Option[String] = None) {
   // executors' FETCH leases, not a driver stream).
   private val fetchRows = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** Append-only durability log. One instance per broker, shared across
+    * topics: the appender serializes line writes under its own monitor
+    * (mutations of DIFFERENT topics run under different log monitors, so
+    * the WAL needs its own), and every append is write-line + flush — the
+    * unit of atomicity the torn-tail replay rule relies on. */
+  private final class Wal(dir: java.nio.file.Path) {
+    import java.nio.file.{Files => NF, StandardCopyOption}
+    private val file = dir.resolve("wal.log")
+    private var out: java.io.Writer = _
+
+    /** Surviving lines of the previous incarnation's log: everything up
+      * to the last newline. Bytes past it are the torn tail of the append
+      * the kill interrupted — by construction the only tearable bytes —
+      * and a mutation whose line never fully landed was never visible, so
+      * skipping it IS the correct replay. */
+    def readLines(): Array[String] = {
+      if (!NF.exists(file)) return Array.empty
+      val bytes = NF.readAllBytes(file)
+      var end = bytes.length - 1
+      while (end >= 0 && bytes(end) != '\n') end -= 1
+      if (end < 0) Array.empty
+      else new String(bytes, 0, end + 1, StandardCharsets.UTF_8)
+        .split("\n")
+    }
+
+    /** Replace the log with the compacted snapshot — written to a temp
+      * file, flushed, then ATOMIC_MOVE'd over wal.log, so a kill during
+      * compaction leaves either the old full log or the new compact one,
+      * never a half-written hybrid. */
+    def rewriteCompacted(lines: Iterator[String]): Unit = {
+      val tmp = dir.resolve("wal.log.tmp")
+      val w = NF.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      try lines.foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+      NF.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def openAppender(): Unit =
+      out = NF.newBufferedWriter(file, StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+
+    def append(line: String): Unit = synchronized {
+      out.write(line); out.write('\n'); out.flush()
+    }
+
+    /** Batch form: n lines, ONE flush — the PUBB/PUBA hot path. */
+    def appendAll(lines: Iterator[String]): Unit = synchronized {
+      lines.foreach { l => out.write(l); out.write('\n') }
+      out.flush()
+    }
+
+    def close(): Unit = synchronized { if (out != null) out.close() }
+  }
+
   private def topic(name: String): Topic =
     topics.computeIfAbsent(name, _ => new Topic)
+
+  /** Re-apply one WAL line to in-memory state (constructor-only, single
+    * threaded — no WAL re-append, no locks needed but the shared helpers
+    * take them anyway). Strict: any unparseable SURVIVING line is a
+    * corrupt log and must fail loudly, never half-replay. */
+  private def replayLine(line: String): Unit = line.split(" ", 4) match {
+    case Array("T", tn, s) =>
+      val t = topic(tn)
+      t.seq.set(s.toLong); t.base = s.toLong
+    case Array("M", tn, s, b64) =>
+      val t = topic(tn)
+      val sq = s.toLong
+      // seqs are contiguous per topic; after a T header (or a replayed
+      // trim) the first retained M pins the base just below itself
+      if (t.log.isEmpty) t.base = sq - 1
+      t.log += ((sq, b64))
+      t.seq.set(sq)
+    case Array("S", tn, sn, st) =>
+      subs.computeIfAbsent(s"$tn/$sn", _ => {
+        val su = new Sub(tn, st.toLong)
+        topic(tn).topicSubs += su
+        su
+      })
+      ()
+    case Array("A", tn, sn, sq) =>
+      // acks never regress — same max rule as the live ACK path; an A
+      // line for a sub whose S line is in the torn tail cannot exist
+      // (sub() WALs the S before any A referencing it)
+      Option(subs.get(s"$tn/$sn"))
+        .foreach(_.acked.updateAndGet(p => math.max(p, sq.toLong)))
+      ()
+    case _ =>
+      throw new IllegalStateException(s"corrupt WAL line: '$line'")
+  }
+
+  /** Current state as compacted WAL lines: per-topic T header + retained
+    * suffix, then every subscription at its current ack. */
+  private def snapshotLines(): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val topicLines = topics.asScala.iterator.flatMap { case (name, t) =>
+      Iterator.single(s"T $name ${t.base}") ++
+        t.log.iterator.map { case (sq, b64) => s"M $name $sq $b64" }
+    }
+    val subLines = subs.asScala.iterator.map { case (key, su) =>
+      val sn = key.substring(su.topic.length + 1)
+      s"S ${su.topic} $sn ${su.acked.get()}"
+    }
+    topicLines ++ subLines
+  }
+
+  // Replay-then-compact runs in the constructor, before start() can
+  // accept a connection — consumers only ever observe recovered state.
+  private val wal: Option[Wal] = dataDir.map { d =>
+    val dir = java.nio.file.Paths.get(d)
+    java.nio.file.Files.createDirectories(dir)
+    val w = new Wal(dir)
+    w.readLines().foreach(replayLine)
+    topics.forEach((name, _) => maybeTrim(name))
+    w.rewriteCompacted(snapshotLines())
+    w.openAppender()
+    w
+  }
 
   private def sub(topicName: String, subName: String): Sub = {
     val t = topic(topicName)
@@ -154,7 +278,10 @@ class MiniBroker(dataDir: Option[String] = None) {
     t.log.synchronized {
       subs.computeIfAbsent(s"$topicName/$subName", _ => {
         // created after a trim ⇒ starts at the trim point: the dropped
-        // prefix cannot be re-delivered to anyone
+        // prefix cannot be re-delivered to anyone. WAL before the map
+        // insert makes the sub visible: a recovered broker must know
+        // every subscription whose ack could have pinned retention.
+        wal.foreach(_.append(s"S $topicName $subName ${t.base}"))
         val s = new Sub(topicName, t.base)
         t.topicSubs += s
         s
@@ -168,7 +295,13 @@ class MiniBroker(dataDir: Option[String] = None) {
     val b64 = Base64.getEncoder.encodeToString(
       payload.getBytes(StandardCharsets.UTF_8))
     t.log.synchronized {
-      val s = t.seq.incrementAndGet()
+      // WAL(flush) BEFORE the log append that makes the seq visible —
+      // and before the seq counter moves, so a failed WAL write (disk
+      // full) cannot leave a seq gap that breaks the contiguous-slice
+      // arithmetic push/FETCH rely on
+      val s = t.seq.get() + 1
+      wal.foreach(_.append(s"M $topicName $s $b64"))
+      t.seq.set(s)
       t.log += ((s, b64))
       t.log.notifyAll()
       s
@@ -202,8 +335,19 @@ class MiniBroker(dataDir: Option[String] = None) {
     conns.clear()
   }
 
-  def start(): Int = {
-    server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  def start(): Int = start(0)
+
+  /** `port` 0 picks an ephemeral port; a restarted durable broker passes
+    * its previous port so clients' retry loops reconnect to the same
+    * endpoint (the kill-restart chaos topology). */
+  def start(port: Int): Int = {
+    // bind-after-setReuseAddress: a restarted broker rebinding its old
+    // port must not lose the race to its own predecessor's TIME_WAIT
+    // sockets (the kill-restart topology reconnects producers by port)
+    server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(
+      new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port), 64)
     running.set(true)
     val acceptor = new Thread(() => {
       while (running.get()) {
@@ -224,10 +368,16 @@ class MiniBroker(dataDir: Option[String] = None) {
     running.set(false)
     if (server != null) server.close()
     dropAllConnections()
+    // close-not-flush: every append already flushed, so stop() and a
+    // hard kill leave byte-identical WAL state (what BrokerWalSpec's
+    // abandon-and-reopen scenarios rely on)
+    wal.foreach(_.close())
   }
 
   private def ackAndTrim(topicName: String, subName: String, v: Long): Unit = {
-    sub(topicName, subName).acked.updateAndGet(prev => math.max(prev, v))
+    val s = sub(topicName, subName) // resolve first: S line before any A
+    wal.foreach(_.append(s"A $topicName $subName $v"))
+    s.acked.updateAndGet(prev => math.max(prev, v))
     maybeTrim(topicName)
   }
 
@@ -348,66 +498,14 @@ class MiniBroker(dataDir: Option[String] = None) {
           case "PUB" if parts.length == 3 =>
             val t = topic(parts(1))
             t.log.synchronized {
-              val s = t.seq.incrementAndGet()
+              val s = t.seq.get() + 1
+              wal.foreach(_.append(s"M ${parts(1)} $s ${parts(2)}"))
+              t.seq.set(s)
               t.log += ((s, parts(2)))
               t.log.notifyAll()
             }
-          case "PUBB" if parts.length == 3 =>
-            // bulk publish: the next n raw lines ARE the payloads —
-            // appended under ONE lock with one wakeup, and never
-            // tokenized (per-message regex split + lock + notifyAll made
-            // a 4-producer publish path ~25k msg/s; this form measures
-            // ~20× that in ChainSoak). Consumers see identical seqs.
-            // an unparseable count must take the SAME drop-the-connection
-            // path as an out-of-range one: the generic bad-request catch
-            // keeps the connection, but the client still sends its
-            // payload lines, which would then be misread as verbs
-            val n = try parts(2).toInt catch {
-              case _: NumberFormatException =>
-                out.synchronized {
-                  out.println(s"ERR pubb-count ${parts(2)} not an int")
-                  out.flush()
-                }
-                throw new SocketException("pubb count unparseable")
-            }
-            if (n < 0 || n > MaxPubBatch) {
-              // refuse BEFORE allocating or reading payload: a bogus
-              // `PUBB t 2000000000` must answer ERR, not OOM the broker
-              // (round-11 ADVICE). The client will still send its payload
-              // lines, which would desync the verb stream — drop the
-              // connection rather than misread payloads as verbs.
-              out.synchronized {
-                out.println(s"ERR pubb-count $n not in [0,$MaxPubBatch]")
-                out.flush()
-              }
-              throw new SocketException("pubb count out of range")
-            }
-            // get-or-create the topic only AFTER the count validates: a
-            // rejected PUBB must not mint a phantom empty topic that
-            // lingers in the topics map (round-12 ADVICE)
-            val t = topic(parts(1))
-            val batch = new Array[String](n)
-            var i = 0
-            var eof = false
-            while (i < n && !eof) {
-              val l = in.readLine()
-              if (l == null) eof = true else { batch(i) = l; i += 1 }
-            }
-            if (eof) {
-              // the peer died mid-batch: appending the partial prefix
-              // would silently publish a batch the producer never
-              // completed — drop it; an at-least-once producer re-sends
-              // the whole batch on reconnect
-              System.err.println(
-                s"[broker] PUBB short read ($i of $n lines), batch dropped")
-            } else t.log.synchronized {
-              var j = 0
-              while (j < i) {
-                t.log += ((t.seq.incrementAndGet(), batch(j)))
-                j += 1
-              }
-              t.log.notifyAll()
-            }
+          case "PUBB" if parts.length == 3 => pubBatch(parts, in, out, ack = false)
+          case "PUBA" if parts.length == 3 => pubBatch(parts, in, out, ack = true)
           case "STAT" if parts.length == 3 =>
             // metadata read — must NOT get-or-create the subscription (a
             // STAT against a name that never SUBs would pin retention at
@@ -442,6 +540,84 @@ class MiniBroker(dataDir: Option[String] = None) {
       closed.set(true)
       conns.remove(sock)
       try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Bulk publish body shared by PUBB (fire-and-forget) and PUBA
+    * (`ack = true`: answer `OK <lastSeq>` after the batch is appended
+    * and, on a durable broker, WAL-flushed — flush happens inside the
+    * log monitor, strictly before the reply line can be written).
+    *
+    * The next n raw lines ARE the payloads — appended under ONE lock
+    * with one wakeup, and never tokenized (per-message regex split +
+    * lock + notifyAll made a 4-producer publish path ~25k msg/s; this
+    * form measures ~20× that in ChainSoak). Consumers see identical
+    * seqs either way.
+    */
+  private def pubBatch(parts: Array[String], in: BufferedReader,
+      out: PrintWriter, ack: Boolean): Unit = {
+    // an unparseable count must take the SAME drop-the-connection path
+    // as an out-of-range one: the generic bad-request catch keeps the
+    // connection, but the client still sends its payload lines, which
+    // would then be misread as verbs
+    val verb = parts(0).toLowerCase
+    val n = try parts(2).toInt catch {
+      case _: NumberFormatException =>
+        out.synchronized {
+          out.println(s"ERR $verb-count ${parts(2)} not an int")
+          out.flush()
+        }
+        throw new SocketException(s"$verb count unparseable")
+    }
+    if (n < 0 || n > MaxPubBatch) {
+      // refuse BEFORE allocating or reading payload: a bogus
+      // `PUBB t 2000000000` must answer ERR, not OOM the broker
+      // (round-11 ADVICE). The client will still send its payload
+      // lines, which would desync the verb stream — drop the
+      // connection rather than misread payloads as verbs.
+      out.synchronized {
+        out.println(s"ERR $verb-count $n not in [0,$MaxPubBatch]")
+        out.flush()
+      }
+      throw new SocketException(s"$verb count out of range")
+    }
+    // get-or-create the topic only AFTER the count validates: a
+    // rejected PUBB must not mint a phantom empty topic that
+    // lingers in the topics map (round-12 ADVICE)
+    val t = topic(parts(1))
+    val batch = new Array[String](n)
+    var i = 0
+    var eof = false
+    while (i < n && !eof) {
+      val l = in.readLine()
+      if (l == null) eof = true else { batch(i) = l; i += 1 }
+    }
+    if (eof) {
+      // the peer died mid-batch: appending the partial prefix would
+      // silently publish a batch the producer never completed — drop
+      // it; an at-least-once producer re-sends the whole batch on
+      // reconnect. No OK either (the peer is gone) — a PUBA producer
+      // that never read its OK retries by contract.
+      System.err.println(
+        s"[broker] ${parts(0)} short read ($i of $n lines), batch dropped")
+    } else {
+      val last = t.log.synchronized {
+        val s0 = t.seq.get()
+        // all n WAL lines land under ONE flush, BEFORE the seq counter
+        // moves or the log grows: a kill inside the flush tears at most
+        // the final line, and nothing torn was ever visible or OK'd
+        wal.foreach(_.appendAll(
+          Iterator.range(0, i).map(j => s"M ${parts(1)} ${s0 + j + 1} ${batch(j)}")))
+        var j = 0
+        while (j < i) {
+          t.log += ((s0 + j + 1, batch(j)))
+          j += 1
+        }
+        t.seq.set(s0 + i)
+        t.log.notifyAll()
+        s0 + i
+      }
+      if (ack) out.synchronized { out.println(s"OK $last"); out.flush() }
     }
   }
 
