@@ -120,11 +120,19 @@ object BandCapProbe {
         .doubleValue() / 1000000 >= tau
     }
     def exactDropped(tau: Double): Set[Long] = {
-      // per-thread edge buffers, then one sequential union-find
+      // per-thread edge buffers, then one sequential union-find.
+      // Pair loops start at id 8: the reference must cover exactly the
+      // within-cell population the capped engine path compares — the hot
+      // cell's ids. The 7 anchors sit alone in their own cells (each is
+      // its own centroid), so the engine can never drop them, but
+      // same-sign anchor pairs DO reach cos ≈ 0.9: including them here
+      // put anchor-anchor edges in the exact reference and biased
+      // measured recall below 1.0 independent of the cap (round-14
+      // ADVICE).
       val nThreads = Runtime.getRuntime.availableProcessors()
       val buffers = Array.fill(nThreads)(Vector.newBuilder[(Int, Int)])
       val t0 = System.nanoTime()
-      java.util.stream.IntStream.range(0, n).parallel().forEach { a =>
+      java.util.stream.IntStream.range(8, n).parallel().forEach { a =>
         val buf = buffers((a % nThreads + nThreads) % nThreads)
         var b = a + 1
         val local = Vector.newBuilder[(Int, Int)]
@@ -155,7 +163,7 @@ object BandCapProbe {
       val dropped = (0 until n).filter(i => minOf(find(i)) != i).map(_.toLong).toSet
       println(f"[bandcap-probe] exact tau=$tau%.2f: ${edges.length} edges, " +
         f"${dropped.size} dropped, ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-        s"(all ${n.toLong * (n - 1) / 2} in-cell pairs)")
+        s"(all ${(n.toLong - 8) * (n - 9) / 2} in-cell pairs)")
       dropped
     }
 
@@ -174,12 +182,18 @@ object BandCapProbe {
       .select("vec_id", "cluster").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val hotCells = cells.filter(_._1 >= 8).map(_._2).toSet
-    println(s"[bandcap-probe] hot vectors occupy cells $hotCells " +
-      s"(must be one cell for the probe to mean anything)")
+    // hard requirement, not a printed hint: if Lloyd's ever splits the
+    // hot region across cells, the exact all-pairs reference no longer
+    // matches the engine's within-cell population and every recall
+    // number below is meaningless (round-14 ADVICE)
+    require(hotCells.size == 1,
+      s"hot vectors split across cells $hotCells — probe invalidated")
 
+    // Int.MaxValue first: the UNCAPPED engine baseline (banding never
+    // arms) — the recall-1.0 floor the capped rows are read against
     for (tau <- Seq(0.99, 0.9)) {
       val exact = exactDropped(tau)
-      for (cap <- Seq(16384, 4096, 1024)) {
+      for (cap <- Seq(Int.MaxValue, 16384, 4096, 1024)) {
         val (capped, secs) = cappedDropped(tau, cap)
         val falseDrops = capped -- exact
         val recall =

@@ -1397,12 +1397,20 @@ object SimilarityOps {
       e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
     val k = cents.length
     val cLit = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
+    // argmax POSITION → the centroid's DECLARED cid, through a literal
+    // lookup — the same `idx.cids(...)` translation the pruned path
+    // applies. Quantizer builds always carry cids 0..k-1 (identity), but
+    // a caller passing non-contiguous cids must get the same cells from
+    // both dispatch arms, not silently index-valued ones here (round-14
+    // ADVICE).
+    val cidLit = array(cents.map { case (cid, _) => lit(cid) }: _*)
     e.select(col("vec_id"), col("v"),
         array((0 until k).map(i =>
           dot(col("v"), element_at(cLit, i + 1))): _*).as("scores"))
       .select(col("vec_id"), col("v"),
-        (array_position(col("scores"), array_max(col("scores"))) - 1)
-          .cast("int").as("cid"))
+        element_at(cidLit,
+          array_position(col("scores"), array_max(col("scores"))).cast("int"))
+          .as("cid"))
   }
 
   /** The pruned twin: one [[CentIndex]] broadcast + mapPartitions over
