@@ -83,31 +83,47 @@ object BrokerSink {
               // PUBA chunks: one broker-side lock per 1000 payloads, and
               // the payload lines are never tokenized (per-message PUB
               // measured ~25k msg/s under 4 producers; chunked bulk is
-              // ~20× that in ChainSoak). Acked, pipelined: all chunks go
-              // out, then one OK per chunk is read back — the OK is the
-              // durability receipt (on a WAL broker it follows the
-              // flush), so a partition that returns from this closure
-              // KNOWS its rows survive a broker kill. A missing/short OK
-              // stream throws, and pushWithRetry re-sends the WHOLE
-              // partition batch — duplicates are the consumer's
-              // payload-dedup problem by contract (class doc).
+              // ~20× that in ChainSoak). Acked, pipelined within a
+              // BOUNDED window: past 64 unacked chunks the sink reads an
+              // OK before sending the next chunk — fully unbounded
+              // pipelining lets the broker's OK replies fill the
+              // client-recv + server-send socket buffers on a huge
+              // partition (~>10k chunks), blocking the broker's
+              // connection thread on the OK write so it stops READING
+              // payloads while the sink is still blocked writing — a
+              // write-write deadlock setSoTimeout (read-only) can't
+              // break. The OK is the durability receipt (on a WAL broker
+              // it follows the flush), so a partition that returns from
+              // this closure KNOWS its rows survive a broker kill. A
+              // missing/short OK stream throws, and pushWithRetry
+              // re-sends the WHOLE partition batch — duplicates are the
+              // consumer's payload-dedup problem by contract (class doc).
+              val window = 64
               var nChunks = 0
+              var acked = 0
+              def readOk(): Unit = {
+                val resp = in.readLine()
+                if (resp == null || !resp.startsWith("OK "))
+                  throw new java.io.IOException(
+                    s"publish to $topic not acked (chunk $acked/$nChunks): $resp")
+                acked += 1
+              }
               lines.grouped(1000).foreach { chunk =>
                 out.println(s"PUBA $topic ${chunk.length}")
                 chunk.foreach(out.println)
                 nChunks += 1
+                if (nChunks - acked >= window) {
+                  // drain one receipt so both directions keep flowing
+                  out.flush()
+                  if (out.checkError())
+                    throw new java.io.IOException(s"publish to $topic failed")
+                  readOk()
+                }
               }
               out.flush()
               if (out.checkError())
                 throw new java.io.IOException(s"publish to $topic failed")
-              var k = 0
-              while (k < nChunks) {
-                val resp = in.readLine()
-                if (resp == null || !resp.startsWith("OK "))
-                  throw new java.io.IOException(
-                    s"publish to $topic not acked (chunk $k/$nChunks): $resp")
-                k += 1
-              }
+              while (acked < nChunks) readOk()
             } finally sock.close()
           }
           ()

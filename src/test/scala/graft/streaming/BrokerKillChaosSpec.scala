@@ -153,7 +153,12 @@ class BrokerKillChaosSpec extends AnyFunSuite {
     val (p2, port2) = spawn(dir)
     try {
       val retried = (0 until attempted).filterNot(okRead.contains)
-      assert(retried.nonEmpty, "kill landed after the last OK — no retry to prove")
+      // a fast producer can drain every batch (and read every OK) between
+      // the 25-OK threshold check and destroyForcibly landing — nothing
+      // is wrong with the broker then, there's just no retry to prove:
+      // cancel (inconclusive) rather than fail
+      if (retried.isEmpty)
+        cancel("kill landed after the last OK — no retry to prove this run")
       retried.foreach { bid =>
         assert(pubaBatch(port2, "chaos", payloadsOf(bid)),
           s"retry of batch $bid failed against the restarted broker")
