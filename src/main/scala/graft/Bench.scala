@@ -150,6 +150,48 @@ object Bench {
       }.mkString("{", ",", "}")
     }
 
+    /** Floor history (round-15 verdict #4): prior runs' per-query MINs
+      * from the committed BENCH_FLOORS.jsonl (one line per full bench:
+      * round label, sf, cpus, total_min, queries_min), so an idle-floor
+      * drift like q_scalar_math 2.33→2.59 lands in the artifact as a
+      * NAMED per-query diff instead of a judge-side archaeology job.
+      * Full runs append their own line below, so the history maintains
+      * itself; only same-(sf, cpus) records compare — a 4-cpu iteration
+      * run must not become 32-cpu history. Parsed with Spark's bundled
+      * Jackson: last matching record per query = `prev`, minimum across
+      * records = `best`. */
+    def readFloorHistory(): (Map[String, Double], Map[String, Double]) = {
+      val path = Paths.get("BENCH_FLOORS.jsonl")
+      if (!Files.exists(path)) return (Map.empty, Map.empty)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var prev = Map.empty[String, Double]
+      var best = Map.empty[String, Double]
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(path).asScala.filter(_.trim.nonEmpty).foreach { l =>
+          val n = mapper.readTree(l)
+          val recSf = Option(n.get("sf")).map(_.asText()).getOrElse("")
+          val recCpus = Option(n.get("cpus")).map(_.asText()).getOrElse("")
+          if (recSf == sfDir && recCpus == cpus) {
+            val qm = n.get("queries_min")
+            if (qm != null) qm.properties().asScala.foreach { e =>
+              val (q, v) = (e.getKey, e.getValue.asDouble())
+              if (v > 0) {
+                prev += (q -> v)
+                best += (q -> math.min(v, best.getOrElse(q, Double.MaxValue)))
+              }
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] floor history unreadable, " +
+          s"continuing without it: ${e.getMessage}")
+        return (Map.empty, Map.empty)
+      }
+      (prev, best)
+    }
+    val (floorPrev, floorBest) = readFloorHistory()
+
     // Optional args filter: `runMain graft.Bench q_a q_b` times only those
     // queries — the full-suite default is what the driver runs. Unknown
     // names fail LOUDLY: silently intersecting would let a typo produce a
@@ -268,12 +310,41 @@ object Bench {
     val errorsCapped = errors.toSeq.sortBy(_._1).take(3)
       .map { case (k, v) => "\"" + k + "\":" + jq(v.take(100)) }
       .mkString("{", ",", "}")
+    // Floor drift vs the last committed same-config run: >30% slower AND
+    // >0.2 s absolute (the round-15 verdict's triage bar; the absolute
+    // floor keeps 5 ms queries from flagging on scheduler jitter). Each
+    // entry carries [prev, cur] so the artifact IS the triage row.
+    val floorDrift = results.collect {
+      case (k, (_, lo, _))
+        if lo > 0 && floorPrev.get(k).exists(p => lo > 1.3 * p && lo - p > 0.2) =>
+        k -> ((floorPrev(k), lo))
+    }
+    val floorDriftJson = floorDrift
+      .map { case (k, (p, c)) => "\"" + k + "\":[" + ms(p) + "," + ms(c) + "]" }
+      .mkString("{", ",", "}")
+    val floorPrevJson = results
+      .flatMap { case (k, _) => floorPrev.get(k).map(p => "\"" + k + "\":" + ms(p)) }
+      .mkString("{", ",", "}")
+    val floorBestJson = results
+      .flatMap { case (k, _) => floorBest.get(k).map(p => "\"" + k + "\":" + ms(p)) }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax,"fixtures":${fixtureStats()}}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax,"floor_prev":$floorPrevJson,"floor_best":$floorBestJson,"floor_drift":$floorDriftJson,"fixtures":${fixtureStats()}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    // Self-maintaining floor history: FULL runs append their mins (the
+    // same full-run gate as BENCH_LOCAL.json — a 2-query iteration run
+    // must not become history). Committed with the round snapshot.
+    if (args.isEmpty) {
+      val stamp = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+      val histLine =
+        s"""{"round":"$stamp","sf":"$sfDir","cpus":$cpus,"total_min":$totalMin,"queries_min":$mins}"""
+      Files.writeString(Paths.get("BENCH_FLOORS.jsonl"), histLine + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     // Repo-root copy (round-12, advisor): target/ is gitignored and the
     // driver's retained log tail has truncated or mis-parsed the stdout
     // line in 4 of 11 rounds (trailing sbt [success] line, mid-JSON
@@ -312,8 +383,14 @@ object Bench {
     // list.
     val contendedCapped = contendedQs.take(15)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Drift names capped at 8 in the summary (same retained-tail budget
+    // reasoning as contended); the [prev, cur] pairs live in the full
+    // artifact and BENCH_LOCAL.json.
+    val floorDriftCapped = floorDrift.take(8)
+      .map { case (k, (p, c)) => "\"" + k + "\":[" + ms(p) + "," + ms(c) + "]" }
+      .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","n_queries":${results.size},"n_contended":${contendedQs.size},"contended":$contendedCapped,"n_errors":${errors.size},"errors":$errorsCapped,"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
+      s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","n_queries":${results.size},"n_contended":${contendedQs.size},"contended":$contendedCapped,"n_errors":${errors.size},"errors":$errorsCapped,"n_floor_drift":${floorDrift.size},"floor_drift":$floorDriftCapped,"slowest":$slowest,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     System.err.println(summary)
     println(summary)
     spark.stop()
