@@ -28,7 +28,8 @@ import graft.streaming.BrokerGroup
   *
   * No Spark in this soak: it isolates the broker tier the way the wire
   * soaks isolate ingest. Usage:
-  * `sbt "runMain graft.BrokerScaleSoak [nMsgs] [maxBrokers] [producers]"`
+  * `sbt "runMain graft.BrokerScaleSoak [nMsgs] [maxBrokers] [producers] [dataRoot]"`
+  * (non-empty dataRoot ⇒ durable children — see the field note below).
   */
 object BrokerScaleSoak {
   def main(args: Array[String]): Unit = {
@@ -38,15 +39,28 @@ object BrokerScaleSoak {
     val nMsgs = args.headOption.map(_.toLong).getOrElse(20000000L)
     val maxBrokers = if (args.length > 1) args(1).toInt else 2
     val producers = if (args.length > 2) args(2).toInt else 8
+    // non-empty 4th arg: DURABLE broker children (per-child WAL dirs
+    // under dataRoot, fresh per phase — a reused dir would replay the
+    // previous phase's log into the next phase's baseline). This is the
+    // durability-priced write-path number the round-15 verdict asked
+    // for: same wire, same batches, plus one WAL flush per PUBB chunk.
+    val dataRoot = args.lift(3).filter(_.nonEmpty)
     val batch = 10000
 
     /** Spawn k broker JVMs; returns (processes, endpoints). */
-    def spawn(k: Int): (Seq[Process], Seq[(String, Int)]) = {
+    def spawn(k: Int, phaseLabel: String): (Seq[Process], Seq[(String, Int)]) = {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val cp = System.getProperty("java.class.path")
-      val started = (0 until k).map { _ =>
+      val started = (0 until k).map { i =>
+        // _root_: the local `val java` (binary path) shadows the package
+        val childArgs = dataRoot.map { r =>
+          val d = _root_.java.nio.file.Paths.get(r, s"$phaseLabel-b$i")
+          _root_.java.nio.file.Files.createDirectories(d)
+          d.toString
+        }.toSeq
         val p = new ProcessBuilder(
-          java, "-Xmx4g", "-cp", cp, "graft.streaming.BrokerMain")
+          (Seq(java, "-Xmx4g", "-cp", cp, "graft.streaming.BrokerMain") ++
+            childArgs): _*)
           .redirectErrorStream(false)
           .start()
         val in = new BufferedReader(
@@ -110,7 +124,7 @@ object BrokerScaleSoak {
     }
 
     def phase(k: Int): Long = {
-      val (procs, endpoints) = spawn(k)
+      val (procs, endpoints) = spawn(k, s"phase$k")
       try {
         val secs = flood(endpoints, "scale")
         (nMsgs / secs).round
@@ -125,7 +139,7 @@ object BrokerScaleSoak {
     val many = phase(maxBrokers)
     val speedup = many.toDouble / one
     val line =
-      s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers}"""
+      s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers,"durable":${dataRoot.isDefined}}"""
     System.err.println(line)
     println(line)
   }

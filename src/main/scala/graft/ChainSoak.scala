@@ -24,7 +24,11 @@ import graft.streaming.{BrokerSink, MiniBroker, SocketEventSource, StreamOps}
   * unit.
   *
   * Usage:
-  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards] [brokers]"`
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards] [brokers] [dataRoot]"`
+  * A non-empty 4th arg makes every broker DURABLE (per-member WAL dirs
+  * under dataRoot) — the round-15 verdict's missing number: the same
+  * wire path with one flush per PUBA chunk, so the artifact's rate is
+  * the durability-priced one. The JSON carries `durable` either way.
   *
   * Measured on 32 cores at 1M updates (5.5M units), 8+8 leases, FAIR
   * pools: 1 broker 571k total / 978k steady; 2 brokers 689k / 1.43M;
@@ -58,9 +62,16 @@ object ChainSoak {
     // unit messages stage A must emit: Σ (i%10+1) over the updates
     val nUnits = (0L until nMsgs).iterator.map(_ % 10 + 1).sum
 
+    val dataRoot = args.lift(3).filter(_.nonEmpty)
     // broker 0 carries the pre-published `in` topic; all members carry
     // their shard of `units`
-    val brokers = Seq.fill(math.max(1, nBrokers))(new MiniBroker)
+    val brokers = (0 until math.max(1, nBrokers)).map { i =>
+      new MiniBroker(dataRoot.map { r =>
+        val d = java.nio.file.Paths.get(r, s"b$i")
+        java.nio.file.Files.createDirectories(d)
+        d.toString
+      })
+    }
     val endpoints = brokers.map(b => ("127.0.0.1", b.start()))
     val broker = brokers.head
     val port = endpoints.head._2
@@ -152,7 +163,7 @@ object ChainSoak {
       if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
       else -1L
     val line =
-      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"hops":2,"cpus":$cpus}"""
+      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"durable":${dataRoot.isDefined},"hops":2,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
     spark.stop()
