@@ -237,6 +237,32 @@ class SocketSourceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("a >64-chunk partition crosses the sink's unacked window and lands complete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    val broker = new MiniBroker
+    val port = broker.start()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      val input = MemoryStream[KnobEvent]
+      // ONE Spark partition × 70,000 rows = 70 PUBA chunks — past the
+      // sink's 64-chunk window, so the mid-stream drain path (read one
+      // OK per chunk once the window fills) actually executes; below
+      // 64 chunks the old fully-pipelined behavior is what runs
+      val qa = BrokerSink.publishTo("127.0.0.1", port, "big")(
+          input.toDS().coalesce(1))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L to 70000L).map(i => KnobEvent(i % 4, i, ts(i))): _*)
+        qa.processAllAvailable()
+        assert(qa.exception.isEmpty, s"sink failed: ${qa.exception}")
+        assert(broker.retainedCount("big") == 70000,
+          s"broker holds ${broker.retainedCount("big")} of 70000")
+      } finally qa.stop()
+    } finally broker.stop()
+  }
+
   test("sharded publish sink splits a batch across group members, union reads it back") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
