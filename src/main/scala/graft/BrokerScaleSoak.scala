@@ -128,10 +128,23 @@ object BrokerScaleSoak {
       try {
         val secs = flood(endpoints, "scale")
         (nMsgs / secs).round
-      } finally procs.foreach { p =>
-        p.getOutputStream.close() // stdin EOF → broker exits
-        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
-          p.destroyForcibly()
+      } finally {
+        procs.foreach { p =>
+          p.getOutputStream.close() // stdin EOF → broker exits
+          if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+            p.destroyForcibly()
+        }
+        // Durable phases leave ~nMsgs×lineBytes of DIRTY pages (WAL
+        // flush ≠ fsync): without a barrier the NEXT phase runs inside
+        // the kernel's writeback throttle paying this phase's debt —
+        // measured as a bogus 0.57× "negative scale-out" at 20M msgs
+        // (phase 2 durable slower than phase 1) on a device that
+        // handles two concurrent sequential writers at full rate. Each
+        // phase must pay for its own bytes.
+        if (dataRoot.isDefined) {
+          new ProcessBuilder("sync").inheritIO().start().waitFor()
+          Thread.sleep(1000)
+        }
       }
     }
 
