@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object BandCapProbe {
   def main(args: Array[String]): Unit = {
-    val nHot = args.headOption.map(_.toInt).getOrElse(50000)
+    // `runMain graft.BandCapProbe borderline [nHot]` runs the driver-side
+    // boundary diagnosis instead of the engine arms — see the block below
+    val borderline = args.headOption.contains("borderline")
+    val rest = if (borderline) args.drop(1) else args
+    val nHot = rest.headOption.map(_.toInt).getOrElse(50000)
     val dim = 64
     val spark = Sessions.local(appName = "graft-bandcap-probe")
 
@@ -119,20 +123,90 @@ object BandCapProbe {
         .setScale(0, java.math.RoundingMode.HALF_UP)
         .doubleValue() / 1000000 >= tau
     }
+    // ---- borderline diagnosis (round-16): the r16 run's τ=0.9 cap=off
+    // arm reported ONE more dropped vector than the exact reference
+    // (recall 1.0000, false_drops=1 over 1.25e9 in-cell pairs) — the
+    // statistical signature of a ±1-ulp cosine difference between the
+    // engine's codegen fold and this replication flipping the HALF_UP
+    // boundary of round(cos·10⁶): fold-order noise is ~1e-15 relative,
+    // the flip window is ~1e-9 of cos-space, so the expected count over
+    // 1.25e9 pairs is O(1). This mode makes that concrete: it prints
+    // every pair whose EXACT cos·10⁶ sits within `win` of the .5
+    // rounding line for either τ, then recomputes each under a reversed
+    // fold — a pair whose gate verdict flips across mathematically-equal
+    // fold orders is the borderline in the flesh, and its count bounds
+    // how many flips ANY fold-order change can cause.
+    if (borderline) {
+      // The r16 boundary scan found NO pair within 1e-3 of the round
+      // line — so the one extra drop was NOT an ulp flip. The remaining
+      // engine/reference population difference: the reference's pair
+      // loops start at id 8, but id 7 (the cell BASE) is in the hot
+      // cell, so the engine checks (7, x) pairs the reference never
+      // sees. The scaladoc's "nothing links through the base" was an
+      // expectation about cos(B, member) ≈ 0.78 — with 49,992 draws a
+      // tail above τ=0.9 is plausible. Scan it:
+      val baseLinks = (8 until n).map(x => (cosOf(7, x), x)).sortBy(-_._1)
+      val over90 = baseLinks.takeWhile(p => passes(p._1, 0.9))
+      val over99 = baseLinks.takeWhile(p => passes(p._1, 0.99))
+      println(f"[bandcap-borderline] base links: max cos(7,x)=${baseLinks.head._1}%.6f " +
+        s"(x=${baseLinks.head._2}); ${over90.size} pass tau=0.9 " +
+        s"[${over90.map(_._2).mkString(", ")}]; ${over99.size} pass tau=0.99")
+      for (tau <- Seq(0.99, 0.9)) {
+        val boundary = tau * 1000000 - 0.5 // the HALF_UP flip line
+        val win = 1e-3
+        val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+        java.util.stream.IntStream.range(8, n).parallel().forEach { a =>
+          var b = a + 1
+          while (b < n) {
+            if (math.abs(cosOf(a, b) * 1000000 - boundary) < win)
+              hits.add((a, b))
+            b += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        println(s"[bandcap-borderline] tau=$tau: ${hits.size} pair(s) " +
+          s"within $win of the round boundary (of ${(n.toLong - 8) * (n - 9) / 2})")
+        def gate(x: Double): Boolean = java.math.BigDecimal.valueOf(x * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue() / 1000000 >= tau
+        hits.asScala.foreach { case (a, b) =>
+          val c = cosOf(a, b)
+          val va = vd(a); val vb = vd(b)
+          var dr = 0.0; var i = dim - 1
+          while (i >= 0) { dr += va(i) * vb(i); i -= 1 }
+          val cRev = dr / (norms(a) * norms(b))
+          println(f"[bandcap-borderline]   pair ($a,$b): " +
+            f"cos*1e6=${c * 1000000}%.9f gate=${gate(c)} | " +
+            f"rev cos*1e6=${cRev * 1000000}%.9f gate=${gate(cRev)} | " +
+            s"flips=${gate(c) != gate(cRev)}")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     def exactDropped(tau: Double): Set[Long] = {
       // per-thread edge buffers, then one sequential union-find.
-      // Pair loops start at id 8: the reference must cover exactly the
+      // Pair loops start at id 7: the reference must cover exactly the
       // within-cell population the capped engine path compares — the hot
-      // cell's ids. The 7 anchors sit alone in their own cells (each is
-      // its own centroid), so the engine can never drop them, but
-      // same-sign anchor pairs DO reach cos ≈ 0.9: including them here
-      // put anchor-anchor edges in the exact reference and biased
-      // measured recall below 1.0 independent of the cap (round-14
-      // ADVICE).
+      // cell's ids, WHICH INCLUDE the base (id 7 is the cell's initial
+      // centroid and lives in it). The 7 anchors (0..6) sit alone in
+      // their own cells (each is its own centroid), so the engine can
+      // never drop them, but same-sign anchor pairs DO reach cos ≈ 0.9:
+      // including them here put anchor-anchor edges in the exact
+      // reference and biased measured recall below 1.0 independent of
+      // the cap (round-14 ADVICE). Round-16: the r15 fix over-excluded —
+      // it started at 8, dropping the base's own pairs, and the class
+      // doc's "nothing links through the base" (cos(B, member) ≈ 0.78)
+      // is a distributional expectation, not an invariant: the first
+      // 50k run found EXACTLY one sea member at cos(B, x) = 0.9067
+      // (borderline mode, x=49294), which the engine correctly linked
+      // to the base and dropped — scored as a phantom false_drop by the
+      // 8-start reference.
       val nThreads = Runtime.getRuntime.availableProcessors()
       val buffers = Array.fill(nThreads)(Vector.newBuilder[(Int, Int)])
       val t0 = System.nanoTime()
-      java.util.stream.IntStream.range(8, n).parallel().forEach { a =>
+      java.util.stream.IntStream.range(7, n).parallel().forEach { a =>
         val buf = buffers((a % nThreads + nThreads) % nThreads)
         var b = a + 1
         val local = Vector.newBuilder[(Int, Int)]
@@ -163,7 +237,7 @@ object BandCapProbe {
       val dropped = (0 until n).filter(i => minOf(find(i)) != i).map(_.toLong).toSet
       println(f"[bandcap-probe] exact tau=$tau%.2f: ${edges.length} edges, " +
         f"${dropped.size} dropped, ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-        s"(all ${(n.toLong - 8) * (n - 9) / 2} in-cell pairs)")
+        s"(all ${(n.toLong - 7) * (n - 8) / 2} in-cell pairs)")
       dropped
     }
 
@@ -190,8 +264,12 @@ object BandCapProbe {
       s"hot vectors split across cells $hotCells — probe invalidated")
 
     // Int.MaxValue first: the UNCAPPED engine baseline (banding never
-    // arms) — the recall-1.0 floor the capped rows are read against
-    for (tau <- Seq(0.99, 0.9)) {
+    // arms) — the recall-1.0 floor the capped rows are read against.
+    // Optional 2nd arg picks one τ (e.g. `50000 0.9`) so a reference
+    // fix affecting a single τ doesn't re-pay the other's ~30-minute
+    // uncapped arm.
+    val taus = rest.lift(1).map(t => Seq(t.toDouble)).getOrElse(Seq(0.99, 0.9))
+    for (tau <- taus) {
       val exact = exactDropped(tau)
       for (cap <- Seq(Int.MaxValue, 16384, 4096, 1024)) {
         val (capped, secs) = cappedDropped(tau, cap)
@@ -202,6 +280,11 @@ object BandCapProbe {
         println(f"[bandcap-probe] tau=$tau%.2f cap=$capLabel%-5s: " +
           f"dropped=${capped.size}%6d/${exact.size}%6d recall=$recall%.4f " +
           f"false_drops=${falseDrops.size} wall=$secs%6.1f s")
+        // name the ids so a nonzero count is immediately diagnosable
+        // with the `borderline` mode (1-ulp gate flips land here)
+        if (falseDrops.nonEmpty)
+          println(s"[bandcap-probe]   false-dropped ids: " +
+            falseDrops.toSeq.sorted.take(20).mkString(", "))
       }
     }
     spark.stop()
