@@ -924,7 +924,13 @@ object SimilarityOps {
       s: SparkSession, d: String,
       cents: Array[(Int, Array[Double])]): (DataFrame, DataFrame) = {
     val e = vecs(s, d)
-    (ivfAssignBrute(e, cents), ivfAssignPruned(e, cents))
+    // reference arm: literal plan below PruneK, exhaustive broadcast at
+    // production k (the literal tree OOMs the driver there — see
+    // ivfAssignExhaustive)
+    val ref =
+      if (cents.length >= PruneK) ivfAssignExhaustive(e, cents)
+      else ivfAssignBrute(e, cents)
+    (ref, ivfAssignPruned(e, cents))
   }
 
   /** The q_cluster_dedup pipeline at arbitrary (k, iters, τ) — see
@@ -1396,17 +1402,20 @@ object SimilarityOps {
   private[graft] def ivfAssignBrute(
       e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
     val k = cents.length
-    val cLit = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
     // argmax POSITION → the centroid's DECLARED cid, through a literal
     // lookup — the same `idx.cids(...)` translation the pruned path
     // applies. Quantizer builds always carry cids 0..k-1 (identity), but
     // a caller passing non-contiguous cids must get the same cells from
     // both dispatch arms, not silently index-valued ones here (round-14
-    // ADVICE).
+    // ADVICE). Each score inlines ITS OWN centroid literal (like the
+    // Euclidean face): the earlier element_at(full-matrix, i) form put a
+    // copy of the whole k×Dim literal under every score node — a
+    // quadratic Column tree whose driver-side conversion OOMed at
+    // nlist=1024 (round-16 ScaleProbe finding).
     val cidLit = array(cents.map { case (cid, _) => lit(cid) }: _*)
     e.select(col("vec_id"), col("v"),
         array((0 until k).map(i =>
-          dot(col("v"), element_at(cLit, i + 1))): _*).as("scores"))
+          dot(col("v"), array(cents(i)._2.map(lit): _*))): _*).as("scores"))
       .select(col("vec_id"), col("v"),
         element_at(cidLit,
           array_position(col("scores"), array_max(col("scores"))).cast("int"))
@@ -1429,6 +1438,54 @@ object SimilarityOps {
       .mapPartitions { it =>
         val idx = bc.value
         it.map { case (id, v) => (id, v, idx.cids(idx.assignMips(v))) }
+      }
+      .toDF("vec_id", "v", "cid")
+  }
+
+  /** The scale-safe EXHAUSTIVE twin of [[ivfAssignBrute]]: every
+    * centroid evaluated (no bounds, no skips — this is the reference
+    * arm, so it must not share the pruning logic under test), but the
+    * centroids ship as ONE broadcast array instead of a k×Dim literal
+    * Column tree. The literal form embeds a full copy of the centroid
+    * matrix inside every one of its k element_at nodes, and at
+    * nlist=1024 the driver's Column→Expression conversion OOMs the heap
+    * before a single task runs (measured: the round-16 ScaleProbe's
+    * ivf_build_brute arm died exactly there at 1M×1024 — plan
+    * construction, not execution). Per-vector math is the identical
+    * strict left-to-right dot fold as DotProduct's codegen, and
+    * selection replicates array_max + array_position exactly
+    * (SQLOrderingUtil doubles: ±0.0 ties fold via ==, NaN outranks and
+    * equals NaN via Double.compare, first index among ties wins) — the
+    * same transcription [[CentIndex.assignMips]]'s all-NaN fallback
+    * loop carries, minus the index's grouping. */
+  private[graft] def ivfAssignExhaustive(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val k = cs.length
+        it.map { case (id, v) =>
+          var best = 0.0
+          var bestIdx = -1
+          var i = 0
+          while (i < k) {
+            val c = cs(i)._2
+            var vc = 0.0
+            var t = 0
+            while (t < c.length) { vc += v(t) * c(t); t += 1 }
+            val cmp =
+              if (bestIdx < 0) 1
+              else if (vc == best) 0
+              else java.lang.Double.compare(vc, best)
+            if (cmp > 0) { best = vc; bestIdx = i }
+            i += 1
+          }
+          (id, v, cs(bestIdx)._1)
+        }
       }
       .toDF("vec_id", "v", "cid")
   }
@@ -1466,8 +1523,14 @@ object SimilarityOps {
       .select(col("vec_id").cast("int"), col("v"))
       .as[(Int, Array[Double])].collect().sortBy(_._1)
     for (_ <- 1 to iters) {
+      // the forced reference arm dispatches on k too: below PruneK the
+      // literal Column plan (the oracle shape under test), above it the
+      // exhaustive broadcast loop — the literal tree at production nlist
+      // OOMs the driver before execution (see ivfAssignExhaustive)
       val assigned =
-        if (forceBrute) ivfAssignBrute(e, centroids)
+        if (forceBrute && centroids.length >= PruneK)
+          ivfAssignExhaustive(e, centroids)
+        else if (forceBrute) ivfAssignBrute(e, centroids)
         else ivfAssign(e, centroids)
       // Per-component native sums, not the VectorAgg UDAF: 64 codegen'd
       // sum() aggregates hash-aggregate map-side, while the UDAF forces the

@@ -72,6 +72,25 @@ class IvfPruneSpec extends AnyFunSuite {
     assert(brute(0L) == 0 && brute(1L) == 1)
   }
 
+  test("exhaustive broadcast reference cell-identical to the literal brute") {
+    // ivfAssignExhaustive replaces the literal plan as the forceBrute
+    // reference at k >= PruneK (the literal tree OOMs the driver at
+    // production nlist — round-16 ScaleProbe finding), so its selection
+    // semantics must be the literal plan's bit for bit: same dot fold,
+    // ties to the LOW index (vectors 0/1 vs duplicate centroids 46/47),
+    // NaN-scored zero-vector row landing identically.
+    val vd = vectors.map { case (id, v) => id -> v.map(_.toDouble) }
+    val cents = ((0 until 46).map(i => i -> vd(i.toLong)) ++
+      Seq(46 -> vd(0L).clone(), 47 -> vd(1L).clone())).toArray
+    val brute = cells(SimilarityOps.ivfAssignBrute(e, cents))
+    val exhaustive = cells(SimilarityOps.ivfAssignExhaustive(e, cents))
+    assert(exhaustive.size == vectors.size)
+    val diffs = brute.keys.filter(id => brute(id) != exhaustive(id))
+    assert(diffs.isEmpty,
+      s"exhaustive diverged on ${diffs.take(5).map(id => s"$id: ${brute(id)} vs ${exhaustive(id)}").mkString("; ")}")
+    assert(exhaustive(0L) == 0 && exhaustive(1L) == 1)
+  }
+
   test("pruned MIPS identity holds at the registered k=8 too") {
     val cents = SimilarityOps.ivfCentroids(e, 8, iters = 2)
     val brute = cells(SimilarityOps.ivfAssignBrute(e, cents))
