@@ -151,21 +151,33 @@ object BandCapProbe {
       println(f"[bandcap-borderline] base links: max cos(7,x)=${baseLinks.head._1}%.6f " +
         s"(x=${baseLinks.head._2}); ${over90.size} pass tau=0.9 " +
         s"[${over90.map(_._2).mkString(", ")}]; ${over99.size} pass tau=0.99")
-      for (tau <- Seq(0.99, 0.9)) {
-        val boundary = tau * 1000000 - 0.5 // the HALF_UP flip line
-        val win = 1e-3
-        val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
-        java.util.stream.IntStream.range(8, n).parallel().forEach { a =>
-          var b = a + 1
-          while (b < n) {
-            if (math.abs(cosOf(a, b) * 1000000 - boundary) < win)
-              hits.add((a, b))
-            b += 1
+      // ONE all-pairs scan serves both τ boundaries (the scan is the
+      // ~1.25e9-dot-product cost; testing a second |·−b| per pair is
+      // free) — and it starts at id 7: the base IS in the hot cell, so
+      // a borderline (7, x) pair is exactly as diagnosable as any other
+      // (the earlier 8-start scan reintroduced the blind spot the id-7
+      // reference fix closed).
+      val taus = Seq(0.99, 0.9)
+      val boundaries = taus.map(t => t * 1000000 - 0.5) // HALF_UP flip lines
+      val win = 1e-3
+      val hitsPerTau = taus.map(_ =>
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]())
+      java.util.stream.IntStream.range(7, n).parallel().forEach { a =>
+        var b = a + 1
+        while (b < n) {
+          val z = cosOf(a, b) * 1000000
+          var t = 0
+          while (t < boundaries.length) {
+            if (math.abs(z - boundaries(t)) < win) hitsPerTau(t).add((a, b))
+            t += 1
           }
+          b += 1
         }
-        import scala.jdk.CollectionConverters._
+      }
+      import scala.jdk.CollectionConverters._
+      taus.zip(hitsPerTau).foreach { case (tau, hits) =>
         println(s"[bandcap-borderline] tau=$tau: ${hits.size} pair(s) " +
-          s"within $win of the round boundary (of ${(n.toLong - 8) * (n - 9) / 2})")
+          s"within $win of the round boundary (of ${(n.toLong - 7) * (n - 8) / 2})")
         def gate(x: Double): Boolean = java.math.BigDecimal.valueOf(x * 1000000)
           .setScale(0, java.math.RoundingMode.HALF_UP)
           .doubleValue() / 1000000 >= tau

@@ -44,22 +44,32 @@ object BrokerScaleSoak {
     // previous phase's log into the next phase's baseline). This is the
     // durability-priced write-path number the round-15 verdict asked
     // for: same wire, same batches, plus one WAL flush per PUBB chunk.
-    val dataRoot = args.lift(3).filter(_.nonEmpty)
+    // FRESHNESS IS ENFORCED, not hoped for: dirs nest under a per-run
+    // pid+nanos segment, so neither a phase-label collision (maxBrokers=1
+    // reuses "phase1") nor the documented back-to-back A/B workflow can
+    // hand a child a previous run's multi-GB WAL to replay (the child
+    // would OOM in readAllBytes or start with millions of retained
+    // messages and the parent would hang on its PORT line). Best-effort
+    // deleted at exit — a 20M-msg run leaves ~1.3 GB per broker behind.
+    val runRoot = args.lift(3).filter(_.nonEmpty).map { r =>
+      _root_.java.nio.file.Paths.get(r,
+        s"run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    }
+    val dataRoot = runRoot.map(_.toString)
     val batch = 10000
 
     /** Spawn k broker JVMs; returns (processes, endpoints). */
     def spawn(k: Int, phaseLabel: String): (Seq[Process], Seq[(String, Int)]) = {
-      val java = s"${System.getProperty("java.home")}/bin/java"
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val cp = System.getProperty("java.class.path")
       val started = (0 until k).map { i =>
-        // _root_: the local `val java` (binary path) shadows the package
         val childArgs = dataRoot.map { r =>
-          val d = _root_.java.nio.file.Paths.get(r, s"$phaseLabel-b$i")
-          _root_.java.nio.file.Files.createDirectories(d)
+          val d = java.nio.file.Paths.get(r, s"$phaseLabel-b$i")
+          java.nio.file.Files.createDirectories(d)
           d.toString
         }.toSeq
         val p = new ProcessBuilder(
-          (Seq(java, "-Xmx4g", "-cp", cp, "graft.streaming.BrokerMain") ++
+          (Seq(javaBin, "-Xmx4g", "-cp", cp, "graft.streaming.BrokerMain") ++
             childArgs): _*)
           .redirectErrorStream(false)
           .start()
@@ -148,8 +158,20 @@ object BrokerScaleSoak {
       }
     }
 
-    val one = phase(1)
-    val many = phase(maxBrokers)
+    val (one, many) =
+      try (phase(1), phase(maxBrokers))
+      finally runRoot.foreach { rr =>
+        // best-effort reclaim of this run's WAL bytes (children are dead
+        // by here; a failure just leaves the uniquely-named dir behind)
+        import scala.jdk.CollectionConverters._
+        import java.nio.file.{Files => NF}
+        try {
+          val walk = NF.walk(rr)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => NF.deleteIfExists(p))
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
     val speedup = many.toDouble / one
     val line =
       s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers,"durable":${dataRoot.isDefined}}"""

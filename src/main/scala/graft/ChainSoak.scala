@@ -62,7 +62,17 @@ object ChainSoak {
     // unit messages stage A must emit: Σ (i%10+1) over the updates
     val nUnits = (0L until nMsgs).iterator.map(_ % 10 + 1).sum
 
-    val dataRoot = args.lift(3).filter(_.nonEmpty)
+    // Per-run pid+nanos segment under dataRoot: the documented workflow
+    // runs memory-only + durable back-to-back (and durable A/B twice) —
+    // a verbatim-reused b$i dir would make run 2's brokers REPLAY run
+    // 1's compacted WAL (seq counters resume past nMsgs, retained state
+    // and subscriptions ride into the measurement), silently charging
+    // the durable arm recovery work the memory-only arm never pays.
+    val runRoot = args.lift(3).filter(_.nonEmpty).map { r =>
+      java.nio.file.Paths.get(r,
+        s"run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    }
+    val dataRoot = runRoot.map(_.toString)
     // broker 0 carries the pre-published `in` topic; all members carry
     // their shard of `units`
     val brokers = (0 until math.max(1, nBrokers)).map { i =>
@@ -166,6 +176,18 @@ object ChainSoak {
       s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"durable":${dataRoot.isDefined},"hops":2,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
+    // best-effort reclaim of this run's WAL bytes (brokers stopped above;
+    // a failure just leaves the uniquely-named run dir behind)
+    runRoot.foreach { rr =>
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.{Files => NF}
+      try {
+        val walk = NF.walk(rr)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => NF.deleteIfExists(p))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
     spark.stop()
   }
 }

@@ -182,6 +182,10 @@ class MiniBroker(dataDir: Option[String] = None,
   // trimmed M lines plus superseded A lines. Approximate by design; it
   // only decides WHEN to compact, never WHAT survives.
   private val walReclaimable = new AtomicLong(0L)
+  // Observability hook: in-place compactions this incarnation has paid.
+  // The amortization spec asserts on it — the dead ≥ live gate is about
+  // how OFTEN the rewrite runs, which file size alone can't pin.
+  private[streaming] val walCompactions = new AtomicLong(0L)
 
   /** Append-only durability log. One instance per broker, shared across
     * topics: the appender serializes line writes under its own monitor
@@ -266,6 +270,13 @@ class MiniBroker(dataDir: Option[String] = None,
         rewriteCompacted(lines)
         openAppender()
       } catch { case e: java.io.IOException => failed = true; throw e }
+    }
+
+    /** Current on-disk size. Accurate whenever no append is mid-flight:
+      * every append/appendAll ends in flush(), so between mutations the
+      * buffered writer holds nothing back. */
+    def sizeBytes(): Long = synchronized {
+      if (NF.exists(file)) NF.size(file) else 0L
     }
 
     def close(): Unit = synchronized { if (out != null) out.close() }
@@ -488,18 +499,34 @@ class MiniBroker(dataDir: Option[String] = None,
   }
 
   /** In-place WAL compaction once the reclaimable estimate crosses the
-    * threshold. Re-checks under the write lock: concurrent acks race to
-    * this point and only one pays; the rest see a reset counter. */
-  private def maybeCompactWal(): Unit =
-    if (walReclaimable.get() >= walCompactMinBytes) wal.foreach { w =>
+    * threshold AND makes up at least half the file — the rewrite costs
+    * O(bytes retained), so gating on dead bytes alone would let a broker
+    * with a huge pinned backlog (one laggy sub holding gigabytes under
+    * min-ack) rewrite the whole retained snapshot every ~threshold of
+    * acks, stalling all mutations for seconds to reclaim crumbs. The
+    * dead ≥ live gate is the standard log-structured amortization: each
+    * retained byte is rewritten at most once per doubling of dead bytes,
+    * so compaction cost stays O(1) amortized per byte ever written.
+    * Re-checks under the write lock: concurrent acks race to this point
+    * and only one pays; the rest see a reset counter. */
+  private def maybeCompactWal(): Unit = wal.foreach { w =>
+    // both gates checked lock-free first: while the ratio gate declines
+    // (dead past threshold but live dominates), acks must NOT pay the
+    // exclusive write lock just to re-decline — sizeBytes() serializes
+    // only on the Wal's own monitor
+    val d0 = walReclaimable.get()
+    if (d0 >= walCompactMinBytes && d0 * 2 >= w.sizeBytes()) {
       val wlock = mutGate.writeLock(); wlock.lock()
       try {
-        if (walReclaimable.get() >= walCompactMinBytes) {
+        val dead = walReclaimable.get()
+        if (dead >= walCompactMinBytes && dead * 2 >= w.sizeBytes()) {
           w.compactInPlace(snapshotLines())
           walReclaimable.set(0L)
+          walCompactions.incrementAndGet()
         }
       } finally wlock.unlock()
     }
+  }
 
   /** Drop retained messages at or below the minimum cumulative ack across
     * the topic's subscriptions. No subscriptions ⇒ no trim (a pre-flood

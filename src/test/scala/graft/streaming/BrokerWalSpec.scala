@@ -295,4 +295,60 @@ class BrokerWalSpec extends AnyFunSuite {
     try assert(b2.ackedSeq("ar", "s") == 8L)
     finally b2.stop()
   }
+
+  test("compaction is amortized: a pinned backlog suppresses the rewrite until dead bytes reach live bytes") {
+    // The rewrite costs O(bytes RETAINED), but the threshold counts bytes
+    // DEAD — on a broker where one laggy subscription pins a big backlog,
+    // a dead-bytes-only trigger would rewrite the whole retained snapshot
+    // every ~threshold of churn, stalling all mutations to reclaim
+    // crumbs. The dead ≥ live gate makes each retained byte get rewritten
+    // at most once per doubling of dead bytes. This scenario pins the
+    // gate itself via the compaction counter: file size alone can't
+    // distinguish "compacted early, grew back" from "never compacted".
+    val dir = tmpDir()
+    val walFile = dir.resolve("wal.log")
+    val threshold = 4L << 10 // 4 KiB — tiny, so the churn crosses it fast
+    val b = new MiniBroker(Some(dir.toString), walCompactMinBytes = threshold)
+    val port = b.start()
+    val c = new Cli(port)
+    val payload = b64("p" * 80) // ~108 b64 chars → ~128 B per WAL line
+    try {
+      // pinned backlog: a subscriber that never acks holds min-ack at 0,
+      // so these 800 M lines (~100 KiB) stay retained — all LIVE bytes
+      c.send("REG pinned idle"); assert(c.read() == "OK 0")
+      c.sendAll(s"PUBA pinned 800" +: Seq.fill(800)(payload))
+      assert(c.read() == "OK 800")
+      val pinnedBytes = Files.size(walFile)
+      assert(pinnedBytes > (90L << 10), s"backlog too small: $pinnedBytes")
+
+      c.send("REG churn u"); assert(c.read() == "OK 0")
+      var seq = 0L
+      def churnRound(): Unit = {
+        c.sendAll(s"PUBA churn 20" +: Seq.fill(20)(payload))
+        val ok = c.read(); assert(ok.startsWith("OK "), ok)
+        seq = ok.drop(3).toLong
+        c.send(s"ACK churn u $seq")
+        // STAT syncs: the handler thread ran the ACK — and any
+        // compaction decision — before answering
+        c.send(s"STAT churn u"); assert(c.read() == s"SEQ $seq $seq")
+      }
+      // ~20 KiB dead = 5× the threshold: a dead-bytes-only trigger would
+      // have rewritten the 100 KiB snapshot ~4 times by now
+      for (_ <- 1 to 8) churnRound()
+      assert(b.walCompactions.get() == 0L,
+        s"compacted while live bytes dominated (dead ≈ 5× threshold, live ≈ 100 KiB)")
+      // keep churning: dead eventually reaches live and ONE rewrite fires
+      var rounds = 0
+      while (b.walCompactions.get() == 0L && rounds < 80) {
+        churnRound(); rounds += 1
+      }
+      assert(b.walCompactions.get() == 1L,
+        s"no compaction after $rounds extra rounds — gate never opens")
+      // the compacted file is the live snapshot: pinned backlog + headers,
+      // not the ~120 KiB of churn history that preceded the rewrite
+      val after = Files.size(walFile)
+      assert(after < (pinnedBytes * 14) / 10,
+        s"post-compaction size $after vs pinned $pinnedBytes — dead bytes survived")
+    } finally { c.close(); b.stop() }
+  }
 }
