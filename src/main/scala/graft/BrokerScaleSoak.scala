@@ -28,8 +28,10 @@ import graft.streaming.BrokerGroup
   *
   * No Spark in this soak: it isolates the broker tier the way the wire
   * soaks isolate ingest. Usage:
-  * `sbt "runMain graft.BrokerScaleSoak [nMsgs] [maxBrokers] [producers] [dataRoot]"`
-  * (non-empty dataRoot ⇒ durable children — see the field note below).
+  * `sbt "runMain graft.BrokerScaleSoak [nMsgs] [maxBrokers] [producers] [dataRoot [sync]]"`
+  * (non-empty dataRoot ⇒ durable children — see the field note below;
+  * a literal 5th arg `sync` adds fdatasync per PUBB chunk: the
+  * power-loss-durable ingest price).
   */
 object BrokerScaleSoak {
   def main(args: Array[String]): Unit = {
@@ -56,6 +58,7 @@ object BrokerScaleSoak {
         s"run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     }
     val dataRoot = runRoot.map(_.toString)
+    val walSync = args.length > 4 && args(4) == "sync"
     val batch = 10000
 
     /** Spawn k broker JVMs; returns (processes, endpoints). */
@@ -67,7 +70,7 @@ object BrokerScaleSoak {
           val d = java.nio.file.Paths.get(r, s"$phaseLabel-b$i")
           java.nio.file.Files.createDirectories(d)
           d.toString
-        }.toSeq
+        }.toSeq ++ (if (walSync) Seq("0", "sync") else Seq.empty)
         val p = new ProcessBuilder(
           (Seq(javaBin, "-Xmx4g", "-cp", cp, "graft.streaming.BrokerMain") ++
             childArgs): _*)
@@ -174,7 +177,7 @@ object BrokerScaleSoak {
       }
     val speedup = many.toDouble / one
     val line =
-      s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers,"durable":${dataRoot.isDefined}}"""
+      s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers,"durable":${dataRoot.isDefined},"wal_sync":$walSync}"""
     System.err.println(line)
     println(line)
   }

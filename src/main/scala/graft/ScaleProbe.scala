@@ -193,6 +193,60 @@ object ScaleProbe {
       f"stored-sketch recall@10: ${recall10(stored)}%.2f  (truth=planted: " +
       s"${truth == (1L to 10L).toSet})")
 
+    // ---- Product quantization at production shape (M=8, ksub=256 — one
+    // byte per subspace exactly): train per-subspace codebooks, persist a
+    // CODES-ONLY table (vec_id + 8 tinyints — the 100 TB store is 8 B/row
+    // next to 256 B/row of float32), then answer the probe from codes
+    // alone (ADC shortlist) + exact re-rank on the PqShortlist survivors
+    // fetched back from the vector table. The pq_scan time against the
+    // q_similarity_topk full-precision pass above is the compression
+    // dividend; recall@10 on the planted twins is the price (expected
+    // 1.0: twin ADC ≈ reconstruction error ≪ sea distance).
+    {
+      val ksubP = 256
+      val eAll = spark.read.parquet(s"$vdir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      var cbP: Array[Array[Array[Double]]] = null
+      time(s"pq_train ksub=$ksubP") {
+        cbP = graft.operators.SimilarityOps.pqTrain(eAll, 8, ksubP, 2)
+        cbP.length
+      }
+      time("pq_encode") {
+        graft.operators.SimilarityOps.pqEncode(eAll, cbP)
+          .select("vec_id", "code")
+          .write.mode("overwrite").parquet(s"$vdir/pqcodes")
+        1
+      }
+      val pv = eAll.filter(col("vec_id") === 0)
+        .select("v").head().getSeq[Double](0).toArray
+      val lutP = graft.operators.SimilarityOps.pqLut(cbP, pv)
+      var short = Array.empty[Long]
+      time("pq_scan (codes-only ADC shortlist)") {
+        short = spark.read.parquet(s"$vdir/pqcodes")
+          .filter(col("vec_id") =!= 0)
+          .withColumn("adc", graft.operators.SimilarityOps.pqAdcCol(lutP, ksubP))
+          .orderBy(col("adc").asc, col("vec_id")).limit(64)
+          .select("vec_id").as[Long].collect()
+        short.length
+      }
+      var pq = Array.empty[Long]
+      time("pq_rerank (exact cosine on 64)") {
+        val probe = broadcast(eAll.filter(col("vec_id") === 0)
+          .select(col("v").as("p")))
+        pq = topIds(eAll.filter(col("vec_id").isin(short: _*))
+          .crossJoin(probe)
+          .select(col("vec_id"), expr("cosine_sim(v, p)").as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10))
+        pq.length
+      }
+      val pqRecall = recall10(pq)
+      println(f"[scale-probe] pq recall@10: $pqRecall%.2f  " +
+        s"(codes table: 8 B/vec vs 256 B/vec float32)")
+      require(pqRecall >= 0.9,
+        s"PQ+rerank recall@10 $pqRecall below 0.9 on planted twins")
+    }
+
     // ---- k-means + SemDeDup at scale: k SCALES WITH n (the registered
     // queries pin k=8 only for the DuckDB oracle replay). n/k vectors per
     // cell keeps each within-cell pair block ~constant: at k=√(n/2) the

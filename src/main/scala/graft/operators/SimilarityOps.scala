@@ -86,6 +86,20 @@ object SimilarityOps {
     * fixture's random-vector cosine spread. */
   private val ClusterDedupTau = 0.35
 
+  // ---- Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 33(1), 2011) ----
+  // The memory-side scale path the IVF/LSH family doesn't cover: a Dim=64
+  // float vector is 256 bytes (512 as double); its PQ code is PqM bytes.
+  // Registry knobs are FIXTURE-sized (ksub=16 codes per subspace over a
+  // ≤5k-vector corpus — 256 would give most codes an empty cell); the
+  // production shape is ksub=256 (one byte per subspace exactly), which
+  // the helpers take as a parameter and ScaleProbe exercises at 1M
+  // vectors. Like KmK/KmIters these are pinned so reruns are identical.
+  private val PqM = 8          // subspaces → code = 8 bytes
+  private val PqKsub = 16      // codes per subspace (production: 256)
+  private val PqIters = 2      // Lloyd's rounds per subspace codebook
+  private val PqShortlist = 64 // ADC candidates kept for exact re-rank
+
   /** The 3-word shingle array of a pre-split word column — the ONE place
     * shingle tokenization lives (review finding: three inline copies had
     * drifted on the short-document clamp). Documents with fewer than 3
@@ -879,6 +893,41 @@ object SimilarityOps {
       sketched.filter(col("vec_id") =!= 0)
         .crossJoin(probe)
         .filter(bit_count(col("sketch").bitwiseXOR(col("psketch"))) <= 3)
+        .select(col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Product-quantized ANN (Jégou et al. 2011): the COMPRESSED scale
+    // path. Per-subspace codebooks (PqM=8 slices of 8 dims, PqKsub codes
+    // each, Lloyd's per subspace) turn every vector into PqM bytes; the
+    // probe turns into a PqM×PqKsub lookup table of partial squared
+    // distances, and candidate scoring reads ONLY the code column — a
+    // flat 8-term codegen'd sum of element_at's into one literal array,
+    // no vector arithmetic, no vector I/O. At 100 TB this is the
+    // difference between scanning 256 B/row and 8 B/row for the shortlist
+    // pass; exact cosine is then paid on PqShortlist rows only. Shortlist
+    // ranking is approximate ⇒ no DuckDB oracle (q_ivf_topk precedent);
+    // PqSpec pins ADC-vs-driver bit-identity, determinism, and planted
+    // recall, and ScaleProbe measures the scan at 1M vectors / ksub=256.
+    "q_pq_topk" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cb = pqTrain(e, PqM, PqKsub, PqIters)
+      val pv = e.filter(col("vec_id") === 0)
+        .select("v").head().getSeq[Double](0).toArray
+      val lut = pqLut(cb, pv)
+      val probe = broadcast(
+        e.filter(col("vec_id") === 0).select(col("v").as("p")))
+      pqEncode(e.filter(col("vec_id") =!= 0), cb)
+        .withColumn("adc", pqAdcCol(lut, PqKsub))
+        // ADC shortlist: TakeOrderedAndProject (per-partition top-N, then
+        // one N-row driver merge) — never a full sort/shuffle
+        .orderBy(col("adc").asc, col("vec_id"))
+        .limit(PqShortlist)
+        .crossJoin(probe)
         .select(col("vec_id"),
           (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
             * 1000000) / 1000000).as("cos"))
@@ -1792,6 +1841,146 @@ object SimilarityOps {
              SELECT vec_id, cid, d,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
              FROM df) WHERE rk = 1)"""
+  }
+
+  // ---- Product-quantization helpers (q_pq_topk; Jégou et al. 2011) ----
+
+  /** Argmin-squared-L2 code for `v(off..off+dsub)` against one subspace's
+    * codebook; ties break LOW like every assignment in this file (strict
+    * `<`), so codes are deterministic under duplicate codebook entries. */
+  private[graft] def pqNearest(
+      codes: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < codes.length) {
+      val ce = codes(c)
+      var dd = 0.0
+      var j = 0
+      while (j < ce.length) { val t = v(off + j) - ce(j); dd += t * t; j += 1 }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace Lloyd's: `nSub` independent ksub-means over the Dim/nSub
+    * slices, all subspaces trained in the SAME corpus scans — each round
+    * is one mapPartitions (assign every slice, emit (m, cid, slice)) + one
+    * codegen'd partial-aggregating groupBy(m, cid) mean + one nSub×ksub-row
+    * collect for the next broadcast, exactly [[kmCentroids]]'s scalable
+    * shape ×nSub without ×nSub scans. Init = slices of the first ksub
+    * vec_ids; emptied cells keep their previous entry; means rounded 1e-4
+    * (the iterative-float family contract — here it only pins determinism
+    * across reruns, since no SQL oracle replays PQ). */
+  private[graft] def pqTrain(
+      e: DataFrame, nSub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dsub = Dim / nSub
+    require(dsub * nSub == Dim, s"Dim=$Dim not divisible by nSub=$nSub")
+    var cb: Array[Array[Array[Double]]] = {
+      val seed = e.filter(col("vec_id") < ksub)
+        .select(col("vec_id").cast("int"), col("v"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+      require(seed.length == ksub,
+        s"PQ init needs vec_ids 0..${ksub - 1} present (got ${seed.length})")
+      Array.tabulate(nSub)(m => seed.map(_.slice(m * dsub, m * dsub + dsub)))
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val assigned = e.select(col("vec_id").cast("long"), col("v"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val books = bc.value
+          val n = books.length
+          val ds = books(0)(0).length
+          it.flatMap { case (_, v) =>
+            Iterator.tabulate(n) { m =>
+              (m, pqNearest(books(m), v, m * ds),
+                v.slice(m * ds, m * ds + ds))
+            }
+          }
+        }
+        .toDF("m", "cid", "sub")
+      val sums = (0 until dsub).map(j =>
+        sum(element_at(col("sub"), j + 1)).as(s"s$j"))
+      val updated = assigned.groupBy("m", "cid")
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        .select(col("m"), col("cid"),
+          array((0 until dsub).map(j =>
+            round(col(s"s$j") / col("n") * 10000) / 10000): _*).as("c"))
+        .as[(Int, Int, Array[Double])].collect()
+        .map { case (m, c, arr) => (m, c) -> arr }.toMap
+      cb = Array.tabulate(nSub)(m => Array.tabulate(ksub)(c =>
+        updated.getOrElse((m, c), cb(m)(c))))
+    }
+    cb
+  }
+
+  /** (vec_id, v, code array<tinyint> of nSub entries): one map-side pass,
+    * codebooks ride one broadcast. tinyint is the honest storage width —
+    * ksub ≤ 256 — and Tungsten packs tinyint array elements at one byte. */
+  private[graft] def pqEncode(
+      e: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val books = bc.value
+        val n = books.length
+        val ds = books(0)(0).length
+        it.map { case (id, v) =>
+          val code = new Array[Short](n)
+          var m = 0
+          while (m < n) {
+            code(m) = pqNearest(books(m), v, m * ds).toShort
+            m += 1
+          }
+          (id, v, code)
+        }
+      }
+      .toDF("vec_id", "v", "code")
+      .withColumn("code", col("code").cast("array<tinyint>"))
+  }
+
+  /** The probe's ADC table: lut(m·ksub + c) = ‖p_sub(m) − cb(m)(c)‖² —
+    * nSub×ksub doubles computed once on the driver per probe. */
+  private[graft] def pqLut(
+      cb: Array[Array[Array[Double]]], p: Array[Double]): Array[Double] = {
+    val nSub = cb.length
+    val ksub = cb(0).length
+    val dsub = p.length / nSub
+    val lut = new Array[Double](nSub * ksub)
+    var m = 0
+    while (m < nSub) {
+      var c = 0
+      while (c < ksub) {
+        val ce = cb(m)(c)
+        var dd = 0.0
+        var j = 0
+        while (j < dsub) { val t = p(m * dsub + j) - ce(j); dd += t * t; j += 1 }
+        lut(m * ksub + c) = dd
+        c += 1
+      }
+      m += 1
+    }
+    lut
+  }
+
+  /** ADC score column over a `code` column: Σ_m lut(m·ksub + code(m)),
+    * spelled as a FLAT left-to-right sum of element_at's into one literal
+    * array (whole-stage codegen; a when-chain or HOF lambda would not be)
+    * — the addition order matches [[pqLut]]-based driver replay ascending
+    * in m, so PqSpec can assert bit-identity, not approximate equality. */
+  private[graft] def pqAdcCol(lut: Array[Double], ksub: Int): Column = {
+    val lutCol = array(lut.map(lit): _*)
+    val nSub = lut.length / ksub
+    (0 until nSub).map { m =>
+      element_at(lutCol, get(col("code"), lit(m)).cast("int") + lit(m * ksub + 1))
+    }.reduce(_ + _)
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -13,16 +13,19 @@ package graft.streaming
   * for the same reason — deploy:34-77).
   */
 object BrokerMain {
-  /** `BrokerMain [dataDir [port]]` — a non-empty dataDir makes the
-    * broker durable (WAL replay on start, see [[MiniBroker]]'s
+  /** `BrokerMain [dataDir [port [sync]]]` — a non-empty dataDir makes
+    * the broker durable (WAL replay on start, see [[MiniBroker]]'s
     * durability contract); a non-zero port rebinds a restarted broker to
     * its previous endpoint so producers' retry loops reconnect without
-    * re-discovery. [[graft.streaming.BrokerKillChaosSpec]] drives both:
+    * re-discovery; a literal third arg `sync` upgrades the WAL to
+    * fdatasync-per-mutation-batch (power-loss durability).
+    * [[graft.streaming.BrokerKillChaosSpec]] drives the first two:
     * kill -9 this process mid-PUBA, restart on the same dataDir. */
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.filter(_.nonEmpty)
     val fixedPort = if (args.length > 1) args(1).toInt else 0
-    val broker = new MiniBroker(dataDir)
+    val walSync = args.length > 2 && args(2) == "sync"
+    val broker = new MiniBroker(dataDir, walSync = walSync)
     val port = broker.start(fixedPort)
     // parent parses this line; flush before blocking
     println(s"PORT $port")

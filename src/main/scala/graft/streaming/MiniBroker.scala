@@ -99,10 +99,13 @@ import scala.collection.mutable.ArrayBuffer
   * visible to consumers (and before PUBA answers OK), so a killed broker
   * process restarted on the same dataDir replays to exactly the state
   * its clients could have observed: messages a producer got an OK for
-  * are never lost, acks recorded are never regressed. Flush-not-fsync —
-  * process-kill durability (the chaos [[BrokerWalSpec]] /
-  * [[BrokerKillChaosSpec]] inject); power-loss durability is the same
-  * code with a `getFD.sync()` after the flush.
+  * are never lost, acks recorded are never regressed. Flush-not-fsync by
+  * default — process-kill durability (the chaos [[BrokerWalSpec]] /
+  * [[BrokerKillChaosSpec]] inject); `walSync = true` upgrades to
+  * power-loss durability: the same flush points additionally
+  * `FileChannel.force(false)` the log (and compaction force-syncs the
+  * snapshot before its rename and the directory after), so an OK'd
+  * publish survives a host crash, at one fdatasync per mutation batch.
   * A torn final line (killed mid-append) is skipped on replay — by
   * construction only the last line can be torn, because every append is
   * one full line followed by a flush; a FAILED append (disk full, I/O
@@ -134,7 +137,8 @@ import scala.collection.mutable.ArrayBuffer
   * O(retained state + threshold), not O(total history).
   */
 class MiniBroker(dataDir: Option[String] = None,
-    walCompactMinBytes: Long = 64L << 20) {
+    walCompactMinBytes: Long = 64L << 20,
+    walSync: Boolean = false) {
   /** Upper bound on a PUBB batch's client-declared line count. The broker
     * allocates the batch buffer from this number before any payload
     * arrives, so it must be bounded by the server, not trusted from the
@@ -192,10 +196,31 @@ class MiniBroker(dataDir: Option[String] = None,
     * (mutations of DIFFERENT topics run under different log monitors, so
     * the WAL needs its own), and every append is write-line + flush — the
     * unit of atomicity the torn-tail replay rule relies on. */
-  private final class Wal(dir: java.nio.file.Path) {
+  private final class Wal(dir: java.nio.file.Path, sync: Boolean) {
     import java.nio.file.{Files => NF, StandardCopyOption}
     private val file = dir.resolve("wal.log")
     private var out: java.io.Writer = _
+    // the appender's own stream, kept for force(): `out` may be swapped
+    // by failWritesForTest, and a Writer exposes no descriptor
+    private var fos: java.io.FileOutputStream = _
+
+    /** The durability point of every mutation: drain the buffer to the
+      * OS (kill-safe), then — in sync mode — fdatasync it to the device
+      * (crash-safe). Callers wrap this in their poison try/catch: a
+      * failed force is as log-ending as a failed write. */
+    private def flushSync(): Unit = {
+      out.flush()
+      if (sync && fos != null) fos.getChannel.force(false)
+    }
+
+    /** fsync the WAL's directory — makes a just-renamed snapshot's
+      * directory entry itself crash-durable (rename is atomic but not
+      * persistent until the dir's metadata reaches the device). */
+    private def forceDir(): Unit = {
+      val ch = java.nio.channels.FileChannel.open(
+        dir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    }
 
     /** Surviving lines of the previous incarnation's log: everything up
       * to the last newline. Bytes past it are the torn tail of the append
@@ -218,17 +243,27 @@ class MiniBroker(dataDir: Option[String] = None,
       * never a half-written hybrid. */
     def rewriteCompacted(lines: Iterator[String]): Unit = {
       val tmp = dir.resolve("wal.log.tmp")
-      val w = NF.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-      try lines.foreach { l => w.write(l); w.write('\n') }
-      finally w.close()
+      val tfos = new java.io.FileOutputStream(tmp.toFile)
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(tfos, StandardCharsets.UTF_8))
+      try {
+        lines.foreach { l => w.write(l); w.write('\n') }
+        w.flush()
+        // sync mode: the snapshot's BYTES must be on the device before
+        // the rename can make it the log — rename-before-data could
+        // crash into an empty wal.log that replays as a fresh broker
+        if (sync) tfos.getChannel.force(false)
+      } finally w.close()
       NF.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      if (sync) forceDir()
     }
 
-    def openAppender(): Unit =
-      out = NF.newBufferedWriter(file, StandardCharsets.UTF_8,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+    def openAppender(): Unit = {
+      fos = new java.io.FileOutputStream(file.toFile, /*append=*/ true)
+      out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fos, StandardCharsets.UTF_8))
+    }
 
     // Poisoned after any failed write: a throw mid-line (disk full) may
     // leave PARTIAL bytes in the file/buffer, and a later append from
@@ -243,16 +278,17 @@ class MiniBroker(dataDir: Option[String] = None,
 
     def append(line: String): Unit = synchronized {
       guard()
-      try { out.write(line); out.write('\n'); out.flush() }
+      try { out.write(line); out.write('\n'); flushSync() }
       catch { case e: java.io.IOException => failed = true; throw e }
     }
 
-    /** Batch form: n lines, ONE flush — the PUBB/PUBA hot path. */
+    /** Batch form: n lines, ONE flush (one fdatasync in sync mode) —
+      * the PUBB/PUBA hot path. */
     def appendAll(lines: Iterator[String]): Unit = synchronized {
       guard()
       try {
         lines.foreach { l => out.write(l); out.write('\n') }
-        out.flush()
+        flushSync()
       } catch { case e: java.io.IOException => failed = true; throw e }
     }
 
@@ -355,7 +391,7 @@ class MiniBroker(dataDir: Option[String] = None,
   private val wal: Option[Wal] = dataDir.map { d =>
     val dir = java.nio.file.Paths.get(d)
     java.nio.file.Files.createDirectories(dir)
-    val w = new Wal(dir)
+    val w = new Wal(dir, walSync)
     w.readLines().foreach(replayLine)
     topics.forEach((name, _) => maybeTrim(name))
     w.rewriteCompacted(snapshotLines())
