@@ -1936,7 +1936,10 @@ object SimilarityOps {
           val code = new Array[Short](n)
           var m = 0
           while (m < n) {
-            code(m) = pqNearest(books(m), v, m * ds).toShort
+            // low 8 bits, two's complement: tinyint is SIGNED, so
+            // ksub=256's codes 128..255 ride as -128..-1 (an ANSI cast
+            // of the raw value overflows); pqAdcCol re-widens with &0xFF
+            code(m) = pqNearest(books(m), v, m * ds).toByte.toShort
             m += 1
           }
           (id, v, code)
@@ -1974,12 +1977,20 @@ object SimilarityOps {
     * spelled as a FLAT left-to-right sum of element_at's into one literal
     * array (whole-stage codegen; a when-chain or HOF lambda would not be)
     * — the addition order matches [[pqLut]]-based driver replay ascending
-    * in m, so PqSpec can assert bit-identity, not approximate equality. */
+    * in m, so PqSpec can assert bit-identity, not approximate equality.
+    * The LUT ships as ONE ArrayType Literal (`lit(lut)`), which codegen
+    * emits as a referenced constant — spelling it `array(lit, lit, …)`
+    * generates one assignment statement per element, and at the
+    * production shape (8×256 = 2048 doubles) that blew janino's 64 KB
+    * method limit and killed the 1M-vector probe run. */
   private[graft] def pqAdcCol(lut: Array[Double], ksub: Int): Column = {
-    val lutCol = array(lut.map(lit): _*)
+    val lutCol = lit(lut)
     val nSub = lut.length / ksub
     (0 until nSub).map { m =>
-      element_at(lutCol, get(col("code"), lit(m)).cast("int") + lit(m * ksub + 1))
+      // & 0xFF undoes the signed-tinyint storage (see pqEncode)
+      element_at(lutCol,
+        get(col("code"), lit(m)).cast("int").bitwiseAND(lit(255))
+          + lit(m * ksub + 1))
     }.reduce(_ + _)
   }
 

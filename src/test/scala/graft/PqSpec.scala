@@ -68,7 +68,10 @@ class PqSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray)
       .toMap
     assert(codes.size == n)
-    assert(codes.values.forall(c => c.length == 8 && c.forall(b => b >= 0 && b < 16)))
+    // codes ride as the low 8 bits (signed tinyint storage); at ksub=16
+    // the &0xFF-widened value must index 0..15
+    assert(codes.values.forall(c =>
+      c.length == 8 && c.forall(b => (b & 0xff) < 16)))
     // full rerun: same codebooks (rounded means), same codes
     val cb2 = SimilarityOps.pqTrain(e, 8, 16, 2)
     assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
@@ -95,7 +98,7 @@ class PqSpec extends AnyFunSuite {
       val code = r.getSeq[Byte](1)
       var exp = 0.0
       var m = 0
-      while (m < 8) { exp += lut(m * 16 + code(m)); m += 1 } // m-ascending
+      while (m < 8) { exp += lut(m * 16 + (code(m) & 0xff)); m += 1 } // m-ascending
       assert(java.lang.Double.compare(exp, r.getDouble(2)) == 0,
         s"vec ${r.getLong(0)}: ADC ${r.getDouble(2)} != driver $exp")
     }
@@ -113,6 +116,45 @@ class PqSpec extends AnyFunSuite {
     // the probe (vec_id % 20 == 0) are the exact head
     val mates = (1 until n).filter(_ % nClusters == 0).map(_.toLong).toSet
     assert(exact.map(_._1).toSet == mates)
+  }
+
+  test("production ksub=256: codes above 127 survive signed-tinyint storage") {
+    // The shape ScaleProbe runs: one byte per subspace EXACTLY, which
+    // means codes 128..255 must ride the signed tinyint as negatives and
+    // re-widen with &0xFF — an ANSI cast of the raw value overflows (the
+    // bug this test pins: first 1M-vector probe run died on cast(255 as
+    // tinyint)).
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat), 0)
+    }
+    val d3 = "/tmp/graft_pq_spec_256"
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d3/embeddings.parquet")
+    val e3 = spark.read.parquet(s"$d3/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cb = SimilarityOps.pqTrain(e3, 8, 256, 1)
+    val pv = e3.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toArray
+    val lut = SimilarityOps.pqLut(cb, pv)
+    val got = SimilarityOps.pqEncode(e3, cb)
+      .withColumn("adc", SimilarityOps.pqAdcCol(lut, 256))
+      .select(col("vec_id"), col("code"), col("adc"))
+      .collect()
+    assert(got.length == 300)
+    // with 256 init centroids drawn from 300 near-orthogonal gaussians,
+    // high codes are guaranteed — the signed wrap actually exercises
+    assert(got.exists(_.getSeq[Byte](1).exists(_ < 0)),
+      "no code above 127 — the wraparound path went unexercised")
+    got.foreach { r =>
+      val code = r.getSeq[Byte](1)
+      var exp = 0.0
+      var m = 0
+      while (m < 8) { exp += lut(m * 256 + (code(m) & 0xff)); m += 1 }
+      assert(java.lang.Double.compare(exp, r.getDouble(2)) == 0,
+        s"vec ${r.getLong(0)}: ADC ${r.getDouble(2)} != driver $exp at ksub=256")
+    }
   }
 
   test("duplicate init vectors: carry rule holds, ties break low") {
