@@ -245,6 +245,65 @@ object ScaleProbe {
         s"(codes table: 8 B/vec vs 256 B/vec float32)")
       require(pqRecall >= 0.9,
         s"PQ+rerank recall@10 $pqRecall below 0.9 on planted twins")
+
+      // ---- IVF-PQ at production shape (nlist=64 cells, residual
+      // codebooks at ksub=256, nprobe=8): the composed structure — the
+      // cell join prunes the ADC scan to ~nprobe/nlist of the codes
+      // table AND the residual codes are more precise at the same 8
+      // bytes. Store = (vec_id, cid, code): cid is the partition column
+      // a 100 TB layout would physically partition by, making the
+      // nprobe join partition pruning.
+      val nlist = 64
+      val nprobe = 8
+      var centsI: Array[(Int, Array[Double])] = null
+      time(s"ivfpq_train nlist=$nlist ksub=$ksubP") {
+        centsI = graft.operators.SimilarityOps.kmCentroids(eAll, nlist, 2)
+        val residI = graft.operators.SimilarityOps
+          .ivfPqResiduals(eAll, centsI)
+          .select(col("vec_id"), col("r").as("v"))
+        cbP = graft.operators.SimilarityOps.pqTrain(residI, 8, ksubP, 2)
+        cbP.length
+      }
+      time("ivfpq_encode (fused assign+residual+code)") {
+        graft.operators.SimilarityOps.ivfPqEncode(eAll, centsI, cbP)
+          .select("vec_id", "cid", "code")
+          .write.mode("overwrite").parquet(s"$vdir/ivfpqcodes")
+        1
+      }
+      val probedI = graft.operators.SimilarityOps
+        .ivfPqProbedCells(centsI, pv, nprobe)
+      val lutsI = probedI.map { case (cid, c) =>
+        (cid, graft.operators.SimilarityOps.pqLut(cbP,
+          Array.tabulate(pv.length)(j => pv(j) - c(j))))
+      }
+      val lutDfI = broadcast(
+        spark.createDataFrame(lutsI.toSeq).toDF("cid", "lut"))
+      var shortI = Array.empty[Long]
+      time(s"ivfpq_scan (nprobe=$nprobe cell join + ADC)") {
+        shortI = spark.read.parquet(s"$vdir/ivfpqcodes")
+          .filter(col("vec_id") =!= 0)
+          .join(lutDfI, "cid")
+          .withColumn("adc", graft.operators.SimilarityOps
+            .pqAdcColOf(col("lut"), col("code"), ksubP, 8))
+          .orderBy(col("adc").asc, col("vec_id")).limit(64)
+          .select("vec_id").as[Long].collect()
+        shortI.length
+      }
+      var ivfpq = Array.empty[Long]
+      time("ivfpq_rerank (exact cosine on 64)") {
+        val probe = broadcast(eAll.filter(col("vec_id") === 0)
+          .select(col("v").as("p")))
+        ivfpq = topIds(eAll.filter(col("vec_id").isin(shortI: _*))
+          .crossJoin(probe)
+          .select(col("vec_id"), expr("cosine_sim(v, p)").as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10))
+        ivfpq.length
+      }
+      val ivfpqRecall = recall10(ivfpq)
+      println(f"[scale-probe] ivfpq recall@10: $ivfpqRecall%.2f  " +
+        s"(probed $nprobe/$nlist cells)")
+      require(ivfpqRecall >= 0.9,
+        s"IVF-PQ recall@10 $ivfpqRecall below 0.9 on planted twins")
     }
 
     // ---- k-means + SemDeDup at scale: k SCALES WITH n (the registered

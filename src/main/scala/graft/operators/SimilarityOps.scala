@@ -934,6 +934,48 @@ object SimilarityOps {
         .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // IVF-PQ / IVFADC (Jégou et al. 2011 §IV-A): the two ANN structures
+    // composed — coarse k-means cells prune the scan to nprobe cells, PQ
+    // codes of the RESIDUAL v − centroid(cell) score the survivors from
+    // 8 bytes/row. The residual spends the code's precision on what
+    // distinguishes neighbors WITHIN a cell (everything the cell shares
+    // is in its centroid), the standard accuracy upgrade over flat PQ at
+    // the same code size. The per-cell LUTs arrive as a 3-row broadcast
+    // frame; the inner equi-join on cid is simultaneously the nprobe
+    // filter AND the LUT dispatch — no literal grows with nprobe, no
+    // second pass. No DuckDB oracle (approximate shortlist, q_ivf_topk /
+    // q_pq_topk precedent); IvfPqSpec pins joined-ADC bit-identity,
+    // probed-cell containment, determinism, and planted recall.
+    "q_ivfpq_topk" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, KmK, KmIters)
+      val resid = ivfPqResiduals(e, cents)
+        .select(col("vec_id"), col("r").as("v"))
+      val cb = pqTrain(resid, PqM, PqKsub, PqIters)
+      val pv = e.filter(col("vec_id") === 0)
+        .select("v").head().getSeq[Double](0).toArray
+      val luts = ivfPqProbedCells(cents, pv, nprobe = 3).map {
+        case (cid, c) =>
+          (cid, pqLut(cb, Array.tabulate(pv.length)(j => pv(j) - c(j))))
+      }
+      val lutDf = broadcast(
+        s.createDataFrame(luts.toSeq).toDF("cid", "lut"))
+      val probe = broadcast(
+        e.filter(col("vec_id") === 0).select(col("v").as("p")))
+      ivfPqEncode(e.filter(col("vec_id") =!= 0), cents, cb)
+        .join(lutDf, "cid")
+        .withColumn("adc", pqAdcColOf(col("lut"), col("code"), PqKsub, PqM))
+        .orderBy(col("adc").asc, col("vec_id"))
+        .limit(PqShortlist)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -1415,7 +1457,7 @@ object SimilarityOps {
     * and a k-row collect for the next broadcast — the canonical scalable
     * iterative shape. An emptied cluster keeps its previous centroid, the
     * same carry rule the oracle's LEFT JOIN + coalesce spells. */
-  private def kmCentroids(
+  private[graft] def kmCentroids(
       e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -1983,15 +2025,114 @@ object SimilarityOps {
     * generates one assignment statement per element, and at the
     * production shape (8×256 = 2048 doubles) that blew janino's 64 KB
     * method limit and killed the 1M-vector probe run. */
-  private[graft] def pqAdcCol(lut: Array[Double], ksub: Int): Column = {
-    val lutCol = lit(lut)
-    val nSub = lut.length / ksub
+  private[graft] def pqAdcCol(lut: Array[Double], ksub: Int): Column =
+    pqAdcColOf(lit(lut), col("code"), ksub, lut.length / ksub)
+
+  /** The same flat ADC sum over an arbitrary LUT column — the IVF-PQ
+    * path reads each row's lut from a broadcast-joined per-cell frame
+    * instead of one probe-global Literal. */
+  private[graft] def pqAdcColOf(
+      lutCol: Column, codeCol: Column, ksub: Int, nSub: Int): Column =
     (0 until nSub).map { m =>
       // & 0xFF undoes the signed-tinyint storage (see pqEncode)
       element_at(lutCol,
-        get(col("code"), lit(m)).cast("int").bitwiseAND(lit(255))
+        get(codeCol, lit(m)).cast("int").bitwiseAND(lit(255))
           + lit(m * ksub + 1))
     }.reduce(_ + _)
+
+  // ---- IVF-PQ (IVFADC — Jégou et al. 2011 §IV-A): PQ on RESIDUALS ----
+  // Residuals v − centroid(cell(v)) are far smaller than raw vectors
+  // (everything a cell shares is already in its centroid), so the same
+  // 8-byte code spends its precision on the part that distinguishes
+  // neighbors WITHIN a cell — the standard accuracy upgrade over flat PQ
+  // at identical code size, plus the cell structure prunes the scan to
+  // nprobe cells. Both building blocks already exist ([[kmCentroids]] /
+  // [[CentIndex]] for cells, [[pqTrain]] for codebooks); these helpers
+  // only compose them.
+
+  /** (vec_id, cid, v, r = v − centroid(cid)): the frame PQ codebooks
+    * train on. One map-side pass, centroids ride one broadcast. */
+  private[graft] def ivfPqResiduals(
+      e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new CentIndex(cents))
+    val bcC = spark.sparkContext.broadcast(cents.toMap)
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val cm = bcC.value
+        it.map { case (id, v) =>
+          val (cid, _) = idx.assign(v)
+          val c = cm(cid)
+          val r = new Array[Double](v.length)
+          var j = 0
+          while (j < v.length) { r(j) = v(j) - c(j); j += 1 }
+          (id, cid, v, r)
+        }
+      }
+      .toDF("vec_id", "cid", "v", "r")
+  }
+
+  /** (vec_id, cid, v, code): coarse-assign + residual + PQ-encode fused
+    * into ONE corpus pass (the produce-the-index job at 100 TB — the
+    * residual never materializes outside the loop). Codes store their
+    * low 8 bits, as in [[pqEncode]]. */
+  private[graft] def ivfPqEncode(
+      e: DataFrame, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new CentIndex(cents))
+    val bcC = spark.sparkContext.broadcast(cents.toMap)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val cm = bcC.value
+        val books = bcCb.value
+        val n = books.length
+        val ds = books(0)(0).length
+        it.map { case (id, v) =>
+          val (cid, _) = idx.assign(v)
+          val c = cm(cid)
+          val r = new Array[Double](v.length)
+          var j = 0
+          while (j < v.length) { r(j) = v(j) - c(j); j += 1 }
+          val code = new Array[Short](n)
+          var m = 0
+          while (m < n) {
+            code(m) = pqNearest(books(m), r, m * ds).toByte.toShort
+            m += 1
+          }
+          (id, cid, v, code)
+        }
+      }
+      .toDF("vec_id", "cid", "v", "code")
+      .withColumn("code", col("code").cast("array<tinyint>"))
+  }
+
+  /** The probe's nprobe nearest cells by the SAME arithmetic the data
+    * side assigns with — [[CentIndex.assign]]'s expanded
+    * `(v·v − 2·v·c) + c·c` in the same fold order, ties to the low cid —
+    * so "the probe's own cell is always probed" holds bit-for-bit, not
+    * just approximately (the direct Σ(v−c)² spelling can flip FP ties
+    * against the expanded form). */
+  private[graft] def ivfPqProbedCells(
+      cents: Array[(Int, Array[Double])], pv: Array[Double],
+      nprobe: Int): Array[(Int, Array[Double])] = {
+    var pp = 0.0
+    var i = 0
+    while (i < pv.length) { pp += pv(i) * pv(i); i += 1 }
+    cents.map { case (cid, c) =>
+      var pc = 0.0
+      var t = 0
+      while (t < c.length) { pc += pv(t) * c(t); t += 1 }
+      val cc = c.map(x => x * x).sum // same fold as CentIndex.cc
+      (cid, c, (pp - 2 * pc) + cc)
+    }.sortBy(t => (t._3, t._1)).take(nprobe).map(t => (t._1, t._2))
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ / IVFADC (SimilarityOps.ivfPqResiduals/ivfPqEncode/
+  * ivfPqProbedCells + pqAdcColOf, registry q_ivfpq_topk — Jégou et al.
+  * 2011 §IV-A). Like q_pq_topk, the shortlist is approximate ⇒ no DuckDB
+  * oracle; this spec is the correctness gate:
+  *
+  *  1. the probe's own cell is always probed — ivfPqProbedCells uses
+  *     CentIndex.assign's exact expanded arithmetic, so this is an
+  *     identity, not a probability;
+  *  2. the joined-LUT ADC column (pqAdcColOf over a broadcast per-cell
+  *     frame) is BIT-identical to a driver replay, and every candidate's
+  *     cid is one of the probed cells (the join IS the nprobe filter);
+  *  3. on planted clusters the registered pipeline returns EXACTLY the
+  *     exact brute-force top-10 — same rounding, same tie order;
+  *  4. the whole pipeline is deterministic across reruns.
+  */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dim = 64
+  private val nClusters = 20
+  private val n = 220
+  private val dir = "/tmp/graft_ivfpq_spec"
+
+  private lazy val written: Unit = {
+    val rng = new scala.util.Random(23)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      val v = Array.tabulate(dim)(j => (c(j) + 0.05 * rng.nextGaussian()).toFloat)
+      (i.toLong, v, 0)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def e = {
+    written
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+  }
+
+  test("probe's own cell is probed; joined ADC bit-identical; candidates cell-contained") {
+    val cents = SimilarityOps.kmCentroids(e, 8, 2)
+    val resid = SimilarityOps.ivfPqResiduals(e, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    val cb = SimilarityOps.pqTrain(resid, 8, 16, 2)
+    val pv = e.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toArray
+    val probed = SimilarityOps.ivfPqProbedCells(cents, pv, 3)
+    // identity, not probability: the probe's assigned cell leads the list
+    val ownCell = new SimilarityOps.CentIndex(cents).assign(pv)._1
+    assert(probed.head._1 == ownCell,
+      s"probed head ${probed.head._1} != probe's own cell $ownCell")
+
+    val luts = probed.map { case (cid, c) =>
+      cid -> SimilarityOps.pqLut(cb, Array.tabulate(pv.length)(j => pv(j) - c(j)))
+    }
+    val lutDf = broadcast(
+      spark.createDataFrame(luts.toSeq).toDF("cid", "lut"))
+    val got = SimilarityOps.ivfPqEncode(e, cents, cb)
+      .join(lutDf, "cid")
+      .withColumn("adc",
+        SimilarityOps.pqAdcColOf(col("lut"), col("code"), 16, 8))
+      .select(col("vec_id"), col("cid"), col("code"), col("adc"))
+      .collect()
+    assert(got.nonEmpty)
+    val probedSet = probed.map(_._1).toSet
+    val lutMap = luts.toMap
+    got.foreach { r =>
+      assert(probedSet.contains(r.getInt(1)),
+        s"candidate ${r.getLong(0)} leaked from unprobed cell ${r.getInt(1)}")
+      val lut = lutMap(r.getInt(1))
+      val code = r.getSeq[Byte](2)
+      var exp = 0.0
+      var m = 0
+      while (m < 8) { exp += lut(m * 16 + (code(m) & 0xff)); m += 1 }
+      assert(java.lang.Double.compare(exp, r.getDouble(3)) == 0,
+        s"vec ${r.getLong(0)}: joined ADC ${r.getDouble(3)} != driver $exp")
+    }
+  }
+
+  test("planted clusters: IVF-PQ shortlist + exact re-rank == exact top-10") {
+    val exact = SparkEntry.queries("q_similarity_topk")(spark, dir)
+      .collect().take(10).map(r => (r.getLong(0), r.getDouble(1)))
+    val got = SparkEntry.queries("q_ivfpq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    assert(got.toSeq == exact.toSeq,
+      s"IVF-PQ top-10 ${got.toSeq} != exact ${exact.toSeq}")
+  }
+
+  test("deterministic across reruns") {
+    val a = SparkEntry.queries("q_ivfpq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = SparkEntry.queries("q_ivfpq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "q_ivfpq_topk not deterministic")
+  }
+}
