@@ -24,7 +24,7 @@ import graft.streaming.{BrokerSink, MiniBroker, SocketEventSource, StreamOps}
   * unit.
   *
   * Usage:
-  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards] [brokers] [dataRoot]"`
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ChainSoak [nUpdates] [shards] [brokers] [dataRoot [sync]]"`
   * A non-empty 4th arg makes every broker DURABLE (per-member WAL dirs
   * under dataRoot) — the round-15 verdict's missing number: the same
   * wire path with one flush per PUBA chunk, so the artifact's rate is
@@ -73,6 +73,9 @@ object ChainSoak {
         s"run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     }
     val dataRoot = runRoot.map(_.toString)
+    // literal 5th arg `sync`: fdatasync per mutation batch (the
+    // power-loss-durable chain price — one force per PUBA chunk)
+    val walSync = args.length > 4 && args(4) == "sync"
     // broker 0 carries the pre-published `in` topic; all members carry
     // their shard of `units`
     val brokers = (0 until math.max(1, nBrokers)).map { i =>
@@ -80,7 +83,7 @@ object ChainSoak {
         val d = java.nio.file.Paths.get(r, s"b$i")
         java.nio.file.Files.createDirectories(d)
         d.toString
-      })
+      }, walSync = walSync)
     }
     val endpoints = brokers.map(b => ("127.0.0.1", b.start()))
     val broker = brokers.head
@@ -173,7 +176,7 @@ object ChainSoak {
       if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
       else -1L
     val line =
-      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"durable":${dataRoot.isDefined},"hops":2,"cpus":$cpus}"""
+      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"durable":${dataRoot.isDefined},"wal_sync":$walSync,"hops":2,"cpus":$cpus}"""
     System.err.println(line)
     println(line)
     // best-effort reclaim of this run's WAL bytes (brokers stopped above;
