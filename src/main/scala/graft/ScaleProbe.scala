@@ -265,9 +265,13 @@ object ScaleProbe {
         cbP.length
       }
       time("ivfpq_encode (fused assign+residual+code)") {
+        // PHYSICALLY partitioned by cell: at 100 TB the nprobe selection
+        // is then partition PRUNING — the scan below must touch only
+        // nprobe/nlist of the files on disk, not filter after reading
         graft.operators.SimilarityOps.ivfPqEncode(eAll, centsI, cbP)
           .select("vec_id", "cid", "code")
-          .write.mode("overwrite").parquet(s"$vdir/ivfpqcodes")
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$vdir/ivfpqcodes")
         1
       }
       val probedI = graft.operators.SimilarityOps
@@ -279,14 +283,20 @@ object ScaleProbe {
       val lutDfI = broadcast(
         spark.createDataFrame(lutsI.toSeq).toDF("cid", "lut"))
       var shortI = Array.empty[Long]
-      time(s"ivfpq_scan (nprobe=$nprobe cell join + ADC)") {
-        shortI = spark.read.parquet(s"$vdir/ivfpqcodes")
+      time(s"ivfpq_scan (nprobe=$nprobe pruned-partition ADC)") {
+        val scan = spark.read.parquet(s"$vdir/ivfpqcodes")
+          .filter(col("cid").isin(probedI.map(_._1): _*)) // partition prune
           .filter(col("vec_id") =!= 0)
           .join(lutDfI, "cid")
           .withColumn("adc", graft.operators.SimilarityOps
             .pqAdcColOf(col("lut"), col("code"), ksubP, 8))
           .orderBy(col("adc").asc, col("vec_id")).limit(64)
-          .select("vec_id").as[Long].collect()
+          .select("vec_id")
+        val planStr = scan.queryExecution.executedPlan.toString
+        require(planStr.contains("PartitionFilters: [") &&
+          planStr.contains("cid"),
+          "nprobe cell filter did not reach the scan as a partition filter")
+        shortI = scan.as[Long].collect()
         shortI.length
       }
       var ivfpq = Array.empty[Long]

@@ -96,6 +96,34 @@ class IvfPqSpec extends AnyFunSuite {
       s"IVF-PQ top-10 ${got.toSeq} != exact ${exact.toSeq}")
   }
 
+  test("cid-partitioned codes table: nprobe filter reaches the scan as partition pruning") {
+    // The 100 TB layout: codes written partitionBy(cid), probed cells
+    // selected with an isin on the partition column — the plan must show
+    // the filter in PartitionFilters (pruned BEFORE reading files), not
+    // as a post-scan Filter over all cells.
+    val cents = SimilarityOps.kmCentroids(e, 8, 2)
+    val resid = SimilarityOps.ivfPqResiduals(e, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    val cb = SimilarityOps.pqTrain(resid, 8, 16, 2)
+    val d2 = "/tmp/graft_ivfpq_spec_part"
+    SimilarityOps.ivfPqEncode(e, cents, cb)
+      .select("vec_id", "cid", "code")
+      .write.mode("overwrite").partitionBy("cid").parquet(d2)
+    val pv = e.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toArray
+    val probed = SimilarityOps.ivfPqProbedCells(cents, pv, 3).map(_._1)
+    val scan = spark.read.parquet(d2)
+      .filter(col("cid").isin(probed: _*))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.split("PartitionFilters:")(1).takeWhile(_ != ']').contains("cid"),
+      s"cid isin not in PartitionFilters:\n$plan")
+    // and pruning is real: only the probed cells' rows come back
+    val cids = scan.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cids.subsetOf(probed.toSet), s"unpruned cells: $cids vs $probed")
+  }
+
   test("deterministic across reruns") {
     val a = SparkEntry.queries("q_ivfpq_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
