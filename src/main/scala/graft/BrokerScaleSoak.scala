@@ -53,10 +53,7 @@ object BrokerScaleSoak {
     // would OOM in readAllBytes or start with millions of retained
     // messages and the parent would hang on its PORT line). Best-effort
     // deleted at exit — a 20M-msg run leaves ~1.3 GB per broker behind.
-    val runRoot = args.lift(3).filter(_.nonEmpty).map { r =>
-      _root_.java.nio.file.Paths.get(r,
-        s"run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    }
+    val runRoot = args.lift(3).filter(_.nonEmpty).map(SoakDirs.freshRunRoot)
     val dataRoot = runRoot.map(_.toString)
     val walSync = args.length > 4 && args(4) == "sync"
     val batch = 10000
@@ -163,18 +160,9 @@ object BrokerScaleSoak {
 
     val (one, many) =
       try (phase(1), phase(maxBrokers))
-      finally runRoot.foreach { rr =>
-        // best-effort reclaim of this run's WAL bytes (children are dead
-        // by here; a failure just leaves the uniquely-named dir behind)
-        import scala.jdk.CollectionConverters._
-        import java.nio.file.{Files => NF}
-        try {
-          val walk = NF.walk(rr)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => NF.deleteIfExists(p))
-          finally walk.close()
-        } catch { case scala.util.control.NonFatal(_) => }
-      }
+      // best-effort reclaim of this run's WAL bytes (children are dead
+      // by here; a failure just leaves the uniquely-named dir behind)
+      finally runRoot.foreach(SoakDirs.deleteRecursively)
     val speedup = many.toDouble / one
     val line =
       s"""{"metric":"broker_scaleout_msgs_per_sec","value":$many,"unit":"msgs/sec","brokers":$maxBrokers,"one_broker_msgs_per_sec":$one,"speedup":${"%.2f".formatLocal(java.util.Locale.ROOT, speedup)},"msgs":$nMsgs,"producers":$producers,"durable":${dataRoot.isDefined},"wal_sync":$walSync}"""

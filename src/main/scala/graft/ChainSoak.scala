@@ -68,129 +68,120 @@ object ChainSoak {
     // 1's compacted WAL (seq counters resume past nMsgs, retained state
     // and subscriptions ride into the measurement), silently charging
     // the durable arm recovery work the memory-only arm never pays.
-    val runRoot = args.lift(3).filter(_.nonEmpty).map { r =>
-      java.nio.file.Paths.get(r,
-        s"run-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    }
+    val runRoot = args.lift(3).filter(_.nonEmpty).map(SoakDirs.freshRunRoot)
     val dataRoot = runRoot.map(_.toString)
     // literal 5th arg `sync`: fdatasync per mutation batch (the
     // power-loss-durable chain price — one force per PUBA chunk)
     val walSync = args.length > 4 && args(4) == "sync"
-    // broker 0 carries the pre-published `in` topic; all members carry
-    // their shard of `units`
-    val brokers = (0 until math.max(1, nBrokers)).map { i =>
-      new MiniBroker(dataRoot.map { r =>
-        val d = java.nio.file.Paths.get(r, s"b$i")
-        java.nio.file.Files.createDirectories(d)
-        d.toString
-      }, walSync = walSync)
-    }
-    val endpoints = brokers.map(b => ("127.0.0.1", b.start()))
-    val broker = brokers.head
-    val port = endpoints.head._2
-    for (i <- 0L until nMsgs) {
-      broker.publish("in",
-        s"""{"id":${i % 5},"n":${i % 10 + 1},"ts_us":${1704067200000000L + i * 1000L}}""")
-    }
+    // WAL reclaim runs in a FINALLY (review finding: the old straight-line
+    // delete leaked ~GBs per broker whenever anything threw mid-soak —
+    // a WAL-poison IOException, a stage failure — and repeated failed
+    // A/B iterations would fill the disk)
+    try {
+      // broker 0 carries the pre-published `in` topic; all members carry
+      // their shard of `units`
+      val brokers = (0 until math.max(1, nBrokers)).map { i =>
+        new MiniBroker(dataRoot.map { r =>
+          val d = java.nio.file.Paths.get(r, s"b$i")
+          java.nio.file.Files.createDirectories(d)
+          d.toString
+        }, walSync = walSync)
+      }
+      val endpoints = brokers.map(b => ("127.0.0.1", b.start()))
+      val broker = brokers.head
+      val port = endpoints.head._2
+      for (i <- 0L until nMsgs) {
+        broker.publish("in",
+          s"""{"id":${i % 5},"n":${i % 10 + 1},"ts_us":${1704067200000000L + i * 1000L}}""")
+      }
 
-    val rowsB = new java.util.concurrent.atomic.AtomicLong(0L)
-    // (rows, triggerMs) per B batch after batch 0 — batch 0 pays both
-    // queries' stream init, so the steady rate excludes it (the
-    // SocketSoak convention)
-    val steadyRows = new java.util.concurrent.atomic.AtomicLong(0L)
-    val steadyMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        if (e.progress.name == "chain_b") {
-          rowsB.addAndGet(e.progress.numInputRows)
-          val dur = e.progress.durationMs.getOrDefault("triggerExecution", 0L)
-          if (e.progress.batchId > 0 && e.progress.numInputRows > 0) {
-            steadyRows.addAndGet(e.progress.numInputRows)
-            steadyMs.addAndGet(dur)
+      val rowsB = new java.util.concurrent.atomic.AtomicLong(0L)
+      // (rows, triggerMs) per B batch after batch 0 — batch 0 pays both
+      // queries' stream init, so the steady rate excludes it (the
+      // SocketSoak convention)
+      val steadyRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val steadyMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          if (e.progress.name == "chain_b") {
+            rowsB.addAndGet(e.progress.numInputRows)
+            val dur = e.progress.durationMs.getOrDefault("triggerExecution", 0L)
+            if (e.progress.batchId > 0 && e.progress.numInputRows > 0) {
+              steadyRows.addAndGet(e.progress.numInputRows)
+              steadyMs.addAndGet(dur)
+            }
+            System.err.println(s"[chain-soak] B batch ${e.progress.batchId}: " +
+              s"${e.progress.numInputRows} msgs ($dur ms)")
           }
-          System.err.println(s"[chain-soak] B batch ${e.progress.batchId}: " +
-            s"${e.progress.numInputRows} msgs ($dur ms)")
         }
       }
-    }
-    spark.streams.addListener(listener)
+      spark.streams.addListener(listener)
 
-    val wall0 = System.nanoTime()
-    // the pool local property is inherited by the thread that runs each
-    // query's microbatches, so set it immediately before each start()
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "flood")
-    val srcA = new SocketEventSource("127.0.0.1", port, "in", "a-sub",
-      maxRowsPerBatch = 500000L, numPartitions = shards)
-    // stage A = flood: the SAME shared stage StreamOps.pipeline runs
-    // in-engine, here feeding the wire instead — sharded across the
-    // member brokers when nBrokers > 1
-    val qa = BrokerSink.publishSharded(endpoints,
-        "units")(StreamOps.flood(srcA.stream(spark)))
-      .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_chain_a").toString)
-      .start()
-    // stage B = mapper/reducer: windowed counts per knob over the units —
-    // the UNION of one source per member (per-member offsets/acks, the
-    // BrokerGroup consumption model); leases split evenly across members
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mapper")
-    val perMember = math.max(1, shards / endpoints.size)
-    val unionB = endpoints.map { case (h, p) =>
-      new SocketEventSource(h, p, "units", "b-sub",
-        maxRowsPerBatch = 2000000L, numPartitions = perMember).stream(spark)
-    }.reduce(_ unionByName _)
-    val qb = StreamOps.windowedCounts(unionB)
-      .writeStream
-      .queryName("chain_b")
-      .format("noop")
-      .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_chain_b").toString)
-      .start()
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      val wall0 = System.nanoTime()
+      // the pool local property is inherited by the thread that runs each
+      // query's microbatches, so set it immediately before each start()
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "flood")
+      val srcA = new SocketEventSource("127.0.0.1", port, "in", "a-sub",
+        maxRowsPerBatch = 500000L, numPartitions = shards)
+      // stage A = flood: the SAME shared stage StreamOps.pipeline runs
+      // in-engine, here feeding the wire instead — sharded across the
+      // member brokers when nBrokers > 1
+      val qa = BrokerSink.publishSharded(endpoints,
+          "units")(StreamOps.flood(srcA.stream(spark)))
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_chain_a").toString)
+        .start()
+      // stage B = mapper/reducer: windowed counts per knob over the units —
+      // the UNION of one source per member (per-member offsets/acks, the
+      // BrokerGroup consumption model); leases split evenly across members
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mapper")
+      val perMember = math.max(1, shards / endpoints.size)
+      val unionB = endpoints.map { case (h, p) =>
+        new SocketEventSource(h, p, "units", "b-sub",
+          maxRowsPerBatch = 2000000L, numPartitions = perMember).stream(spark)
+      }.reduce(_ unionByName _)
+      val qb = StreamOps.windowedCounts(unionB)
+        .writeStream
+        .queryName("chain_b")
+        .format("noop")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_chain_b").toString)
+        .start()
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
 
-    while (qa.exception.isEmpty && qb.exception.isEmpty &&
-        rowsB.get() < nUnits) {
-      Thread.sleep(100)
-    }
-    val wallSecs = (System.nanoTime() - wall0) / 1e9
-    qa.stop(); qb.stop()
-    qa.awaitTermination(); qb.awaitTermination()
-    spark.streams.removeListener(listener)
-    qa.exception.foreach(throw _)
-    qb.exception.foreach(throw _)
-    brokers.foreach(_.stop())
+      while (qa.exception.isEmpty && qb.exception.isEmpty &&
+          rowsB.get() < nUnits) {
+        Thread.sleep(100)
+      }
+      val wallSecs = (System.nanoTime() - wall0) / 1e9
+      qa.stop(); qb.stop()
+      qa.awaitTermination(); qb.awaitTermination()
+      spark.streams.removeListener(listener)
+      qa.exception.foreach(throw _)
+      qb.exception.foreach(throw _)
+      brokers.foreach(_.stop())
 
-    // At-least-once honesty: a publish retry or Spark task retry
-    // republishes a partition, so rowsB can EXCEED nUnits and end the
-    // run while stage A still holds unpublished units. dup_excess > 0 in
-    // the artifact flags such a run — its headline rate measured a
-    // partially-duplicated population and should be re-run. (Payload
-    // dedup can't help here: units legitimately share (id, n=1).)
-    val dupExcess = math.max(0L, rowsB.get() - nUnits)
-    val rate = (rowsB.get() / wallSecs).round
-    val steady =
-      if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
-      else -1L
-    val line =
-      s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"durable":${dataRoot.isDefined},"wal_sync":$walSync,"hops":2,"cpus":$cpus}"""
-    System.err.println(line)
-    println(line)
-    // best-effort reclaim of this run's WAL bytes (brokers stopped above;
-    // a failure just leaves the uniquely-named run dir behind)
-    runRoot.foreach { rr =>
-      import scala.jdk.CollectionConverters._
-      import java.nio.file.{Files => NF}
-      try {
-        val walk = NF.walk(rr)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => NF.deleteIfExists(p))
-        finally walk.close()
-      } catch { case scala.util.control.NonFatal(_) => }
-    }
+      // At-least-once honesty: a publish retry or Spark task retry
+      // republishes a partition, so rowsB can EXCEED nUnits and end the
+      // run while stage A still holds unpublished units. dup_excess > 0 in
+      // the artifact flags such a run — its headline rate measured a
+      // partially-duplicated population and should be re-run. (Payload
+      // dedup can't help here: units legitimately share (id, n=1).)
+      val dupExcess = math.max(0L, rowsB.get() - nUnits)
+      val rate = (rowsB.get() / wallSecs).round
+      val steady =
+        if (steadyMs.get() > 0) (steadyRows.get() * 1000.0 / steadyMs.get()).round
+        else -1L
+      val line =
+        s"""{"metric":"chain_soak_unit_msgs_per_sec","value":$rate,"unit":"msgs/sec","steady_unit_msgs_per_sec":$steady,"unit_msgs":${rowsB.get()},"updates":$nMsgs,"dup_excess":$dupExcess,"wall_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, wallSecs)},"shards":$shards,"brokers":${endpoints.size},"durable":${dataRoot.isDefined},"wal_sync":$walSync,"hops":2,"cpus":$cpus}"""
+      System.err.println(line)
+      println(line)
+    } finally runRoot.foreach(SoakDirs.deleteRecursively)
     spark.stop()
   }
 }

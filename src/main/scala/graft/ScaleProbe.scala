@@ -292,9 +292,14 @@ object ScaleProbe {
             .pqAdcColOf(col("lut"), col("code"), ksubP, 8))
           .orderBy(col("adc").asc, col("vec_id")).limit(64)
           .select("vec_id")
+        // 'cid' must appear INSIDE the PartitionFilters bracket — an
+        // unpruned scan still prints 'PartitionFilters: []' and 'cid'
+        // appears in join keys regardless, so a whole-plan contains()
+        // would pass vacuously (review finding)
         val planStr = scan.queryExecution.executedPlan.toString
         require(planStr.contains("PartitionFilters: [") &&
-          planStr.contains("cid"),
+          planStr.split("PartitionFilters:")(1)
+            .takeWhile(_ != ']').contains("cid"),
           "nprobe cell filter did not reach the scan as a partition filter")
         shortI = scan.as[Long].collect()
         shortI.length

@@ -263,6 +263,9 @@ class MiniBroker(dataDir: Option[String] = None,
       fos = new java.io.FileOutputStream(file.toFile, /*append=*/ true)
       out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fos, StandardCharsets.UTF_8))
+      // one stat per (re)open — the per-append tracking below keeps the
+      // compaction gate off the filesystem (and off this monitor)
+      approxBytes.set(NF.size(file))
     }
 
     // Poisoned after any failed write: a throw mid-line (disk full) may
@@ -280,16 +283,19 @@ class MiniBroker(dataDir: Option[String] = None,
       guard()
       try { out.write(line); out.write('\n'); flushSync() }
       catch { case e: java.io.IOException => failed = true; throw e }
+      approxBytes.addAndGet(line.length + 1L)
     }
 
     /** Batch form: n lines, ONE flush (one fdatasync in sync mode) —
       * the PUBB/PUBA hot path. */
     def appendAll(lines: Iterator[String]): Unit = synchronized {
       guard()
+      var b = 0L
       try {
-        lines.foreach { l => out.write(l); out.write('\n') }
+        lines.foreach { l => out.write(l); out.write('\n'); b += l.length + 1 }
         flushSync()
       } catch { case e: java.io.IOException => failed = true; throw e }
+      approxBytes.addAndGet(b)
     }
 
     /** Runtime compaction: swap the live log for the snapshot AND reopen
@@ -308,12 +314,21 @@ class MiniBroker(dataDir: Option[String] = None,
       } catch { case e: java.io.IOException => failed = true; throw e }
     }
 
-    /** Current on-disk size. Accurate whenever no append is mid-flight:
-      * every append/appendAll ends in flush(), so between mutations the
-      * buffered writer holds nothing back. */
-    def sizeBytes(): Long = synchronized {
-      if (NF.exists(file)) NF.size(file) else 0L
-    }
+    // Running estimate of the on-disk size: re-seeded from Files.size at
+    // every appender (re)open, advanced by chars+1 per appended line
+    // (WAL lines are ASCII — seqs, names, base64 — so chars == bytes;
+    // a multi-byte topic name would only skew the compaction HEURISTIC,
+    // never correctness). Kept OUTSIDE the Wal monitor so the per-ack
+    // compaction gate never stats the file or waits behind an in-flight
+    // fdatasync (review finding: in walSync mode the monitor is held
+    // across force(), so a monitor-taking size check could stall every
+    // ack for a full device sync).
+    private val approxBytes = new AtomicLong(0L)
+
+    /** Estimated current on-disk size — monitor-free, see [[approxBytes]].
+      * Exact between mutations on all-ASCII logs (the only kind the
+      * broker writes today). */
+    def sizeBytes(): Long = approxBytes.get()
 
     def close(): Unit = synchronized { if (out != null) out.close() }
 
@@ -548,8 +563,8 @@ class MiniBroker(dataDir: Option[String] = None,
   private def maybeCompactWal(): Unit = wal.foreach { w =>
     // both gates checked lock-free first: while the ratio gate declines
     // (dead past threshold but live dominates), acks must NOT pay the
-    // exclusive write lock just to re-decline — sizeBytes() serializes
-    // only on the Wal's own monitor
+    // exclusive write lock just to re-decline — sizeBytes() is a plain
+    // atomic read (no monitor, no stat; see Wal.approxBytes)
     val d0 = walReclaimable.get()
     if (d0 >= walCompactMinBytes && d0 * 2 >= w.sizeBytes()) {
       val wlock = mutGate.writeLock(); wlock.lock()
