@@ -976,6 +976,54 @@ object SimilarityOps {
         .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Batch retrieval over the COMPRESSED store: q_knn_join's shape (one
+    // top-k list per probe in a probe batch) with PQ ADC doing the
+    // shortlist work — one corpus encode, the probe batch arrives as a
+    // 10-row broadcast LUT frame, every (code, probe) pair scores from
+    // 8 bytes + one LUT lookup per subspace, and the per-probe top-64
+    // rides the SAME WindowGroupLimit rewrite q_knn_join pins (map-side
+    // partial top-k per probe BEFORE the exchange, so the shuffle
+    // carries ≤ 64 × probes × partitions rows, never the scored
+    // cross product). Exact cosine re-ranks only the 64 survivors per
+    // probe. No oracle (approximate shortlist — q_pq_topk precedent);
+    // PqSpec pins batch == exact q_knn_join on planted clusters.
+    "q_pq_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nProbes = 10
+      val k = 5
+      val e = vecs(s, d)
+      val cb = pqTrain(e, PqM, PqKsub, PqIters)
+      val probes = e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val lutDf = broadcast(s.createDataFrame(
+        probes.toSeq.map { case (pid, pv) => (pid, pqLut(cb, pv)) })
+        .toDF("probe_id", "lut"))
+      val probeDf = broadcast(s.createDataFrame(
+        probes.toSeq).toDF("probe_id", "p"))
+      val perProbeAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val perProbeCos = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      pqEncode(e.filter(col("vec_id") >= nProbes), cb)
+        .crossJoin(lutDf) // 10-row broadcast: the probe batch
+        .select(col("probe_id"), col("vec_id"), col("v"),
+          pqAdcColOf(col("lut"), col("code"), PqKsub, PqM).as("adc"))
+        .withColumn("rk", row_number().over(perProbeAdc))
+        .filter(col("rk") <= PqShortlist)
+        .drop("rk", "adc")
+        .join(probeDf, "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
+        .withColumn("rk", row_number().over(perProbeCos))
+        .filter(col("rk") <= k)
+        .select(col("probe_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rk"))
     })
   )
 

@@ -118,6 +118,20 @@ class PqSpec extends AnyFunSuite {
     assert(exact.map(_._1).toSet == mates)
   }
 
+  test("batch retrieval: q_pq_knn_join == exact q_knn_join on planted clusters") {
+    // Ten probes, one top-5 list each: the PQ shortlist (ADC top-64 per
+    // probe through the WindowGroupLimit path) must contain every exact
+    // winner here, so the re-ranked output equals q_knn_join's exact
+    // result row for row — same rounding, same tie order.
+    val exact = SparkEntry.queries("q_knn_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pq = SparkEntry.queries("q_pq_knn_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exact.length == 50 && pq.length == 50) // 10 probes × k=5
+    assert(pq.toSeq == exact.toSeq,
+      s"PQ batch retrieval diverged from exact:\n${pq.toSeq}\nvs\n${exact.toSeq}")
+  }
+
   test("production ksub=256: codes above 127 survive signed-tinyint storage") {
     // The shape ScaleProbe runs: one byte per subspace EXACTLY, which
     // means codes 128..255 must ride the signed tinyint as negatives and
