@@ -310,14 +310,26 @@ object Bench {
     val errorsCapped = errors.toSeq.sortBy(_._1).take(3)
       .map { case (k, v) => "\"" + k + "\":" + jq(v.take(100)) }
       .mkString("{", ",", "}")
-    // Floor drift vs the last committed same-config run: >30% slower AND
+    // Floor drift vs committed same-config history: >30% slower AND
     // >0.2 s absolute (the round-15 verdict's triage bar; the absolute
     // floor keeps 5 ms queries from flagging on scheduler jitter). Each
-    // entry carries [prev, cur] so the artifact IS the triage row.
+    // entry carries [ref, cur] so the artifact IS the triage row.
+    // Round-17 fix (r16 verdict #1): the reference is
+    // min(floor_prev, floor_best), not floor_prev alone. The driver's r16
+    // contended run (49/118 contended) landed in BENCH_FLOORS.jsonl with
+    // floors 2-3x elevated; comparing only against the LAST line meant a
+    // genuine 2x plan regression on q_scalar_math (2.25 -> 4.5 s) would
+    // hide behind the poisoned prev of 5.39. The best-ever floor cannot
+    // be inflated by one bad run, so it is the regression reference.
+    def floorRef(k: String): Option[Double] =
+      (floorPrev.get(k), floorBest.get(k)) match {
+        case (Some(p), Some(b)) => Some(math.min(p, b))
+        case (p, b) => p.orElse(b)
+      }
     val floorDrift = results.collect {
       case (k, (_, lo, _))
-        if lo > 0 && floorPrev.get(k).exists(p => lo > 1.3 * p && lo - p > 0.2) =>
-        k -> ((floorPrev(k), lo))
+        if lo > 0 && floorRef(k).exists(p => lo > 1.3 * p && lo - p > 0.2) =>
+        k -> ((floorRef(k).get, lo))
     }
     val floorDriftJson = floorDrift
       .map { case (k, (p, c)) => "\"" + k + "\":[" + ms(p) + "," + ms(c) + "]" }
@@ -337,13 +349,25 @@ object Bench {
     // Self-maintaining floor history: FULL runs append their mins (the
     // same full-run gate as BENCH_LOCAL.json — a 2-query iteration run
     // must not become history). Committed with the round snapshot.
-    if (args.isEmpty) {
+    // Round-17 fix (r16 verdict #1): a heavily-contended run must not
+    // become history either. The driver's r16 run had 49/118 queries with
+    // max/min > 3 and poisoned the floors 2-3x even in the MINs (three
+    // samples all inside contention windows); with interleaved passes an
+    // idle machine produces low-single-digit contended counts, so the
+    // gate is 15% of the suite. The run still lands in BENCH_LOCAL.json
+    // and stdout — it just doesn't calibrate the next round's detector.
+    val contendedGate = contendedQs.size <= math.max(3, names.size * 0.15)
+    if (args.isEmpty && contendedGate) {
       val stamp = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
       val histLine =
-        s"""{"round":"$stamp","sf":"$sfDir","cpus":$cpus,"total_min":$totalMin,"queries_min":$mins}"""
+        s"""{"round":"$stamp","sf":"$sfDir","cpus":$cpus,"n_contended":${contendedQs.size},"total_min":$totalMin,"queries_min":$mins}"""
       Files.writeString(Paths.get("BENCH_FLOORS.jsonl"), histLine + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    } else if (args.isEmpty) {
+      System.err.println(s"[bench] ${contendedQs.size}/${names.size} queries " +
+        "contended (> 15%): floors NOT appended to BENCH_FLOORS.jsonl — a " +
+        "contended run must not calibrate the drift detector")
     }
     // Repo-root copy (round-12, advisor): target/ is gitignored and the
     // driver's retained log tail has truncated or mis-parsed the stdout

@@ -55,7 +55,14 @@ object BrokerScaleSoak {
     // deleted at exit — a 20M-msg run leaves ~1.3 GB per broker behind.
     val runRoot = args.lift(3).filter(_.nonEmpty).map(SoakDirs.freshRunRoot)
     val dataRoot = runRoot.map(_.toString)
+    // `sync` is only meaningful with a dataRoot (r16 advisor): with an
+    // empty-string args(3) the child would get Seq("0","sync") — "0" as
+    // its dataDir and "sync" parsed as a port — die on NumberFormat, and
+    // the parent would block forever on its PORT line. Fail fast instead.
     val walSync = args.length > 4 && args(4) == "sync"
+    require(!walSync || dataRoot.isDefined,
+      "sync requires a non-empty dataRoot (arg 4): a memory-only broker " +
+        "has no WAL to fdatasync")
     val batch = 10000
 
     /** Spawn k broker JVMs; returns (processes, endpoints). */

@@ -921,7 +921,11 @@ object SimilarityOps {
       val lut = pqLut(cb, pv)
       val probe = broadcast(
         e.filter(col("vec_id") === 0).select(col("v").as("p")))
-      pqEncode(e.filter(col("vec_id") =!= 0), cb)
+      // Zero-norm corpus vectors are excluded BEFORE the ADC shortlist
+      // (r16 advisor): the exact path drops them pre-rank via the NaN
+      // filter, so letting them occupy shortlist slots here would shrink
+      // the effective candidate pool and weaken the parity claim.
+      pqEncode(e.filter(col("vec_id") =!= 0).filter(norm(col("v")) > 0), cb)
         .withColumn("adc", pqAdcCol(lut, PqKsub))
         // ADC shortlist: TakeOrderedAndProject (per-partition top-N, then
         // one N-row driver merge) — never a full sort/shuffle
@@ -931,7 +935,7 @@ object SimilarityOps {
         .select(col("vec_id"),
           (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
             * 1000000) / 1000000).as("cos"))
-        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
+        .filter(!isnan(col("cos"))) // probe-side zero-norm guard
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
@@ -964,7 +968,9 @@ object SimilarityOps {
         s.createDataFrame(luts.toSeq).toDF("cid", "lut"))
       val probe = broadcast(
         e.filter(col("vec_id") === 0).select(col("v").as("p")))
-      ivfPqEncode(e.filter(col("vec_id") =!= 0), cents, cb)
+      // Pre-shortlist zero-norm exclusion — same reasoning as q_pq_topk.
+      ivfPqEncode(
+        e.filter(col("vec_id") =!= 0).filter(norm(col("v")) > 0), cents, cb)
         .join(lutDf, "cid")
         .withColumn("adc", pqAdcColOf(col("lut"), col("code"), PqKsub, PqM))
         .orderBy(col("adc").asc, col("vec_id"))
@@ -973,7 +979,7 @@ object SimilarityOps {
         .select(col("vec_id"),
           (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
             * 1000000) / 1000000).as("cos"))
-        .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
+        .filter(!isnan(col("cos"))) // probe-side zero-norm guard
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
@@ -1007,7 +1013,9 @@ object SimilarityOps {
         .orderBy(col("adc").asc, col("vec_id"))
       val perProbeCos = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      pqEncode(e.filter(col("vec_id") >= nProbes), cb)
+      // Pre-shortlist zero-norm exclusion — same reasoning as q_pq_topk.
+      pqEncode(e.filter(col("vec_id") >= nProbes)
+        .filter(norm(col("v")) > 0), cb)
         .crossJoin(lutDf) // 10-row broadcast: the probe batch
         .select(col("probe_id"), col("vec_id"), col("v"),
           pqAdcColOf(col("lut"), col("code"), PqKsub, PqM).as("adc"))

@@ -215,12 +215,21 @@ class MiniBroker(dataDir: Option[String] = None,
 
     /** fsync the WAL's directory — makes a just-renamed snapshot's
       * directory entry itself crash-durable (rename is atomic but not
-      * persistent until the dir's metadata reaches the device). */
-    private def forceDir(): Unit = {
-      val ch = java.nio.channels.FileChannel.open(
-        dir, java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    }
+      * persistent until the dir's metadata reaches the device).
+      * Opening a directory channel and force(true) is a Linux-ism: some
+      * platforms/filesystems throw IOException on either step. That
+      * failure must NOT escape (r16 advisor) — compactInPlace's catch
+      * poisons the WAL on any throw, so a non-Linux first compaction
+      * would permanently refuse all further mutations over a durability
+      * nicety the platform can't express. Best-effort: the file-level
+      * fdatasync already ran; losing only the dir-entry persistence
+      * narrows the guarantee without corrupting anything. */
+    private def forceDir(): Unit =
+      try {
+        val ch = java.nio.channels.FileChannel.open(
+          dir, java.nio.file.StandardOpenOption.READ)
+        try ch.force(true) finally ch.close()
+      } catch { case _: java.io.IOException => () }
 
     /** Surviving lines of the previous incarnation's log: everything up
       * to the last newline. Bytes past it are the torn tail of the append
