@@ -34,6 +34,31 @@ import java.nio.file.{Files, Paths}
   * so one noisy window can poison at most one of its three samples.
   */
 object Bench {
+  /** Regression reference for one query: min(last committed floor, best
+    * committed floor). Pure and spec-pinned (BenchGuardSpec) because the
+    * r16 round proved what happens when it's wrong: the driver's
+    * contended run became `prev` and a genuine 2x slowdown on
+    * q_scalar_math would have hidden behind it. The best-ever floor
+    * cannot be inflated by one bad run. */
+  private[graft] def driftRef(
+      prev: Option[Double], best: Option[Double]): Option[Double] =
+    (prev, best) match {
+      case (Some(p), Some(b)) => Some(math.min(p, b))
+      case (p, b) => p.orElse(b)
+    }
+
+  /** Drift predicate (round-15 triage bar): >30% over the reference AND
+    * >0.2 s absolute, so 5 ms queries don't flag on scheduler jitter. */
+  private[graft] def drifted(ref: Double, cur: Double): Boolean =
+    cur > 1.3 * ref && cur - ref > 0.2
+
+  /** May this run's floors enter BENCH_FLOORS.jsonl? An idle interleaved
+    * run posts low-single-digit contended counts; the driver's poisoned
+    * r16 run had 49/118. The gate is 15% of the suite, floored at 3 so
+    * ordinary idle jitter on a small suite never blocks the append. */
+  private[graft] def historyGate(nContended: Int, nQueries: Int): Boolean =
+    nContended <= math.max(3, nQueries * 0.15)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -322,13 +347,10 @@ object Bench {
     // hide behind the poisoned prev of 5.39. The best-ever floor cannot
     // be inflated by one bad run, so it is the regression reference.
     def floorRef(k: String): Option[Double] =
-      (floorPrev.get(k), floorBest.get(k)) match {
-        case (Some(p), Some(b)) => Some(math.min(p, b))
-        case (p, b) => p.orElse(b)
-      }
+      driftRef(floorPrev.get(k), floorBest.get(k))
     val floorDrift = results.collect {
       case (k, (_, lo, _))
-        if lo > 0 && floorRef(k).exists(p => lo > 1.3 * p && lo - p > 0.2) =>
+        if lo > 0 && floorRef(k).exists(p => drifted(p, lo)) =>
         k -> ((floorRef(k).get, lo))
     }
     val floorDriftJson = floorDrift
@@ -356,7 +378,7 @@ object Bench {
     // idle machine produces low-single-digit contended counts, so the
     // gate is 15% of the suite. The run still lands in BENCH_LOCAL.json
     // and stdout — it just doesn't calibrate the next round's detector.
-    val contendedGate = contendedQs.size <= math.max(3, names.size * 0.15)
+    val contendedGate = historyGate(contendedQs.size, names.size)
     if (args.isEmpty && contendedGate) {
       val stamp = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
       val histLine =
