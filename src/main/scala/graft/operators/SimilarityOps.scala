@@ -1032,6 +1032,27 @@ object SimilarityOps {
         .select(col("probe_id"), col("rk").cast("long").as("rk"),
           col("vec_id"), col("cos"))
         .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // The PQ family's CROSS-ENGINE anchor (r16 verdict #3): train + encode
+    // are deterministic by construction (fixed vec_id<ksub init,
+    // 1e-4-rounded means, strict-< argmin with ties low), so unlike the
+    // approximate shortlist queries the CODES TABLE has an exact DuckDB
+    // twin — per-subspace Lloyd's replayed as CTEs exactly as
+    // q_kmeans_assign replays [[kmCentroids]]. One row per
+    // (vec_id, subspace): a hash match certifies both training rounds,
+    // the rounded-mean updates, the empty-cell carry, and every final
+    // argmin of the 8-byte code bit-identically across engines — which
+    // upgrades q_pq_topk/q_ivfpq_topk/q_pq_knn_join's shared substrate
+    // from "deterministic per scalatest" to "hash-matched vs DuckDB".
+    "q_pq_encode" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cb = pqTrain(e, PqM, PqKsub, PqIters)
+      pqEncode(e, cb)
+        .select(col("vec_id"), posexplode(col("code")))
+        .select(col("vec_id"), col("pos").cast("long").as("m"),
+          col("col").cast("int").bitwiseAND(lit(255)).cast("long").as("code"))
+        .orderBy("vec_id", "m")
     })
   )
 
@@ -2191,7 +2212,61 @@ object SimilarityOps {
     }.sortBy(t => (t._3, t._1)).take(nprobe).map(t => (t._1, t._2))
   }
 
+  /** Full replay of [[pqTrain]] + [[pqEncode]] as a CTE chain — the PQ
+    * twin of [[kmeansCtes]], with the subspace index `m` riding as an
+    * extra grouping column so the 8 independent ksub-means train in one
+    * chain: s = (vec_id, m, 8-dim slice), pc0 = slices of vec_ids
+    * 0..ksub-1, then per round pdN (distances, the DIRECT Σ(sv−c)² fold
+    * [[pqNearest]] computes — not kmScores' expanded form) → paN (argmin,
+    * ties to low cid) → pmN (per-component means rounded 1e-4) → pcN
+    * (empty-cell carry), ending in `paf` = the final per-subspace code. */
+  private val pqCtes: String = {
+    val dsub = Dim / PqM
+    def distSql(sv: String, c: String): String =
+      s"""list_sum(list_transform(generate_series(1, $dsub),
+             i -> ($sv[i] - $c[i]) * ($sv[i] - $c[i])))"""
+    val iterCtes = (1 to PqIters).map { n =>
+      val prev = if (n == 1) "pc0" else s"pc${n - 1}"
+      s"""pd$n AS (SELECT s.vec_id, s.m, c.cid, ${distSql("s.sv", "c.c")} AS d
+           FROM s JOIN $prev c ON s.m = c.m),
+         pa$n AS (SELECT vec_id, m, cid FROM (
+             SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+             FROM pd$n) WHERE rk = 1),
+         pm$n AS (SELECT m, cid, list(cm ORDER BY i) AS c FROM (
+             SELECT a.m AS m, a.cid AS cid, g.i AS i,
+               round(sum(s2.sv[g.i]) / count(*) * 10000) / 10000 AS cm
+             FROM pa$n a JOIN s s2 ON a.vec_id = s2.vec_id AND a.m = s2.m
+             CROSS JOIN generate_series(1, $dsub) AS g(i)
+             GROUP BY a.m, a.cid, g.i) GROUP BY m, cid),
+         pc$n AS (SELECT p.m AS m, p.cid AS cid, coalesce(u.c, p.c) AS c
+           FROM $prev p LEFT JOIN pm$n u ON p.m = u.m AND p.cid = u.cid)"""
+    }.mkString(",\n         ")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, gm.m AS m,
+             list_transform(generate_series(1, $dsub),
+               i -> v[gm.m * $dsub + i]) AS sv
+           FROM e CROSS JOIN generate_series(0, ${PqM - 1}) AS gm(m)),
+         pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS c FROM s
+           WHERE vec_id < $PqKsub),
+         $iterCtes,
+         pdf AS (SELECT s.vec_id, s.m, c.cid, ${distSql("s.sv", "c.c")} AS d
+           FROM s JOIN pc$PqIters c ON s.m = c.m),
+         paf AS (SELECT vec_id, m, cid FROM (
+             SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+             FROM pdf) WHERE rk = 1)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // A hash match proves the whole per-subspace training pipeline —
+    // see the q_pq_encode registry comment.
+    "q_pq_encode" ->
+      s"""WITH $pqCtes
+         SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS code
+         FROM paf ORDER BY vec_id, m""",
+
     // A hash match here proves the ENTIRE iterative clustering — both
     // Lloyd's rounds, the rounded-mean updates, the empty-cluster carry,
     // the final argmin with its tie rule, and the distance values
