@@ -1053,6 +1053,85 @@ object SimilarityOps {
         .select(col("vec_id"), col("pos").cast("long").as("m"),
           col("col").cast("int").bitwiseAND(lit(255)).cast("long").as("code"))
         .orderBy("vec_id", "m")
+    }),
+
+    // The residual twin of q_pq_encode: the ENTIRE IVF-PQ build —
+    // 2-round coarse k-means, cell assignment, residual subtraction,
+    // per-subspace residual Lloyd's, final codes — hash-matched against
+    // a DuckDB replay (kmeans CTEs feeding the same PQ chain on
+    // v − centroid(cid)). This certifies cross-engine everything
+    // q_ivfpq_topk's approximate shortlist builds on.
+    "q_ivfpq_encode" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, KmK, KmIters)
+      val resid = ivfPqResiduals(e, cents)
+        .select(col("vec_id"), col("r").as("v"))
+      val cb = pqTrain(resid, PqM, PqKsub, PqIters)
+      ivfPqEncode(e, cents, cb)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          posexplode(col("code")))
+        .select(col("vec_id"), col("cid"), col("pos").cast("long").as("m"),
+          col("col").cast("int").bitwiseAND(lit(255)).cast("long").as("code"))
+        .orderBy("vec_id", "m")
+    }),
+
+    // Batch retrieval over the PARTITION-PRUNED compressed store: the
+    // q_pq_knn_join shape with IVF-PQ doing the shortlist — the actual
+    // 100 TB retrieval plan. The broadcast LUT frame carries one row per
+    // (probe, probed cell) with the probe's RESIDUAL LUT for that cell;
+    // the inner join on cid is simultaneously each probe's nprobe filter
+    // and its LUT dispatch, so a cid-partitioned layout turns the whole
+    // probe batch into one partition-pruned scan. Per-probe ADC top-64
+    // through the WindowGroupLimit partial, exact re-rank to top-k.
+    // No oracle (approximate shortlist); IvfPqSpec pins batch == exact
+    // q_knn_join row-for-row on planted clusters.
+    "q_ivfpq_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nProbes = 10
+      val k = 5
+      val nprobe = 3
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, KmK, KmIters)
+      val resid = ivfPqResiduals(e, cents)
+        .select(col("vec_id"), col("r").as("v"))
+      val cb = pqTrain(resid, PqM, PqKsub, PqIters)
+      val probes = e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val lutRows = probes.toSeq.flatMap { case (pid, pv) =>
+        ivfPqProbedCells(cents, pv, nprobe).map { case (cid, c) =>
+          (pid, cid,
+            pqLut(cb, Array.tabulate(pv.length)(j => pv(j) - c(j))))
+        }
+      }
+      val lutDf = broadcast(
+        s.createDataFrame(lutRows).toDF("probe_id", "cid", "lut"))
+      val probeDf = broadcast(
+        s.createDataFrame(probes.toSeq).toDF("probe_id", "p"))
+      val perProbeAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val perProbeCos = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      // Pre-shortlist zero-norm exclusion — same reasoning as q_pq_topk.
+      ivfPqEncode(
+        e.filter(col("vec_id") >= nProbes).filter(norm(col("v")) > 0),
+        cents, cb)
+        .join(lutDf, "cid") // per-probe nprobe filter + LUT dispatch
+        .select(col("probe_id"), col("vec_id"), col("v"),
+          pqAdcColOf(col("lut"), col("code"), PqKsub, PqM).as("adc"))
+        .withColumn("rk", row_number().over(perProbeAdc))
+        .filter(col("rk") <= PqShortlist)
+        .drop("rk", "adc")
+        .join(probeDf, "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
+        .filter(!isnan(col("cos"))) // probe-side zero-norm guard
+        .withColumn("rk", row_number().over(perProbeCos))
+        .filter(col("rk") <= k)
+        .select(col("probe_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rk"))
     })
   )
 
@@ -2215,12 +2294,16 @@ object SimilarityOps {
   /** Full replay of [[pqTrain]] + [[pqEncode]] as a CTE chain — the PQ
     * twin of [[kmeansCtes]], with the subspace index `m` riding as an
     * extra grouping column so the 8 independent ksub-means train in one
-    * chain: s = (vec_id, m, 8-dim slice), pc0 = slices of vec_ids
-    * 0..ksub-1, then per round pdN (distances, the DIRECT Σ(sv−c)² fold
-    * [[pqNearest]] computes — not kmScores' expanded form) → paN (argmin,
-    * ties to low cid) → pmN (per-component means rounded 1e-4) → pcN
-    * (empty-cell carry), ending in `paf` = the final per-subspace code. */
-  private val pqCtes: String = {
+    * chain: s = (vec_id, m, 8-dim slice of `src`.v), pc0 = slices of
+    * vec_ids 0..ksub-1, then per round pdN (distances, the DIRECT
+    * Σ(sv−c)² fold [[pqNearest]] computes — not kmScores' expanded form)
+    * → paN (argmin, ties to low cid) → pmN (per-component means rounded
+    * 1e-4) → pcN (empty-cell carry), ending in `paf` = the final
+    * per-subspace code. Parameterized on the source CTE (must expose
+    * vec_id + a 64-dim DOUBLE list `v`) so the SAME chain certifies both
+    * flat codes (src = raw vectors) and IVF-PQ residual codes (src = the
+    * kmeans replay's v − centroid(cid)). */
+  private def pqChainCtes(src: String): String = {
     val dsub = Dim / PqM
     def distSql(sv: String, c: String): String =
       s"""list_sum(list_transform(generate_series(1, $dsub),
@@ -2242,12 +2325,10 @@ object SimilarityOps {
          pc$n AS (SELECT p.m AS m, p.cid AS cid, coalesce(u.c, p.c) AS c
            FROM $prev p LEFT JOIN pm$n u ON p.m = u.m AND p.cid = u.cid)"""
     }.mkString(",\n         ")
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-           FROM embeddings),
-         s AS (SELECT vec_id, gm.m AS m,
+    s"""s AS (SELECT vec_id, gm.m AS m,
              list_transform(generate_series(1, $dsub),
                i -> v[gm.m * $dsub + i]) AS sv
-           FROM e CROSS JOIN generate_series(0, ${PqM - 1}) AS gm(m)),
+           FROM $src CROSS JOIN generate_series(0, ${PqM - 1}) AS gm(m)),
          pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS c FROM s
            WHERE vec_id < $PqKsub),
          $iterCtes,
@@ -2259,6 +2340,12 @@ object SimilarityOps {
              FROM pdf) WHERE rk = 1)"""
   }
 
+  /** Flat-PQ replay: raw vectors feed the chain. */
+  private val pqCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         ${pqChainCtes("e")}"""
+
   val oracleSql: Map[String, String] = Map(
     // A hash match proves the whole per-subspace training pipeline —
     // see the q_pq_encode registry comment.
@@ -2266,6 +2353,26 @@ object SimilarityOps {
       s"""WITH $pqCtes
          SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS code
          FROM paf ORDER BY vec_id, m""",
+
+    // The IVF-PQ build end-to-end: the kmeans replay (coarse cells,
+    // rounded-mean centroids) feeds residuals v − centroid(cid) into the
+    // SAME per-subspace PQ chain. The residual subtraction is exact in
+    // both engines (centroids are 1e-4-rounded decimals, so c$KmIters
+    // and kmCentroids hold identical doubles), and a hash match
+    // certifies coarse assignment + residuals + residual codebooks +
+    // final codes bit-identically.
+    "q_ivfpq_encode" ->
+      s"""WITH $kmeansCtes,
+         rv AS (SELECT e.vec_id,
+             list_transform(generate_series(1, $Dim),
+               i -> e.v[i] - c.c[i]) AS v
+           FROM e JOIN af a ON e.vec_id = a.vec_id
+           JOIN c$KmIters c ON a.cid = c.cid),
+         ${pqChainCtes("rv")}
+         SELECT p.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(p.m AS BIGINT) AS m, CAST(p.cid AS BIGINT) AS code
+         FROM paf p JOIN af a ON p.vec_id = a.vec_id
+         ORDER BY p.vec_id, p.m""",
 
     // A hash match here proves the ENTIRE iterative clustering — both
     // Lloyd's rounds, the rounded-mean updates, the empty-cluster carry,

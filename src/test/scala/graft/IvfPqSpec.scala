@@ -131,4 +131,47 @@ class IvfPqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b, "q_ivfpq_topk not deterministic")
   }
+
+  test("batch retrieval: q_ivfpq_knn_join == exact q_knn_join on planted clusters") {
+    // Ten probes, one top-5 list each, shortlists built from
+    // partition-prunable residual codes: with 20 tight planted clusters
+    // every exact winner shares its probe's coarse cell neighborhood, so
+    // the nprobe=3 join + ADC top-64 must contain all of them and the
+    // re-ranked output equals q_knn_join's exact result row for row —
+    // same rounding, same tie order.
+    val exact = SparkEntry.queries("q_knn_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = SparkEntry.queries("q_ivfpq_knn_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exact.length == 50 && got.length == 50) // 10 probes × k=5
+    assert(got.toSeq == exact.toSeq,
+      s"IVF-PQ batch retrieval diverged from exact:\n${got.toSeq}\nvs\n${exact.toSeq}")
+  }
+
+  test("q_ivfpq_encode: codes land in the assigned cell and match a driver re-encode") {
+    // The oracle already hash-matches this cross-engine at sf0.01; here
+    // the same invariants are pinned on the spec fixture so a refactor
+    // can't silently regress between oracle runs: every (vec_id, m)
+    // appears exactly once per subspace, cid equals the coarse
+    // assignment, and the exploded code equals pqEncode's packed one.
+    written
+    val full = SparkEntry.queries("q_ivfpq_encode")(spark, dir).collect()
+    assert(full.length == n * 8, s"${full.length} rows != ${n * 8}")
+    val cents = SimilarityOps.kmCentroids(e, 8, 2)
+    val resid = SimilarityOps.ivfPqResiduals(e, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    val cb = SimilarityOps.pqTrain(resid, 8, 16, 2)
+    val packed = SimilarityOps.ivfPqEncode(e, cents, cb)
+      .select("vec_id", "cid", "code").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Byte](2))))
+      .toMap
+    full.foreach { r =>
+      val (id, cid, m, code) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (pcid, pcode) = packed(id)
+      assert(cid == pcid, s"vec $id: exploded cid $cid != assigned $pcid")
+      assert(code == (pcode(m.toInt) & 0xff).toLong,
+        s"vec $id subspace $m: exploded code $code != packed ${pcode(m.toInt)}")
+    }
+  }
 }
