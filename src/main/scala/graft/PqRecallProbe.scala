@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   *     HELD-OUT probes drawn from the same mixture (never in the corpus,
   *     never in training). Ground truth = exact brute cosine top-10 per
   *     probe (one distributed pass, WindowGroupLimit partial top-k).
-  *  2. IVF-PQ (nlist=64, ksub=256, M=8 — the shipped q_ivfpq_topk shape)
-  *     swept over nprobe ∈ {1,2,4,8,16} × shortlist ∈ {16,64,256}:
-  *     recall@10 averaged over probes + wall per arm. The ADC scan is
-  *     timed once per nprobe (shortlist only changes the re-rank), and
-  *     each arm's re-rank is timed separately — the published IVFADC
-  *     trade-off shape (Jégou et al. 2011, Fig. 5) should emerge:
-  *     recall saturates in nprobe once shortlist stops truncating.
+  *  2. IVF-PQ (nlist=1024 ≈ √n — the published IVFADC shape; ksub=256,
+  *     M=8) swept over nprobe ∈ {1,2,4,8,16} × shortlist ∈
+  *     {16,64,256,1024,4096}: recall@10 averaged over probes + wall per
+  *     arm. The ADC scan is timed once per nprobe (shortlist only
+  *     changes the re-rank), and each arm's re-rank is timed separately
+  *     — the published IVFADC trade-off shape (Jégou et al. 2011,
+  *     Fig. 5) should emerge: recall rises in shortlist while ADC
+  *     ordering noise exceeds true-neighbor margins, and in nprobe while
+  *     cells truncate the neighborhood. (The first run of this probe at
+  *     nlist=64 taught the nlist lesson the hard way: cells of ~15k
+  *     vectors held every probe's whole ~2k-member true cluster, so
+  *     recall was FLAT in nprobe and shortlist-bound at 0.43 — correct
+  *     IVFADC behavior, wrong knob setting. nlist must be fine enough
+  *     that neighborhoods span cells.)
   *  3. The q_pq_knn_join BATCH shape at batchProbes=1000: flat-PQ codes
   *     × a 1000-row broadcast LUT frame, per-probe top-64 through the
   *     WindowGroupLimit partial (PLAN-GUARDED at this probe count — the
@@ -45,7 +52,8 @@ object PqRecallProbe {
     val dim = 64
     val nCenters = 512
     val spread = 0.35
-    val nlist = 64
+    val nlist = math.max(64,
+      math.round(math.sqrt(nVecs.toDouble)).toInt) // √n, the published rule
     val ksub = 256
     val nSub = 8
     val vdir = s"/tmp/graft_pq_recall_$nVecs"
@@ -148,7 +156,7 @@ object PqRecallProbe {
     // its prefixes, so only the re-rank is re-run per shortlist arm —
     // exactly how a deployment would tune (the scan cost depends on
     // nprobe alone).
-    val shortlists = Seq(16, 64, 256)
+    val shortlists = Seq(16, 64, 256, 1024, 4096)
     val maxShort = shortlists.max
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Double, Double, Double)] // nprobe, short, recall, scanW, rerankW
@@ -198,12 +206,15 @@ object PqRecallProbe {
       }
     }
 
-    // Sanity floor, not a tuned bar: at the widest arm the structure must
-    // be doing its job on non-planted data.
-    val widest = results.filter(r => r._1 == 16 && r._2 == 256).head._3
+    // Sanity floor, not a tuned bar: at the widest arm (enough cells to
+    // cover the neighborhood, shortlist larger than the expected
+    // same-center cluster ≈ nVecs/nCenters) the structure must be doing
+    // its job on non-planted data.
+    val widest = results.filter(r => r._1 == 16 && r._2 == shortlists.max)
+      .head._3
     require(widest >= 0.9,
-      f"widest arm (nprobe=16, shortlist=256) recall@10 $widest%.4f < 0.9 " +
-        "— IVF-PQ is broken on non-planted data")
+      f"widest arm (nprobe=16, shortlist=${shortlists.max}) recall@10 " +
+        f"$widest%.4f < 0.9 — IVF-PQ is broken on non-planted data")
 
     // ---- Batch retrieval at scale (verdict task #5): q_pq_knn_join's
     // shape with a 1000-probe batch against the 1M corpus. Flat PQ
