@@ -1075,6 +1075,25 @@ object SimilarityOps {
         .orderBy("vec_id", "m")
     }),
 
+    // Random-rotation PQ (the "RR" baseline of Ge et al., OPQ, CVPR
+    // 2013): rotate by a seeded deterministic orthonormal matrix, THEN
+    // train/encode plain PQ — rotation spreads variance across
+    // subspaces so no codebook under-resolves a high-variance slice
+    // (RrPqSpec measures the mechanism on anisotropic data). Rotation
+    // preserves L2, so ADC distances in rotated space rank identically;
+    // the store stays 8 B/row. Deterministic end-to-end ⇒ ORACLE-
+    // matched: the SQL replays R·v (the printed matrix round-trips to
+    // identical doubles) through the same per-subspace PQ chain.
+    "q_rrpq_encode" -> ((s, d) => {
+      val rot = rrRotate(vecs(s, d))
+      val cb = pqTrain(rot, PqM, PqKsub, PqIters)
+      pqEncode(rot, cb)
+        .select(col("vec_id"), posexplode(col("code")))
+        .select(col("vec_id"), col("pos").cast("long").as("m"),
+          col("col").cast("int").bitwiseAND(lit(255)).cast("long").as("code"))
+        .orderBy("vec_id", "m")
+    }),
+
     // Batch retrieval over the PARTITION-PRUNED compressed store: the
     // q_pq_knn_join shape with IVF-PQ doing the shortlist — the actual
     // 100 TB retrieval plan. The broadcast LUT frame carries one row per
@@ -2043,6 +2062,70 @@ object SimilarityOps {
 
   // ---- Product-quantization helpers (q_pq_topk; Jégou et al. 2011) ----
 
+  /** Deterministic random orthonormal rotation — the cheap OPQ
+    * approximation (the "RR" baseline of Ge et al., Optimized Product
+    * Quantization, CVPR 2013): rotating before PQ spreads variance
+    * across subspaces, so no codebook wastes its 256 cells on a
+    * near-constant slice while another under-resolves a high-variance
+    * one. Seeded java.util.Random gaussians + modified Gram–Schmidt, all
+    * driver-side pure doubles: bit-deterministic across JVMs (java.util
+    * .Random is spec-fixed, unlike scala.util hashing), so the SQL
+    * oracle can embed the PRINTED matrix — Double.toString is
+    * shortest-roundtrip, so DuckDB parses back the identical doubles. */
+  private[graft] lazy val rrMatrix: Array[Array[Double]] = {
+    val rnd = new java.util.Random(271828L)
+    val m = Array.fill(Dim, Dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < Dim) {
+      var k = 0
+      while (k < i) {
+        var proj = 0.0
+        var j = 0
+        while (j < Dim) { proj += m(i)(j) * m(k)(j); j += 1 }
+        j = 0
+        while (j < Dim) { m(i)(j) -= proj * m(k)(j); j += 1 }
+        k += 1
+      }
+      var nrm = 0.0
+      var j = 0
+      while (j < Dim) { nrm += m(i)(j) * m(i)(j); j += 1 }
+      nrm = math.sqrt(nrm)
+      j = 0
+      while (j < Dim) { m(i)(j) /= nrm; j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** (vec_id, v → R·v): one map-side pass, R rides one broadcast. Row i
+    * of the rotated vector is the ascending-j left fold Σ R(i)(j)·v(j) —
+    * the same order the oracle's list_sum fold replays. */
+  private[graft] def rrRotate(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rrMatrix)
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val r = bc.value
+        val n = r.length
+        it.map { case (id, v) =>
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val ri = r(i)
+            var s = 0.0
+            var j = 0
+            while (j < n) { s += ri(j) * v(j); j += 1 }
+            out(i) = s
+            i += 1
+          }
+          (id, out)
+        }
+      }
+      .toDF("vec_id", "v")
+  }
+
   /** Argmin-squared-L2 code for `v(off..off+dsub)` against one subspace's
     * codebook; ties break LOW like every assignment in this file (strict
     * `<`), so codes are deterministic under duplicate codebook entries. */
@@ -2353,6 +2436,33 @@ object SimilarityOps {
       s"""WITH $pqCtes
          SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS code
          FROM paf ORDER BY vec_id, m""",
+
+    // The rotation replay: R as a 64-row VALUES table (i, row) — the
+    // printed doubles round-trip exactly (Double.toString is
+    // shortest-roundtrip) — and R·v assembled per vector as
+    // list(rv ORDER BY i) with the inner product the same ascending-j
+    // left fold rrRotate computes. A table, not an inline literal, so
+    // the 4096-double matrix materializes once instead of per lambda
+    // evaluation. Then the identical PQ chain as q_pq_encode.
+    "q_rrpq_encode" -> {
+      val rows = rrMatrix.zipWithIndex.map { case (r, i) =>
+        s"(${i + 1}, [${r.mkString(", ")}])"
+      }.mkString(",\n           ")
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         rr(i, rrow) AS (VALUES
+           $rows),
+         rq AS (SELECT vec_id, list(rv ORDER BY i) AS v FROM (
+             SELECT e.vec_id AS vec_id, r.i AS i,
+               list_sum(list_transform(generate_series(1, $Dim),
+                 j -> r.rrow[j] * e.v[j])) AS rv
+             FROM e CROSS JOIN rr r)
+           GROUP BY vec_id),
+         ${pqChainCtes("rq")}
+         SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS code
+         FROM paf ORDER BY vec_id, m"""
+    },
 
     // The IVF-PQ build end-to-end: the kmeans replay (coarse cells,
     // rounded-mean centroids) feeds residuals v − centroid(cid) into the
