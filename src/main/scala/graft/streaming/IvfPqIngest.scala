@@ -172,7 +172,16 @@ object IvfPqIngest {
         max(col("qerr")).as("max_qerr"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/stats/batch=$batchId")
-    } finally coded.unpersist()
+    } finally {
+      coded.unpersist()
+      // per-batch broadcasts, released eagerly: a long-running stream
+      // creates three per micro-batch, and leaving them to the
+      // ContextCleaner means thousands of retained broadcast blocks at
+      // production codebook sizes before a GC happens to notice
+      bcIdx.destroy()
+      bcC.destroy()
+      bcCb.destroy()
+    }
   }
 
   /** ADC retrieval over the ACCUMULATED store: probed cells from the
