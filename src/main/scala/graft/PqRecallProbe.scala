@@ -238,12 +238,18 @@ object PqRecallProbe {
     val perProbeAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id"))
     // The codes table is ~11 MB at 1M rows → one input split locally; a
-    // 100 TB codes store arrives in thousands of files. Rebalance to the
-    // core count so the partial top-k actually runs parallel — the
-    // repartition moves 11 MB once, the cross product (1M × batch rows)
-    // is generated AFTER it, inside each task.
+    // 100 TB codes store arrives in thousands of files. Rebalance so the
+    // partial top-k runs parallel AND each task's sort stays bounded:
+    // partitions scale with the scored-pair volume (corpus × batch),
+    // ~30M pairs per task — the 4M-corpus first run pinned the failure
+    // mode (fixed 32 partitions → 125M-row per-task window sorts → heap
+    // exhaustion in the shared local JVM; at 1M the same fixed count was
+    // fine). The repartition itself moves only the tiny codes table; the
+    // cross product is generated after it, inside each task.
+    val batchParts = math.max(spark.sparkContext.defaultParallelism,
+      (nVecs.toDouble * batchProbes / 30e6).ceil.toInt)
     val shortDf = spark.read.parquet(s"$vdir/pqcodes")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(batchParts)
       .crossJoin(batchLutDf)
       .select(col("probe_id"), col("vec_id"),
         SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub).as("adc"))
