@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *     HELD-OUT probes drawn from the same mixture (never in the corpus,
   *     never in training). Ground truth = exact brute cosine top-10 per
   *     probe (one distributed pass, WindowGroupLimit partial top-k).
-  *  2. IVF-PQ (nlist=1024 ≈ √n — the published IVFADC shape; ksub=256,
+  *  2. IVF-PQ (nlist = round(√n) — the published IVFADC shape; ksub=256,
   *     M=8) swept over nprobe ∈ {1,2,4,8,16} × shortlist ∈
   *     {16,64,256,1024,4096}: recall@10 averaged over probes + wall per
   *     arm. The ADC scan is timed once per nprobe (shortlist only
