@@ -34,18 +34,31 @@ import java.nio.file.{Files, Paths}
   * so one noisy window can poison at most one of its three samples.
   */
 object Bench {
-  /** Regression reference for one query: min(last committed floor, best
-    * committed floor). Pure and spec-pinned (BenchGuardSpec) because the
-    * r16 round proved what happens when it's wrong: the driver's
-    * contended run became `prev` and a genuine 2x slowdown on
-    * q_scalar_math would have hidden behind it. The best-ever floor
-    * cannot be inflated by one bad run. */
-  private[graft] def driftRef(
-      prev: Option[Double], best: Option[Double]): Option[Double] =
-    (prev, best) match {
-      case (Some(p), Some(b)) => Some(math.min(p, b))
-      case (p, b) => p.orElse(b)
-    }
+  /** How many of the most recent appended runs define the drift era. */
+  private[graft] val EraK = 5
+
+  /** Regression reference for one query: best floor over the LAST
+    * [[EraK]] appended runs that timed it (r17 verdict #2 — the "era
+    * rule"). Pure and spec-pinned (BenchGuardSpec) because both failure
+    * modes of a wrong reference actually happened:
+    *  - r16: the driver's contended run became `prev`, and comparing
+    *    against the LAST line alone would have hidden a genuine 2x
+    *    slowdown behind the poisoned 5.39 s floor. A window MIN cannot
+    *    be inflated by one bad run (the >15%-contended history gate
+    *    keeps systematically-poisoned runs out of the window entirely).
+    *  - r17: comparing against the ALL-TIME best resurrects dead eras —
+    *    six r13-era floors (q_bigram_pmi 0.748 s vs the 0.97–1.07 s
+    *    band every 2026-08 run lands in) flagged every round and each
+    *    demanded a triage row for a "regression" no current build can
+    *    un-regress. Floors age with fixture regens, JVM updates, and
+    *    plan changes; the reference must age with them.
+    * The window min keeps both properties: one contended-but-appended
+    * line can't mask (an honest line in the window wins the min), and a
+    * floor nothing has reproduced in [[EraK]] runs stops flagging. */
+  private[graft] def eraRef(history: Seq[Double]): Option[Double] = {
+    val recent = history.takeRight(EraK)
+    if (recent.isEmpty) None else Some(recent.min)
+  }
 
   /** Drift predicate (round-15 triage bar): >30% over the reference AND
     * >0.2 s absolute, so 5 ms queries don't flag on scheduler jitter. */
@@ -183,14 +196,13 @@ object Bench {
       * Full runs append their own line below, so the history maintains
       * itself; only same-(sf, cpus) records compare — a 4-cpu iteration
       * run must not become 32-cpu history. Parsed with Spark's bundled
-      * Jackson: last matching record per query = `prev`, minimum across
-      * records = `best`. */
-    def readFloorHistory(): (Map[String, Double], Map[String, Double]) = {
+      * Jackson: the full APPEND-ORDER series per query, so the era rule
+      * ([[eraRef]]) can window the last [[EraK]] runs. */
+    def readFloorHistory(): Map[String, Vector[Double]] = {
       val path = Paths.get("BENCH_FLOORS.jsonl")
-      if (!Files.exists(path)) return (Map.empty, Map.empty)
+      if (!Files.exists(path)) return Map.empty
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      var prev = Map.empty[String, Double]
-      var best = Map.empty[String, Double]
+      var hist = Map.empty[String, Vector[Double]]
       try {
         import scala.jdk.CollectionConverters._
         Files.readAllLines(path).asScala.filter(_.trim.nonEmpty).foreach { l =>
@@ -201,21 +213,20 @@ object Bench {
             val qm = n.get("queries_min")
             if (qm != null) qm.properties().asScala.foreach { e =>
               val (q, v) = (e.getKey, e.getValue.asDouble())
-              if (v > 0) {
-                prev += (q -> v)
-                best += (q -> math.min(v, best.getOrElse(q, Double.MaxValue)))
-              }
+              if (v > 0) hist += (q -> (hist.getOrElse(q, Vector.empty) :+ v))
             }
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] floor history unreadable, " +
           s"continuing without it: ${e.getMessage}")
-        return (Map.empty, Map.empty)
+        return Map.empty
       }
-      (prev, best)
+      hist
     }
-    val (floorPrev, floorBest) = readFloorHistory()
+    val floorHist = readFloorHistory()
+    val floorPrev = floorHist.view.mapValues(_.last).toMap
+    val floorBest = floorHist.view.mapValues(_.min).toMap
 
     // Optional args filter: `runMain graft.Bench q_a q_b` times only those
     // queries — the full-suite default is what the driver runs. Unknown
@@ -339,15 +350,12 @@ object Bench {
     // >0.2 s absolute (the round-15 verdict's triage bar; the absolute
     // floor keeps 5 ms queries from flagging on scheduler jitter). Each
     // entry carries [ref, cur] so the artifact IS the triage row.
-    // Round-17 fix (r16 verdict #1): the reference is
-    // min(floor_prev, floor_best), not floor_prev alone. The driver's r16
-    // contended run (49/118 contended) landed in BENCH_FLOORS.jsonl with
-    // floors 2-3x elevated; comparing only against the LAST line meant a
-    // genuine 2x plan regression on q_scalar_math (2.25 -> 4.5 s) would
-    // hide behind the poisoned prev of 5.39. The best-ever floor cannot
-    // be inflated by one bad run, so it is the regression reference.
+    // Round-18 (r17 verdict #2): the reference is the ERA best — the
+    // window min over the last EraK appended runs ([[eraRef]] scaladoc
+    // has both failure modes this supersedes: prev-only masking and
+    // all-time-best dead-era false flags).
     def floorRef(k: String): Option[Double] =
-      driftRef(floorPrev.get(k), floorBest.get(k))
+      floorHist.get(k).flatMap(eraRef)
     val floorDrift = results.collect {
       case (k, (_, lo, _))
         if lo > 0 && floorRef(k).exists(p => drifted(p, lo)) =>

@@ -151,11 +151,11 @@ object PqRecallProbe {
     }
     val codes = spark.read.parquet(s"$vdir/ivfpqcodes")
 
-    // ---- The sweep. Per nprobe: ONE ADC scan builds each probe's top-256
-    // ADC candidate list (the maximum shortlist); smaller shortlists are
-    // its prefixes, so only the re-rank is re-run per shortlist arm —
-    // exactly how a deployment would tune (the scan cost depends on
-    // nprobe alone).
+    // ---- The sweep. Per nprobe: ONE ADC scan builds each probe's
+    // maximum-shortlist (top-`maxShort`) ADC candidate list; smaller
+    // shortlists are its prefixes, so only the re-rank is re-run per
+    // shortlist arm — exactly how a deployment would tune (the scan cost
+    // depends on nprobe alone).
     val shortlists = Seq(16, 64, 256, 1024, 4096)
     val maxShort = shortlists.max
     val results = scala.collection.mutable.ArrayBuffer
@@ -294,5 +294,16 @@ object PqRecallProbe {
         s""""batch_probes_per_s":${f"$probesPerSec%.1f"},""" +
         s""""flat_train_s":${f"$flatWall%.2f"},"flat_encode_s":${f"$flatEncWall%.2f"}}""")
     spark.stop()
+    // The corpus + code stores are per-run scratch (~1 GB at 4M, ~2.5 GB
+    // at 10M) — delete them like IvfPqIngestProbe does, instead of
+    // accumulating fixed-name dirs under /tmp (r17 advisor).
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rmTree(java.nio.file.Paths.get(vdir))
   }
 }

@@ -223,13 +223,26 @@ class MiniBroker(dataDir: Option[String] = None,
       * would permanently refuse all further mutations over a durability
       * nicety the platform can't express. Best-effort: the file-level
       * fdatasync already ran; losing only the dir-entry persistence
-      * narrows the guarantee without corrupting anything. */
+      * narrows the guarantee without corrupting anything. The swallow is
+      * LOGGED ONCE (r17 advisor): a genuine persistent EIO during the
+      * dir fsync is otherwise indistinguishable from the unsupported-
+      * operation case and leaves no trace — after the first failure the
+      * `dirSyncUnavailable` flag records the narrowing and suppresses
+      * repeat noise. */
+    @volatile private var dirSyncUnavailable = false
     private def forceDir(): Unit =
       try {
         val ch = java.nio.channels.FileChannel.open(
           dir, java.nio.file.StandardOpenOption.READ)
         try ch.force(true) finally ch.close()
-      } catch { case _: java.io.IOException => () }
+      } catch { case e: java.io.IOException =>
+        if (!dirSyncUnavailable) {
+          dirSyncUnavailable = true
+          System.err.println(s"[minibroker] directory fsync of $dir " +
+            s"unavailable (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "snapshot dir-entry persistence is best-effort from here on")
+        }
+      }
 
     /** Surviving lines of the previous incarnation's log: everything up
       * to the last newline. Bytes past it are the torn tail of the append
