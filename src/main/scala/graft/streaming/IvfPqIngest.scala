@@ -10,28 +10,56 @@ import graft.operators.SimilarityOps
   * q_ivfpq_topk/q_ivfpq_knn_join's store (Jégou et al. 2011 §IV-A). The
   * batch family trains codebooks and encodes a corpus in one job; a
   * production index is built once and then fed forever, so the streaming
-  * shape is: codebooks FROZEN at build time (standard IVFADC practice —
+  * shape is: codebooks FROZEN per generation (standard IVFADC practice —
   * retraining per batch would silently re-bucket history, the same
   * failure mode EmbedIngest's band marker guards), every micro-batch
   * encoded map-side against the broadcast structures and APPENDED to the
-  * cid-partitioned codes store that retrieval partition-prunes.
+  * generation/cid-partitioned codes store that retrieval partition-prunes.
   *
-  *  - Store layout: `indexDir/codes/batch=N/cid=K/…` — 8 B of code per
-  *    vector (the 100 TB dividend), batch dirs for exactly-once replay
-  *    (a replayed batch OVERWRITES its own dir, never dupes), cid dirs
-  *    so the nprobe filter stays disk-level partition pruning across
-  *    the accumulated index.
-  *  - Codebook identity is PINNED on disk (`_codebook` marker carrying
-  *    shape + a content hash of centroids and codebooks): codes from
-  *    different codebooks are incomparable, so reopening the index with
-  *    retrained structures must FAIL LOUD, not corrupt retrieval
-  *    silently — the lesson EmbedIngest.checkWidthMarker institutionalized.
-  *  - Each batch also writes `stats/batch=N`: row count + mean/max
+  *  - Store layout: `indexDir/codes/gen=G/batch=N/cid=K/…` — 8 B of code
+  *    per vector (the 100 TB dividend), batch dirs for exactly-once
+  *    replay (a replayed batch OVERWRITES its own dir, never dupes), cid
+  *    dirs so the nprobe filter stays disk-level partition pruning, gen
+  *    dirs so codebook RETRAINING is an incremental migration instead of
+  *    a from-scratch rebuild (below).
+  *  - Codebook identity is PINNED on disk per generation (`_codebook_gG`
+  *    marker carrying shape + a content hash of centroids and
+  *    codebooks): codes from different codebooks are incomparable, so
+  *    reopening a generation with retrained structures must FAIL LOUD,
+  *    not corrupt retrieval silently — the lesson
+  *    EmbedIngest.checkWidthMarker institutionalized.
+  *  - Each batch also writes `stats/gen=G/batch=N`: row count + mean/max
   *    quantization error ‖residual − decode(code)‖² (computed in the
   *    SAME encode pass — the argmin distance is the error). This is the
   *    retrain signal: frozen codebooks price distribution drift as
   *    rising qerr, and a deployment watches the trend instead of
   *    guessing when to rebuild.
+  *
+  * ==Generation migration (the other half of the qerr signal)==
+  *
+  * When drift prices in, the operator trains generation G+1 structures
+  * on a recent window of the stream and runs [[migrate]]: each existing
+  * batch is re-encoded from its source vectors and moved
+  * `gen=G → gen=G+1` INDEPENDENTLY (write the new dir, then delete the
+  * old — idempotent per batch, so a crashed migration re-runs to the
+  * same state), while ingest and retrieval keep operating:
+  *
+  *  - the store is MIXED-GENERATION during the interval, and
+  *    [[retrieve]] is correct across the mix — per-generation probed
+  *    cells and residual LUTs ride one broadcast frame joined on
+  *    (gen, cid), so each code row is scored against exactly its own
+  *    generation's arithmetic; ADC scores from both generations
+  *    estimate the same true distance ‖p − v‖², so one global top-k
+  *    over the union is the IVFADC shortlist contract;
+  *  - a crash BETWEEN a batch's new-dir write and its old-dir delete
+  *    leaves the batch in both generations; retrieval resolves the
+  *    window by KEEPING ONLY THE HIGHEST generation of a
+  *    twice-present batch (driver-side dir listing — the dup set is
+  *    empty except mid-crash), and re-running the migration converges;
+  *  - post-migration equality with a from-scratch G+1 build is
+  *    bit-for-bit (IvfPqMigrateSpec): re-encoding from source vectors
+  *    uses the SAME arithmetic as first-time ingest, so a migrated
+  *    store and a rebuilt one are indistinguishable.
   *
   * Encoding arithmetic is BIT-IDENTICAL to the batch
   * [[SimilarityOps.ivfPqEncode]] (same CentIndex assign, same residual
@@ -42,27 +70,29 @@ import graft.operators.SimilarityOps
   */
 object IvfPqIngest {
 
+  type Cents = Array[(Int, Array[Double])]
+  type Books = Array[Array[Array[Double]]]
+
   /** Starts the ingest on a streaming (vec_id: long, v: array<double>)
-    * frame, encoding against the frozen `cents`/`cb`. */
+    * frame, encoding against the frozen `cents`/`cb` of `gen`. */
   def start(
       vecs: DataFrame,
       indexDir: String,
       checkpointDir: String,
-      cents: Array[(Int, Array[Double])],
-      cb: Array[Array[Array[Double]]]): StreamingQuery =
+      cents: Cents,
+      cb: Books,
+      gen: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch, batchId, indexDir, cents, cb)
+        processBatch(batch, batchId, indexDir, cents, cb, gen)
       }
       .start()
 
   /** Deterministic identity of the frozen structures: shape plus an MD5
     * over the exact double bits of centroids and codebooks, so "same
     * hash" means "same arithmetic", not "probably similar". */
-  private[graft] def codebookId(
-      cents: Array[(Int, Array[Double])],
-      cb: Array[Array[Array[Double]]]): String = {
+  private[graft] def codebookId(cents: Cents, cb: Books): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     def putD(d: Double): Unit = {
@@ -78,66 +108,113 @@ object IvfPqIngest {
     s"ivfpq ${cents.length} ${cb.length} ${cb(0).length} $hash"
   }
 
-  /** First touch writes the marker (atomic temp+rename); every later
-    * batch verifies it. Mismatch = loud failure with the rebuild
-    * instruction, never silent garbage retrieval. */
-  private def checkCodebookMarker(
-      spark: SparkSession, indexDir: String, id: String): Unit = {
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** First touch writes the generation's marker (unique-temp + rename +
+    * content re-verify); every later batch verifies it. Mismatch = loud
+    * failure with the rebuild instruction, never silent garbage
+    * retrieval. The publish is race-safe (r17 advisor): the temp name is
+    * unique per writer, and after the rename attempt the marker CONTENT
+    * is re-read and required to equal this writer's id — rename success
+    * alone doesn't prove our id is pinned when two first writers
+    * interleave, and a persistent rename failure surfaces as the same
+    * loud mismatch instead of unbounded recursion. */
+  private[graft] def checkCodebookMarker(
+      spark: SparkSession, indexDir: String, gen: Int, id: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(dir, "_codebook")
-    if (fs.exists(marker)) {
+    val fs = fsOf(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"_codebook_g$gen")
+    def readMarker(): Option[String] = {
+      if (!fs.exists(marker)) return None
       val in = fs.open(marker)
-      val line = try new java.io.BufferedReader(
+      try Option(new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-        .readLine()
+        .readLine()).map(_.trim)
       finally in.close()
-      require(Option(line).map(_.trim).contains(id),
-        s"index at $indexDir was built with codebook [$line]; this ingest " +
-          s"carries [$id] — codes from different codebooks are " +
-          "incomparable, so retrieval would be silently wrong. Re-open " +
-          "with the original structures or rebuild the index")
-    } else {
-      fs.mkdirs(dir)
-      val tmp = new org.apache.hadoop.fs.Path(dir, "_codebook.tmp")
-      val out = fs.create(tmp, true)
-      try out.write((id + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, marker)) {
-        fs.delete(tmp, false)
-        checkCodebookMarker(spark, indexDir, id)
-      }
+    }
+    def mismatch(found: String): String =
+      s"index at $indexDir generation $gen was built with codebook " +
+        s"[$found]; this operation carries [$id] — codes from different " +
+        "codebooks are incomparable, so retrieval would be silently " +
+        "wrong. Re-open with the original structures, begin a NEW " +
+        "generation and migrate, or rebuild the index"
+    readMarker() match {
+      case Some(line) => require(line == id, mismatch(line))
+      case None =>
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"_codebook_g$gen.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write((id + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+        // One bounded re-check, no recursion: whatever the interleaving,
+        // the published marker must now carry OUR id.
+        readMarker() match {
+          case Some(line) => require(line == id, mismatch(line))
+          case None => throw new IllegalStateException(
+            s"could not publish codebook marker $marker (rename failed " +
+              "and no concurrent writer published one)")
+        }
     }
   }
 
-  private[graft] def processBatch(
-      batchRaw: DataFrame,
-      batchId: Long,
-      indexDir: String,
-      cents: Array[(Int, Array[Double])],
-      cb: Array[Array[Array[Double]]]): Unit = {
-    val spark = batchRaw.sparkSession
-    import spark.implicits._
-    checkCodebookMarker(spark, indexDir, codebookId(cents, cb))
+  /** Highest generation with a published marker, or -1 for a fresh dir. */
+  private[graft] def latestGeneration(
+      spark: SparkSession, indexDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return -1
+    fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_codebook_g") && !n.contains(".tmp-") =>
+        n.stripPrefix("_codebook_g").toInt }
+      .foldLeft(-1)(math.max)
+  }
 
+  /** Publishes generation `gen`'s structures. Generations are dense and
+    * ordered — `gen` must be exactly one past the latest published one —
+    * so a migration can't silently skip a generation's codes. */
+  def beginGeneration(
+      spark: SparkSession, indexDir: String, gen: Int,
+      cents: Cents, cb: Books): Unit = {
+    val latest = latestGeneration(spark, indexDir)
+    require(gen == latest + 1,
+      s"beginGeneration($gen) on index at generation $latest — " +
+        s"generations are dense; the next one is ${latest + 1}")
+    checkCodebookMarker(spark, indexDir, gen, codebookId(cents, cb))
+  }
+
+  /** One shared encode pass: assign → residual → per-subspace argmin
+    * code, PLUS the quantization error (Σ over subspaces of the argmin
+    * distance — exactly ‖residual − decode(code)‖², free at encode
+    * time). Same arithmetic as SimilarityOps.ivfPqEncode, spec-pinned
+    * bit-identical. Input carries a `batch` column (a literal for
+    * single-batch ingest; per-row for the bulk migration pass) that
+    * rides through untouched. Returns the coded frame and a cleanup
+    * thunk that releases the three broadcasts — a long-running stream
+    * creates them per micro-batch, and leaving them to the
+    * ContextCleaner means thousands of retained broadcast blocks at
+    * production codebook sizes before a GC happens to notice. */
+  private def encodeFrame(
+      vecs: DataFrame, cents: Cents, cb: Books): (DataFrame, () => Unit) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val bcIdx = spark.sparkContext.broadcast(new SimilarityOps.CentIndex(cents))
     val bcC = spark.sparkContext.broadcast(cents.toMap)
     val bcCb = spark.sparkContext.broadcast(cb)
-    // One map pass: assign → residual → per-subspace argmin code, PLUS
-    // the quantization error (Σ over subspaces of the argmin distance —
-    // exactly ‖residual − decode(code)‖², free at encode time). Same
-    // arithmetic as SimilarityOps.ivfPqEncode, spec-pinned bit-identical.
-    val coded = batchRaw
+    val coded = vecs
       .select(col("vec_id").cast("long").as("vec_id"),
+        col("batch").cast("long").as("batch"),
         col("v").cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
+      .as[(Long, Long, Array[Double])]
       .mapPartitions { it =>
         val idx = bcIdx.value
         val cm = bcC.value
         val books = bcCb.value
         val n = books.length
         val ds = books(0)(0).length
-        it.map { case (id, v) =>
+        it.map { case (id, b, v) =>
           val (cid, _) = idx.assign(v)
           val c = cm(cid)
           val r = new Array[Double](v.length)
@@ -156,64 +233,288 @@ object IvfPqIngest {
             qerr += dd
             m += 1
           }
-          (id, cid, code, qerr)
+          (id, b, cid, code, qerr)
         }
       }
-      .toDF("vec_id", "cid", "code", "qerr")
+      .toDF("vec_id", "batch", "cid", "code", "qerr")
       .withColumn("code", col("code").cast("array<tinyint>"))
-      .persist()
+    (coded, () => { bcIdx.destroy(); bcC.destroy(); bcCb.destroy() })
+  }
+
+  /** Writes one batch's codes + stats dirs under a generation (Overwrite
+    * — a replayed or re-migrated batch replaces its own dirs). */
+  private def writeBatch(
+      coded: DataFrame, indexDir: String, gen: Int, batchId: Long): Unit = {
+    coded.select("vec_id", "cid", "code")
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(s"$indexDir/codes/gen=$gen/batch=$batchId")
+    coded.agg(
+      count(lit(1)).as("n"),
+      avg(col("qerr")).as("mean_qerr"),
+      max(col("qerr")).as("max_qerr"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/stats/gen=$gen/batch=$batchId")
+  }
+
+  private[graft] def processBatch(
+      batchRaw: DataFrame,
+      batchId: Long,
+      indexDir: String,
+      cents: Cents,
+      cb: Books,
+      gen: Int = 0): Unit = {
+    val spark = batchRaw.sparkSession
+    checkCodebookMarker(spark, indexDir, gen, codebookId(cents, cb))
+    val (coded, cleanup) =
+      encodeFrame(batchRaw.withColumn("batch", lit(batchId)), cents, cb)
+    val persisted = coded.persist()
+    try writeBatch(persisted, indexDir, gen, batchId)
+    finally { persisted.unpersist(); cleanup() }
+  }
+
+  /** (gen → batch ids present on disk) from one driver-side listing per
+    * generation dir — cheap (two FS list calls per generation), and the
+    * source of truth for the mixed-generation dup resolution. */
+  private[graft] def listBatches(
+      spark: SparkSession, indexDir: String): Map[Int, Set[Long]] = {
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = fsOf(spark, codes)
+    if (!fs.exists(codes)) return Map.empty
+    fs.listStatus(codes).map(_.getPath).collect {
+      case p if p.getName.startsWith("gen=") =>
+        val g = p.getName.stripPrefix("gen=").toInt
+        g -> fs.listStatus(p).map(_.getPath.getName).collect {
+          case n if n.startsWith("batch=") =>
+            n.stripPrefix("batch=").toLong
+        }.toSet
+    }.toMap
+  }
+
+  /** Batches a retrieval must IGNORE: every (gen, batch) whose batch is
+    * also present at a higher generation — the crash window between a
+    * migration's new-dir write and old-dir delete. Empty in steady
+    * state. */
+  private[graft] def shadowedBatches(
+      byGen: Map[Int, Set[Long]]): Seq[(Int, Long)] =
+    byGen.toSeq.flatMap { case (g, bs) =>
+      bs.collect {
+        case b if byGen.exists { case (g2, bs2) => g2 > g && bs2(b) } =>
+          (g, b)
+      }
+    }
+
+  /** Re-encodes one batch `fromGen → toGen` from its SOURCE vectors
+    * (`vecs` — the same (vec_id, v) corpus retrieval's exact re-rank
+    * reads; 8-byte codes are lossy, so re-encoding from codes would
+    * compound quantization error across generations). Write-then-delete:
+    * the new dir lands complete before the old one goes, so a crash at
+    * any point leaves a store [[retrieve]] reads correctly (the shadowed
+    * lower-gen copy is ignored) and a re-run converges — already-moved
+    * batches are a no-op. */
+  def migrateBatch(
+      spark: SparkSession,
+      indexDir: String,
+      batchId: Long,
+      vecs: DataFrame,
+      fromGen: Int,
+      toGen: Int,
+      cents: Cents,
+      cb: Books): Unit = {
+    require(toGen > fromGen, s"migrate must move forward: $fromGen -> $toGen")
+    checkCodebookMarker(spark, indexDir, toGen, codebookId(cents, cb))
+    val fromCodes = new org.apache.hadoop.fs.Path(
+      s"$indexDir/codes/gen=$fromGen/batch=$batchId")
+    val toCodes = new org.apache.hadoop.fs.Path(
+      s"$indexDir/codes/gen=$toGen/batch=$batchId")
+    val fs = fsOf(spark, fromCodes)
+    if (!fs.exists(fromCodes)) {
+      require(fs.exists(toCodes),
+        s"batch $batchId exists in neither gen=$fromGen nor gen=$toGen " +
+          s"under $indexDir — nothing to migrate")
+      return // crash-replay after the delete: already done
+    }
+    val ids = spark.read.parquet(fromCodes.toString).select("vec_id")
+    val nIds = ids.count()
+    val batchVecs = vecs
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("v").cast("array<double>").as("v"))
+      .join(ids, "vec_id")
+      .withColumn("batch", lit(batchId))
+    val (coded, cleanup) = encodeFrame(batchVecs, cents, cb)
+    val persisted = coded.persist()
     try {
-      coded.select("vec_id", "cid", "code")
-        .write.mode(SaveMode.Overwrite).partitionBy("cid")
-        .parquet(s"$indexDir/codes/batch=$batchId")
-      coded.agg(
+      val nCoded = persisted.count()
+      // A source table missing batch vectors would otherwise SHRINK the
+      // batch silently — an inner join drops what it can't find.
+      require(nCoded == nIds,
+        s"batch $batchId re-encode covered $nCoded of $nIds vectors — " +
+          "the source corpus is missing ids this batch indexed; " +
+          "refusing a lossy migration")
+      writeBatch(persisted, indexDir, toGen, batchId)
+    } finally { persisted.unpersist(); cleanup() }
+    fs.delete(fromCodes, true)
+    val fromStats = new org.apache.hadoop.fs.Path(
+      s"$indexDir/stats/gen=$fromGen/batch=$batchId")
+    if (fs.exists(fromStats)) fs.delete(fromStats, true)
+  }
+
+  /** Migrates EVERY batch below `toGen` as ONE job, returning the
+    * number of batches moved: one read of the pending ids (batch rides
+    * as a column), one join against the source corpus, one encode pass,
+    * one dynamic-partition-overwrite write of all (batch, cid) dirs —
+    * NOT a per-batch loop, whose per-batch corpus scans made the first
+    * cut of this 35× slower than ingest at 130k vectors and would make
+    * it a thousand corpus scans at production batch counts.
+    * [[migrateBatch]] remains the incremental surface when the operator
+    * wants the store serviceable batch-by-batch mid-migration.
+    *
+    * Crash-safe like the per-batch path, coarser window: the dynamic
+    * overwrite stages and commits at job end (a crash mid-job leaves
+    * `toGen` untouched), old-generation dirs are deleted only AFTER the
+    * commit, and a twice-present batch counts only at the higher
+    * generation in [[retrieve]]; re-running converges. Idempotent. */
+  def migrate(
+      spark: SparkSession,
+      indexDir: String,
+      vecs: DataFrame,
+      toGen: Int,
+      cents: Cents,
+      cb: Books): Int = {
+    checkCodebookMarker(spark, indexDir, toGen, codebookId(cents, cb))
+    val byGen = listBatches(spark, indexDir)
+    val pending = byGen.toSeq
+      .filter(_._1 < toGen)
+      .flatMap { case (g, bs) => bs.map(b => (g, b)) }
+    if (pending.isEmpty) return 0
+    // A batch already present at a HIGHER generation (crash window of a
+    // previous attempt) re-encodes from its live copy only.
+    val shadowed = shadowedBatches(byGen).toSet
+    val live = pending.filterNot(shadowed)
+    val codesRoot = s"$indexDir/codes"
+    val srcDirs = live.map { case (g, b) => s"$codesRoot/gen=$g/batch=$b" }
+    val ids = spark.read.option("basePath", codesRoot)
+      .parquet(srcDirs: _*)
+      .select(col("vec_id"), col("batch").cast("long").as("batch"))
+    val expected = ids.groupBy("batch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchVecs = vecs
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("v").cast("array<double>").as("v"))
+      .join(ids, "vec_id")
+    val (coded, cleanup) = encodeFrame(batchVecs, cents, cb)
+    val persisted = coded.persist()
+    try {
+      val actual = persisted.groupBy("batch").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val short = expected.filter { case (b, n) => actual.getOrElse(b, 0L) != n }
+      // A source table missing batch vectors would otherwise SHRINK the
+      // store silently — an inner join drops what it can't find.
+      require(short.isEmpty,
+        s"re-encode covered ${short.map { case (b, n) =>
+          s"batch $b: ${actual.getOrElse(b, 0L)}/$n" }.mkString(", ")} — " +
+          "the source corpus is missing ids those batches indexed; " +
+          "refusing a lossy migration")
+      // One shuffle of the 8-byte codes so each (batch, cid) dir is
+      // written by exactly ONE task: without it every task opens a
+      // writer per touched dir (batches × cids × tasks files — measured
+      // 143 s vs ~16 s for the write at 640 dirs × 32 tasks).
+      persisted.select("vec_id", "batch", "cid", "code")
+        .repartition(col("batch"), col("cid"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cid")
+        .parquet(s"$codesRoot/gen=$toGen")
+      persisted.groupBy("batch").agg(
         count(lit(1)).as("n"),
         avg(col("qerr")).as("mean_qerr"),
         max(col("qerr")).as("max_qerr"))
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexDir/stats/batch=$batchId")
-    } finally {
-      coded.unpersist()
-      // per-batch broadcasts, released eagerly: a long-running stream
-      // creates three per micro-batch, and leaving them to the
-      // ContextCleaner means thousands of retained broadcast blocks at
-      // production codebook sizes before a GC happens to notice
-      bcIdx.destroy()
-      bcC.destroy()
-      bcCb.destroy()
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$indexDir/stats/gen=$toGen")
+    } finally { persisted.unpersist(); cleanup() }
+    // Old dirs go only after the new generation is fully committed.
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(codesRoot))
+    pending.foreach { case (g, b) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesRoot/gen=$g/batch=$b"), true)
+      val st = new org.apache.hadoop.fs.Path(s"$indexDir/stats/gen=$g/batch=$b")
+      if (fs.exists(st)) fs.delete(st, true)
     }
+    pending.size
   }
 
-  /** ADC retrieval over the ACCUMULATED store: probed cells from the
-    * frozen centroids, per-cell residual LUTs broadcast, the cid filter
-    * partition-prunes the codes scan (batch dirs and cid dirs are both
-    * partition columns), ADC top-k from codes alone — 8 B/row, no
+  /** ADC retrieval over the ACCUMULATED, possibly MIXED-GENERATION
+    * store: per generation, probed cells from that generation's frozen
+    * centroids and per-cell residual LUTs, all riding ONE broadcast
+    * frame joined on (gen, cid) — each code row is scored against
+    * exactly its own generation's arithmetic; the (gen, cid) filter
+    * partition-prunes the codes scan (gen, batch and cid are all
+    * partition columns); ADC top-k from codes alone — 8 B/row, no
     * vectors fetched. Returns (vec_id, adc) ascending. */
   def retrieve(
       spark: SparkSession,
       indexDir: String,
-      cents: Array[(Int, Array[Double])],
-      cb: Array[Array[Array[Double]]],
+      gens: Map[Int, (Cents, Books)],
       pv: Array[Double],
       nprobe: Int,
       k: Int): DataFrame = {
-    checkCodebookMarker(spark, indexDir, codebookId(cents, cb))
-    val ksub = cb(0).length
-    val nSub = cb.length
-    val probed = SimilarityOps.ivfPqProbedCells(cents, pv, nprobe)
-    val luts = probed.map { case (cid, c) =>
-      (cid, SimilarityOps.pqLut(cb,
-        Array.tabulate(pv.length)(j => pv(j) - c(j))))
+    require(gens.nonEmpty, "retrieve needs at least one generation")
+    val shapes = gens.values.map { case (_, cb) => (cb.length, cb(0).length) }
+    require(shapes.toSet.size == 1,
+      s"generations disagree on (nSub, ksub): ${shapes.toSet} — codes " +
+        "of different shapes cannot share one ADC scan")
+    val (nSub, ksub) = shapes.head
+    gens.foreach { case (g, (ce, bo)) =>
+      checkCodebookMarker(spark, indexDir, g, codebookId(ce, bo))
+    }
+    val byGen = listBatches(spark, indexDir)
+    val present = byGen.collect { case (g, bs) if bs.nonEmpty => g }.toSet
+    require(present.subsetOf(gens.keySet),
+      s"store holds generations $present but structures were passed " +
+        s"only for ${gens.keySet} — a retrieval that silently skips a " +
+        "generation's codes is wrong, not approximate")
+    val probed = gens.toSeq.map { case (g, (ce, bo)) =>
+      g -> SimilarityOps.ivfPqProbedCells(ce, pv, nprobe).map { case (cid, c) =>
+        (cid, SimilarityOps.pqLut(bo,
+          Array.tabulate(pv.length)(j => pv(j) - c(j))))
+      }
+    }
+    val lutRows = probed.flatMap { case (g, cells) =>
+      cells.map { case (cid, lut) => (g, cid, lut) }
     }
     val lutDf = broadcast(
-      spark.createDataFrame(luts.toSeq).toDF("cid", "lut"))
+      spark.createDataFrame(lutRows).toDF("gen", "cid", "lut"))
+    // Partition pruning: one disjunct per generation, each pinning that
+    // generation's own probed cells.
+    val prune = probed.map { case (g, cells) =>
+      col("gen") === g && col("cid").isin(cells.map(_._1): _*)
+    }.reduce(_ || _)
+    // Crash-window dup resolution: a batch present in two generations
+    // counts only at the higher one. The shadow set is empty except
+    // mid-migration-crash, so the filter is a no-op in steady state.
+    val shadowed = shadowedBatches(byGen)
+    val dedup = shadowed.foldLeft(lit(true)) { case (acc, (g, b)) =>
+      acc && !(col("gen") === g && col("batch") === b)
+    }
     spark.read.parquet(s"$indexDir/codes")
-      .filter(col("cid").isin(probed.map(_._1): _*)) // partition prune
-      .join(lutDf, "cid")
+      .filter(prune)
+      .filter(dedup)
+      .join(lutDf, Seq("gen", "cid"))
       .withColumn("adc",
         SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(k)
       .select("vec_id", "adc")
   }
+
+  /** Single-generation retrieval (the pre-migration surface). */
+  def retrieve(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Cents,
+      cb: Books,
+      pv: Array[Double],
+      nprobe: Int,
+      k: Int): DataFrame =
+    retrieve(spark, indexDir, Map(0 -> ((cents, cb))), pv, nprobe, k)
 }
