@@ -61,6 +61,16 @@ import graft.operators.SimilarityOps
   *    uses the SAME arithmetic as first-time ingest, so a migrated
   *    store and a rebuilt one are indistinguishable.
   *
+  * ==Deletion==
+  *
+  * Takedowns append vec_id tombstones to `indexDir/deletes/` ([[delete]]
+  * — O(1), no store scan); [[retrieve]] anti-joins them (broadcast,
+  * sparse by contract), [[migrate]] drops them for free, and
+  * [[compact]] physically rewrites any (gen, batch) dir past a deleted
+  * fraction threshold with crash-safe dir swaps, pruning consumed
+  * tombstones afterwards. IvfPqDeleteSpec pins the invariant: a deleted
+  * vector appears in NO ADC result, pre- or post-compaction.
+  *
   * Encoding arithmetic is BIT-IDENTICAL to the batch
   * [[SimilarityOps.ivfPqEncode]] (same CentIndex assign, same residual
   * subtraction, same strict-< argmin), pinned by IvfPqIngestSpec: the
@@ -333,7 +343,14 @@ object IvfPqIngest {
           s"under $indexDir — nothing to migrate")
       return // crash-replay after the delete: already done
     }
-    val ids = spark.read.parquet(fromCodes.toString).select("vec_id")
+    // Tombstoned rows are NOT carried forward — migration doubles as a
+    // free compaction (and a taken-down vector may already be gone from
+    // the source corpus, which must not trip the lossy-migration guard).
+    val idsRaw = spark.read.parquet(fromCodes.toString).select("vec_id")
+    val ids = readDeletes(spark, indexDir) match {
+      case Some(del) => idsRaw.join(broadcast(del), Seq("vec_id"), "left_anti")
+      case None => idsRaw
+    }
     val nIds = ids.count()
     val batchVecs = vecs
       .select(col("vec_id").cast("long").as("vec_id"),
@@ -392,9 +409,16 @@ object IvfPqIngest {
     val live = pending.filterNot(shadowed)
     val codesRoot = s"$indexDir/codes"
     val srcDirs = live.map { case (g, b) => s"$codesRoot/gen=$g/batch=$b" }
-    val ids = spark.read.option("basePath", codesRoot)
+    val idsRaw = spark.read.option("basePath", codesRoot)
       .parquet(srcDirs: _*)
       .select(col("vec_id"), col("batch").cast("long").as("batch"))
+    // Tombstoned rows are NOT carried forward — migration doubles as a
+    // free compaction (and a taken-down vector may already be gone from
+    // the source corpus, which must not trip the lossy-migration guard).
+    val ids = readDeletes(spark, indexDir) match {
+      case Some(del) => idsRaw.join(broadcast(del), Seq("vec_id"), "left_anti")
+      case None => idsRaw
+    }
     val expected = ids.groupBy("batch").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batchVecs = vecs
@@ -441,6 +465,137 @@ object IvfPqIngest {
       if (fs.exists(st)) fs.delete(st, true)
     }
     pending.size
+  }
+
+  // ---- Deletion (takedowns, dedup-after-the-fact) -------------------
+  // A 100 TB training-data store deletes. The layout's answer is a
+  // TOMBSTONE table (`indexDir/deletes/` — append-only vec_ids, the
+  // O(1) write a takedown pipeline needs) that retrieval anti-joins
+  // (broadcast — deletions are sparse), plus a COMPACTION that
+  // physically rewrites any (gen, batch) dir whose deleted fraction
+  // crossed a threshold and then prunes the consumed tombstones. The
+  // tombstone carries ONLY vec_id: recording (gen, batch) at delete
+  // time would go stale the moment a migration moves the batch, so
+  // compaction locates victims fresh with one codes-scan aggregate.
+
+  private[graft] def readDeletes(
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
+    val fs = fsOf(spark, p)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("part")))
+      Some(spark.read.parquet(p.toString).select("vec_id").distinct())
+    else None
+  }
+
+  /** Tombstones `ids` (a (vec_id) frame): one append, no store scan.
+    * Unknown ids are harmless — the retrieval anti-join never sees a
+    * match and the next [[compact]] prunes them. Idempotent (the read
+    * side de-duplicates). */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/deletes")
+
+  /** Crash-safe directory swap: live → hidden `.pre` backup, tmp →
+    * live, drop backup. The `_` prefix hides the backup from partition
+    * discovery, so every intermediate state reads consistently; a crash
+    * between the renames is healed by [[recoverSwaps]]. */
+  private def swapDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(
+      live.getParent, "_" + live.getName + ".pre")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(live)) require(fs.rename(live, backup),
+      s"could not back up $live before swap")
+    require(fs.rename(tmp, live), s"could not swap $tmp into $live")
+    fs.delete(backup, true)
+  }
+
+  /** Heals interrupted [[swapDir]]s: a leftover `_<name>.pre` whose
+    * live dir is missing is renamed back (the crash hit between the two
+    * renames); one whose live dir exists is a completed swap's debris
+    * and is dropped. Called at every [[compact]] entry. */
+  private[graft] def recoverSwaps(
+      spark: SparkSession, indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    def heal(parent: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(parent).map(_.getPath)
+        .filter(p => p.getName.startsWith("_") && p.getName.endsWith(".pre"))
+        .foreach { backup =>
+          val live = new org.apache.hadoop.fs.Path(
+            parent, backup.getName.stripPrefix("_").stripSuffix(".pre"))
+          if (!fs.exists(live)) require(fs.rename(backup, live),
+            s"could not restore $live from $backup")
+          else fs.delete(backup, true)
+        }
+    heal(root)
+    val codes = new org.apache.hadoop.fs.Path(root, "codes")
+    if (fs.exists(codes))
+      fs.listStatus(codes).map(_.getPath)
+        .filter(_.getName.startsWith("gen=")).foreach(heal)
+  }
+
+  /** Physically purges tombstoned rows from every (gen, batch) dir
+    * whose deleted fraction is ≥ `threshold`, then prunes every
+    * tombstone with no remaining live row (purged ones AND unknown
+    * ids). Rewrites are codes-only — no re-encode, the surviving rows'
+    * codes are already correct — and swap in crash-safely; the
+    * tombstone table shrinks only AFTER its purges committed, so a
+    * crash anywhere leaves retrieval correct (the anti-join covers
+    * whatever the rewrite didn't). Returns the rewritten (gen, batch)
+    * pairs. */
+  def compact(
+      spark: SparkSession, indexDir: String,
+      threshold: Double): Seq[(Int, Long)] = {
+    recoverSwaps(spark, indexDir)
+    val del = readDeletes(spark, indexDir).getOrElse(return Nil)
+    val codesRoot = s"$indexDir/codes"
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(codesRoot))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(codesRoot))) return Nil
+    val codes = spark.read.parquet(codesRoot)
+    // One scan: per (gen, batch) live total + tombstoned count.
+    val occupancy = codes
+      .join(broadcast(del.withColumn("_del", lit(1))), Seq("vec_id"), "left")
+      .groupBy("gen", "batch")
+      .agg(count(lit(1)).as("total"), sum(col("_del")).as("deleted"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong,
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)))
+    val affected = occupancy.collect {
+      case (g, b, total, deleted)
+        if deleted > 0 && deleted.toDouble / total >= threshold => (g, b)
+    }.toSeq
+    affected.foreach { case (g, b) =>
+      val live = new org.apache.hadoop.fs.Path(s"$codesRoot/gen=$g/batch=$b")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$codesRoot/gen=$g/_batch=$b.compact")
+      fs.delete(tmp, true)
+      spark.read.parquet(live.toString)
+        .join(broadcast(del), Seq("vec_id"), "left_anti")
+        .repartition(col("cid"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cid")
+        .parquet(tmp.toString)
+      swapDir(fs, tmp, live)
+    }
+    // Prune consumed tombstones: keep only those still matching a live
+    // row (the re-read sees the post-swap store). Unconditional — a
+    // tombstone can go matchless without a rewrite here (unknown id, or
+    // a migration already dropped the row), and matchless tombstones
+    // otherwise accumulate forever.
+    val surviving = spark.read.parquet(codesRoot)
+      .join(broadcast(del), Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct().persist()
+    try {
+      val delLive = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
+      val delTmp = new org.apache.hadoop.fs.Path(s"$indexDir/_deletes.tmp")
+      fs.delete(delTmp, true)
+      surviving.write.mode(SaveMode.Overwrite).parquet(delTmp.toString)
+      swapDir(fs, delTmp, delLive)
+    } finally surviving.unpersist()
+    affected
   }
 
   /** ADC retrieval over the ACCUMULATED, possibly MIXED-GENERATION
@@ -496,9 +651,17 @@ object IvfPqIngest {
     val dedup = shadowed.foldLeft(lit(true)) { case (acc, (g, b)) =>
       acc && !(col("gen") === g && col("batch") === b)
     }
-    spark.read.parquet(s"$indexDir/codes")
+    val scanned = spark.read.parquet(s"$indexDir/codes")
       .filter(prune)
       .filter(dedup)
+    // Tombstoned rows never reach the shortlist: one broadcast anti-join
+    // (deletions are sparse by contract), skipped entirely when the
+    // store has none — the common case pays nothing.
+    val alive = readDeletes(spark, indexDir) match {
+      case Some(del) => scanned.join(broadcast(del), Seq("vec_id"), "left_anti")
+      case None => scanned
+    }
+    alive
       .join(lutDf, Seq("gen", "cid"))
       .withColumn("adc",
         SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub))
