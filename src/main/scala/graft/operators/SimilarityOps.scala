@@ -99,6 +99,7 @@ object SimilarityOps {
   private val PqKsub = 16      // codes per subspace (production: 256)
   private val PqIters = 2      // Lloyd's rounds per subspace codebook
   private val PqShortlist = 64 // ADC candidates kept for exact re-rank
+  private val OpqSweeps = 2    // OPQ alternation rounds (q_opq_encode)
 
   /** The 3-word shingle array of a pre-split word column — the ONE place
     * shingle tokenization lives (review finding: three inline copies had
@@ -847,25 +848,39 @@ object SimilarityOps {
         .orderBy("cluster", "rk")
     }),
 
-    // IVF ANN: k-means-lite coarse quantizer (8 cells, 2 Lloyd's
-    // iterations), probe searches only its nprobe=3 nearest cells. At
-    // 100 TB the cell assignment is a partition column: a probe touches
-    // 3/8 of the corpus here, and on real clustered data far less.
+    // IVF ANN: coarse quantizer (8 cells, 2 Lloyd's iterations), probe
+    // searches only its nprobe=3 nearest cells. At 100 TB the cell
+    // assignment is a partition column: a probe touches 3/8 of the
+    // corpus here, and on real clustered data far less.
+    // ORACLE-CHECKED since r18 (retiring the registry's oldest no-oracle
+    // debt): the quantizer is the ROUNDED-mean kmeans family
+    // ([[kmCentroids]]/[[kmAssign]] — the 1e-4 contract kmeansCtes
+    // replays bit-identically), the probe's nprobe cells use the SAME
+    // expanded (v·v − 2·v·c) + c·c fold as the assignment (so the SQL
+    // replays the cell choice exactly, ties to low cid), and the exact
+    // re-rank is q_similarity_topk's proven rounded-cosine shape. The
+    // shortlist is still approximate ANN — but approximate is not the
+    // same as non-deterministic, so the oracle CAN pin it.
     "q_ivf_topk" -> ((s, d) => {
       val e = vecs(s, d)
-      val k = 8
-      val cents = ivfCentroids(e, k, iters = 2)
+      val cents = kmCentroids(e, KmK, KmIters)
       val probeRow = e.filter(col("vec_id") === 0)
       val probe = broadcast(probeRow.select(col("v").as("p")))
-      // nprobe=3 cells nearest the probe (by centroid dot product)
       val pv = probeRow.select("v").head().getSeq[Double](0).toArray
-      def pdot(c: Array[Double]): Double = c.zip(pv).map { case (a, b) => a * b }.sum
-      val cells = cents.sortBy { case (_, c) => -pdot(c) }.take(3).map(_._1)
-      ivfAssign(e.filter(col("vec_id") =!= 0), cents)
+      val pp = pv.map(x => x * x).sum
+      val cells = cents.map { case (cid, c) =>
+        var pc = 0.0
+        var j = 0
+        while (j < pv.length) { pc += pv(j) * c(j); j += 1 }
+        (cid, pp - 2 * pc + c.map(x => x * x).sum)
+      }.sortBy { case (cid, dd) => (dd, cid) }.take(3).map(_._1)
+      kmAssign(e, cents)
+        .filter(col("vec_id") =!= 0)
         .filter(col("cid").isin(cells: _*))
         .crossJoin(probe)
         .select(col("vec_id"),
-          (round(expr("cosine_sim(v, p)") * 1000000) / 1000000).as("cos"))
+          (round(dot(col("v"), col("p")) / (norm(col("v")) * norm(col("p")))
+            * 1000000) / 1000000).as("cos"))
         .filter(!isnan(col("cos"))) // zero-norm guard — see q_similarity_topk
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
@@ -1086,6 +1101,30 @@ object SimilarityOps {
     // identical doubles) through the same per-subspace PQ chain.
     "q_rrpq_encode" -> ((s, d) => {
       val rot = rrRotate(vecs(s, d))
+      val cb = pqTrain(rot, PqM, PqKsub, PqIters)
+      pqEncode(rot, cb)
+        .select(col("vec_id"), posexplode(col("code")))
+        .select(col("vec_id"), col("pos").cast("long").as("m"),
+          col("col").cast("int").bitwiseAND(lit(255)).cast("long").as("code"))
+        .orderBy("vec_id", "m")
+    }),
+
+    // OPQ proper (Ge et al., CVPR 2013 §4): q_rrpq_encode with the
+    // rotation TRAINED by the alternating optimization (codebooks ↔
+    // orthogonal-Procrustes R-update, RR init) instead of drawn at
+    // random. NO ORACLE — deliberately, not as debt: the trained R is
+    // DATA-dependent, and the fixture embeddings differ per scale
+    // factor (verified: same-vec_id rows hash differently at sf0.01 vs
+    // sf0.1), so no single printed matrix can ride in static oracle SQL
+    // the way rrMatrix does. OpqSpec pins what the oracle would have:
+    // bit-determinism across runs, exact orthonormality, the train/
+    // encode chain's shape, and the published payoff (quantization
+    // error ≤ RR everywhere, strictly better on anisotropic data);
+    // OpqRecallProbe measures the recall A/B at 1M.
+    "q_opq_encode" -> ((s, d) => {
+      val e = vecs(s, d)
+      val r = opqTrainRotation(e, PqM, PqKsub, PqIters, OpqSweeps)
+      val rot = rotateBy(e, r)
       val cb = pqTrain(rot, PqM, PqKsub, PqIters)
       pqEncode(rot, cb)
         .select(col("vec_id"), posexplode(col("code")))
@@ -2097,13 +2136,18 @@ object SimilarityOps {
     m
   }
 
+  /** (vec_id, v → R·v) for the seeded random rotation — the oracle-
+    * replayed q_rrpq_encode path. */
+  private[graft] def rrRotate(e: DataFrame): DataFrame = rotateBy(e, rrMatrix)
+
   /** (vec_id, v → R·v): one map-side pass, R rides one broadcast. Row i
     * of the rotated vector is the ascending-j left fold Σ R(i)(j)·v(j) —
     * the same order the oracle's list_sum fold replays. */
-  private[graft] def rrRotate(e: DataFrame): DataFrame = {
+  private[graft] def rotateBy(
+      e: DataFrame, r0: Array[Array[Double]]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rrMatrix)
+    val bc = spark.sparkContext.broadcast(r0)
     e.select(col("vec_id").cast("long"), col("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -2124,6 +2168,175 @@ object SimilarityOps {
         }
       }
       .toDF("vec_id", "v")
+  }
+
+  // ---- OPQ proper (Ge et al., Optimized Product Quantization, CVPR
+  // 2013, §4 "non-parametric"): alternate (1) codebooks ← PQ-train on
+  // R·X and (2) R ← argmin_R ‖R·X − X̂‖² over orthogonal R, where X̂ is
+  // the decoded quantization of R·X. Step (2) is the orthogonal
+  // Procrustes problem: R = U·Vᵀ from the SVD of the cross-Gram
+  // M = X̂·Xᵀ. The RR baseline (q_rrpq_encode) is this loop's INIT; the
+  // alternation then tailors the rotation to the data's own covariance
+  // instead of spreading variance blindly.
+
+  /** Cross-Gram M(a)(b) = Σ_i x̂_i(a)·x_i(b) over the corpus, where
+    * x̂ = decode(encode(R·x)): ONE map-side pass (R and codebooks ride
+    * broadcasts, the rotate/encode/decode all happen per row in the
+    * loop) + one Dim-group codegen'd aggregate — the [[kmCentroids]]
+    * shape with `a` as the grouping key. Entries rounded 1e-4: the
+    * iterative-float family contract (absorbs partial-agg sum-order
+    * noise, so the trained rotation is bit-deterministic across runs —
+    * OpqSpec pins it). */
+  private[graft] def opqGram(
+      e: DataFrame, r0: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bcR = spark.sparkContext.broadcast(r0)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val rows = e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val rm = bcR.value
+        val books = bcCb.value
+        val n = books.length
+        val ds = books(0)(0).length
+        it.flatMap { case (_, x) =>
+          val y = new Array[Double](Dim)
+          var i = 0
+          while (i < Dim) {
+            val ri = rm(i)
+            var s = 0.0
+            var j = 0
+            while (j < Dim) { s += ri(j) * x(j); j += 1 }
+            y(i) = s
+            i += 1
+          }
+          val yh = new Array[Double](Dim)
+          var m = 0
+          while (m < n) {
+            val best = pqNearest(books(m), y, m * ds)
+            System.arraycopy(books(m)(best), 0, yh, m * ds, ds)
+            m += 1
+          }
+          Iterator.tabulate(Dim)(a => (a, yh(a), x))
+        }
+      }
+      .toDF("a", "yh", "x")
+    val sums = (0 until Dim).map(b =>
+      (round(sum(element_at(col("x"), b + 1) * col("yh")) * 10000) / 10000)
+        .as(s"m$b"))
+    val byRow = rows.groupBy("a").agg(sums.head, sums.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        Array.tabulate(Dim)(b => r.getDouble(b + 1))).toMap
+    Array.tabulate(Dim)(a => byRow(a))
+  }
+
+  /** U·Vᵀ of a square matrix via one-sided Jacobi SVD — the orthogonal
+    * Procrustes solution, all driver-side pure doubles (fixed sweep
+    * order, fixed tolerance ⇒ bit-deterministic across JVMs, like
+    * [[rrMatrix]]'s Gram–Schmidt). Columns of A are orthogonalized by
+    * plane rotations accumulated into V; U's columns are the normalized
+    * results, with a modified-Gram–Schmidt completion for (near-)zero
+    * singular directions so R stays exactly orthonormal even on
+    * degenerate input. */
+  private[graft] def svdRotation(
+      m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    // column-major copies: a(j)(i) = M(i)(j); v starts as I
+    val a = Array.tabulate(n, n)((j, i) => m(i)(j))
+    val v = Array.tabulate(n, n)((j, i) => if (i == j) 1.0 else 0.0)
+    def colDot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    var sweep = 0
+    var off = 1.0
+    while (off > 1e-14 && sweep < 60) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val alpha = colDot(a(p), a(p))
+          val beta = colDot(a(q), a(q))
+          val gamma = colDot(a(p), a(q))
+          val denom = math.sqrt(alpha * beta)
+          if (denom > 0 && math.abs(gamma) > 1e-15 * denom) {
+            off = math.max(off, math.abs(gamma) / denom)
+            val zeta = (beta - alpha) / (2.0 * gamma)
+            val t = math.signum(zeta) /
+              (math.abs(zeta) + math.sqrt(1.0 + zeta * zeta))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            var i = 0
+            while (i < n) {
+              val ap = a(p)(i); val aq = a(q)(i)
+              a(p)(i) = c * ap - s * aq
+              a(q)(i) = s * ap + c * aq
+              val vp = v(p)(i); val vq = v(q)(i)
+              v(p)(i) = c * vp - s * vq
+              v(q)(i) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // u(j) = a(j)/σ(j); MGS completion keeps degenerate columns
+    // orthonormal deterministically (fallback basis vector e_j).
+    val u = Array.ofDim[Double](n, n)
+    for (j <- 0 until n) {
+      val sigma = math.sqrt(colDot(a(j), a(j)))
+      var i = 0
+      if (sigma > 1e-12) {
+        while (i < n) { u(j)(i) = a(j)(i) / sigma; i += 1 }
+      } else {
+        while (i < n) { u(j)(i) = if (i == j) 1.0 else 0.0; i += 1 }
+      }
+      var k = 0
+      while (k < j) {
+        val proj = colDot(u(j), u(k))
+        var t = 0
+        while (t < n) { u(j)(t) -= proj * u(k)(t); t += 1 }
+        k += 1
+      }
+      val nrm = math.sqrt(colDot(u(j), u(j)))
+      require(nrm > 1e-12, s"SVD column $j collapsed — degenerate input")
+      i = 0
+      while (i < n) { u(j)(i) /= nrm; i += 1 }
+    }
+    // R(i)(k) = Σ_j u_j(i)·v_j(k)
+    Array.tabulate(n, n)((i, k) => {
+      var s = 0.0; var j = 0
+      while (j < n) { s += u(j)(i) * v(j)(k); j += 1 }
+      s
+    })
+  }
+
+  /** The OPQ alternation: `sweeps` rounds of (PQ-train on R·X) →
+    * (Procrustes R-update), initialized at [[rrMatrix]]. Everything
+    * data-side is the same scalable one-pass shape as [[pqTrain]]/
+    * [[opqGram]]; the SVD is a 64×64 driver-side solve. Deterministic
+    * end-to-end (seeded init, 1e-4-rounded aggregates, fixed-order
+    * Jacobi), but DATA-dependent — unlike [[rrMatrix]] the trained
+    * rotation cannot be printed into static oracle SQL (the fixture
+    * tables differ per scale factor), so q_opq_encode is a no-oracle
+    * entry with OpqSpec pinning determinism, orthonormality, and the
+    * published payoff over the RR baseline. */
+  private[graft] def opqTrainRotation(
+      e: DataFrame, nSub: Int, ksub: Int, pqIters: Int,
+      sweeps: Int): Array[Array[Double]] = {
+    var r = rrMatrix
+    for (_ <- 1 to sweeps) {
+      val cb = pqTrain(rotateBy(e, r), nSub, ksub, pqIters)
+      r = svdRotation(opqGram(e, r, cb))
+    }
+    r
   }
 
   /** Argmin-squared-L2 code for `v(off..off+dsub)` against one subspace's
@@ -2493,6 +2706,45 @@ object SimilarityOps {
          SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
            round(d * 10000) / 10000 AS d_r
          FROM af ORDER BY vec_id""",
+
+    // IVF replay (r18 — the retired no-oracle debt): the same clustering
+    // CTEs rebuild the coarse quantizer, `celld` re-derives the probe's
+    // cell distances with the identical expanded fold (term for term:
+    // Σp², −2Σp·c, Σc² — each a left-to-right list_sum, combined
+    // (a − b) + c), `cells` takes nprobe=3 with the (d, cid) tie rule,
+    // and the re-rank is q_similarity_topk's rounded-cosine shape over
+    // the probed cells' members only. A hash match proves the exact
+    // probed-cell choice AND the shortlist contents — approximate ANN,
+    // deterministically replayed.
+    "q_ivf_topk" ->
+      s"""WITH $kmeansCtes,
+         p AS (SELECT v AS p FROM e WHERE vec_id = 0),
+         celld AS (
+           SELECT c.cid,
+             list_sum(list_transform(p.p, x -> x * x))
+             - 2 * list_sum(list_transform(generate_series(1, $Dim),
+                 i -> p.p[i] * c.c[i]))
+             + list_sum(list_transform(c.c, x -> x * x)) AS d
+           FROM c$KmIters c CROSS JOIN p),
+         cells AS (SELECT cid FROM (
+             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rk
+             FROM celld) WHERE rk <= 3)
+         SELECT vec_id, round(dot / (ne * np) * 1000000) / 1000000 AS cos
+         FROM (
+           SELECT a.vec_id,
+             list_sum(list_transform(generate_series(1, $Dim),
+               i -> e.v[i] * p.p[i])) AS dot,
+             sqrt(list_sum(list_transform(generate_series(1, $Dim),
+               i -> e.v[i] * e.v[i]))) AS ne,
+             sqrt(list_sum(list_transform(generate_series(1, $Dim),
+               i -> p.p[i] * p.p[i]))) AS np
+           FROM af a
+           JOIN cells USING (cid)
+           JOIN e ON e.vec_id = a.vec_id
+           CROSS JOIN p
+           WHERE a.vec_id <> 0)
+         WHERE NOT isnan(dot / (ne * np))
+         ORDER BY cos DESC, vec_id LIMIT 10""",
 
     // Same clustering CTEs; the window replay proves the distributed
     // partial-top-m (WindowGroupLimit) selected exactly the serial

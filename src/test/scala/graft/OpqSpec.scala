@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPQ proper (q_opq_encode — Ge et al., Optimized Product
+  * Quantization, CVPR 2013 §4, non-parametric alternation). The query
+  * is no-oracle BY DESIGN (the trained rotation is data-dependent, so
+  * no printed matrix can ride in static oracle SQL across scale
+  * factors); this spec therefore pins everything the oracle would:
+  * the Procrustes solver itself, bit-determinism of the trained
+  * rotation, exact orthonormality, and the published payoff over the
+  * RR baseline it initializes from. */
+class OpqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dim = 64
+
+  /** Anisotropic clustered corpus — the regime OPQ exists for (RrPqSpec
+    * measures RR's 9/9-vs-3/9 win over flat PQ on the same shape). */
+  private def anisotropic(n: Int, seed: Int): Seq[(Long, Array[Double])] = {
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(64)(Array.tabulate(dim)(j =>
+      if (j < 8) 10.0 * rng.nextGaussian() else 0.0))
+    (0 until n).map { i =>
+      val c = centers(i % 64)
+      (i.toLong, Array.tabulate(dim)(j =>
+        c(j) + (if (j < 8) 0.3 else 0.05) * rng.nextGaussian()))
+    }
+  }
+
+  private def df(rows: Seq[(Long, Array[Double])]) =
+    spark.createDataFrame(rows).toDF("vec_id", "v")
+
+  /** Total quantization error Σ‖R·x − decode(encode(R·x))‖² of a
+    * rotate-train-encode pipeline — the objective the alternation
+    * minimizes (driver-side replay on the collected corpus). */
+  private def qerr(rows: Seq[(Long, Array[Double])],
+      r: Array[Array[Double]]): Double = {
+    val e = SimilarityOps.rotateBy(df(rows), r)
+    val cb = SimilarityOps.pqTrain(e, 8, 16, 2)
+    val rot = e.collect().map(_.getSeq[Double](1).toArray)
+    rot.map { y =>
+      var err = 0.0
+      for (m <- 0 until 8) {
+        val best = SimilarityOps.pqNearest(cb(m), y, m * 8)
+        val ce = cb(m)(best)
+        for (j <- 0 until 8) {
+          val t = y(m * 8 + j) - ce(j)
+          err += t * t
+        }
+      }
+      err
+    }.sum
+  }
+
+  test("Procrustes solver: U·Vᵀ recovers a planted rotation exactly") {
+    // M = Q·D (Q orthogonal from rrMatrix, D positive diagonal) has
+    // SVD U=Q·?, V=?: polar factor is Q, so svdRotation(M) == Q.
+    val q = SimilarityOps.rrMatrix
+    val d = Array.tabulate(dim)(j => 1.0 + 0.1 * j)
+    val m = Array.tabulate(dim, dim)((i, k) => q(i)(k) * d(k))
+    val got = SimilarityOps.svdRotation(m)
+    var worst = 0.0
+    for (i <- 0 until dim; k <- 0 until dim)
+      worst = math.max(worst, math.abs(got(i)(k) - q(i)(k)))
+    assert(worst < 1e-9,
+      f"polar factor off by $worst%.2e — the Procrustes solve is wrong")
+  }
+
+  test("trained rotation is orthonormal and bit-deterministic across runs") {
+    val rows = anisotropic(400, 17)
+    val r1 = SimilarityOps.opqTrainRotation(df(rows), 8, 16, 2, 2)
+    val r2 = SimilarityOps.opqTrainRotation(df(rows), 8, 16, 2, 2)
+    assert((0 until dim).forall(i => (0 until dim).forall(k =>
+      r1(i)(k) == r2(i)(k))),
+      "two trainings on the same frame diverged — the no-oracle " +
+        "justification rests on this determinism")
+    var worst = 0.0
+    for (i <- 0 until dim; k <- 0 until dim) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += r1(i)(j) * r1(k)(j); j += 1 }
+      worst = math.max(worst, math.abs(s - (if (i == k) 1.0 else 0.0)))
+    }
+    assert(worst < 1e-9, s"R·Rᵀ deviates from I by $worst")
+  }
+
+  test("published payoff: alternation lowers quantization error vs the RR init") {
+    val rows = anisotropic(400, 17)
+    val rOpq = SimilarityOps.opqTrainRotation(df(rows), 8, 16, 2, 2)
+    val errRr = qerr(rows, SimilarityOps.rrMatrix)
+    val errOpq = qerr(rows, rOpq)
+    assert(errOpq < errRr,
+      f"OPQ qerr $errOpq%.3f not below RR's $errRr%.3f — the " +
+        "alternation isn't optimizing its own objective")
+    println(f"[opq-spec] anisotropic qerr: RR $errRr%.2f -> " +
+      f"OPQ $errOpq%.2f (${(1 - errOpq / errRr) * 100}%.1f%% lower)")
+  }
+
+  test("isometry transfers: OPQ shortlist recall >= RR on anisotropic clusters") {
+    // RrPqSpec's 9/9-vs-3/9 fixture, one rung up: OPQ must hold RR's
+    // perfect shortlist (it can't do better than 9/9) while lowering
+    // the quantization error above.
+    val rows = anisotropic(640, 13)
+    val e = df(rows)
+    val probeId = 5L
+    val cluster = rows.filter(r => r._1 % 64 == 5 && r._1 != probeId)
+      .map(_._1).toSet
+    val pv = rows(5)._2
+    def hits(r: Array[Array[Double]]): Int = {
+      val rot = SimilarityOps.rotateBy(e, r)
+      val cb = SimilarityOps.pqTrain(rot, 8, 16, 2)
+      val pvRot = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += r(i)(j) * pv(j); j += 1 }
+        s
+      }
+      val lut = SimilarityOps.pqLut(cb, pvRot)
+      val ids = SimilarityOps
+        .pqEncode(rot.filter(col("vec_id") =!= probeId), cb)
+        .withColumn("adc", SimilarityOps.pqAdcCol(lut, 16))
+        .orderBy(col("adc").asc, col("vec_id")).limit(16)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      cluster.count(ids)
+    }
+    val rrHits = hits(SimilarityOps.rrMatrix)
+    val opqHits = hits(SimilarityOps.opqTrainRotation(e, 8, 16, 2, 2))
+    assert(opqHits >= rrHits && opqHits == cluster.size,
+      s"OPQ shortlist lost same-cluster members: $opqHits vs RR $rrHits " +
+        s"of ${cluster.size}")
+  }
+}
