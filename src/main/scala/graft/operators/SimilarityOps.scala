@@ -924,10 +924,12 @@ object SimilarityOps {
     // flat 8-term codegen'd sum of element_at's into one literal array,
     // no vector arithmetic, no vector I/O. At 100 TB this is the
     // difference between scanning 256 B/row and 8 B/row for the shortlist
-    // pass; exact cosine is then paid on PqShortlist rows only. Shortlist
-    // ranking is approximate ⇒ no DuckDB oracle (q_ivf_topk precedent);
-    // PqSpec pins ADC-vs-driver bit-identity, determinism, and planted
-    // recall, and ScaleProbe measures the scan at 1M vectors / ksub=256.
+    // pass; exact cosine is then paid on PqShortlist rows only.
+    // ORACLE-CHECKED since r18: approximate ANN is still deterministic,
+    // so the shortlist cut and re-rank replay exactly (see the oracle's
+    // ADC-fold comment); PqSpec additionally pins ADC-vs-driver
+    // bit-identity and planted recall, and ScaleProbe measures the scan
+    // at 1M vectors / ksub=256.
     "q_pq_topk" -> ((s, d) => {
       val e = vecs(s, d)
       val cb = pqTrain(e, PqM, PqKsub, PqIters)
@@ -964,9 +966,10 @@ object SimilarityOps {
     // the same code size. The per-cell LUTs arrive as a 3-row broadcast
     // frame; the inner equi-join on cid is simultaneously the nprobe
     // filter AND the LUT dispatch — no literal grows with nprobe, no
-    // second pass. No DuckDB oracle (approximate shortlist, q_ivf_topk /
-    // q_pq_topk precedent); IvfPqSpec pins joined-ADC bit-identity,
-    // probed-cell containment, determinism, and planted recall.
+    // second pass. ORACLE-CHECKED since r18 (the full IVFADC pipeline —
+    // cells, residual codes, probed-cell choice, per-cell LUTs, ADC
+    // shortlist, re-rank — hash-matched); IvfPqSpec additionally pins
+    // joined-ADC bit-identity, probed-cell containment, planted recall.
     "q_ivfpq_topk" -> ((s, d) => {
       val e = vecs(s, d)
       val cents = kmCentroids(e, KmK, KmIters)
@@ -1008,8 +1011,9 @@ object SimilarityOps {
     // partial top-k per probe BEFORE the exchange, so the shuffle
     // carries ≤ 64 × probes × partitions rows, never the scored
     // cross product). Exact cosine re-ranks only the 64 survivors per
-    // probe. No oracle (approximate shortlist — q_pq_topk precedent);
-    // PqSpec pins batch == exact q_knn_join on planted clusters.
+    // probe. ORACLE-CHECKED since r18 (per-probe LUTs, shortlists, and
+    // ranked top-5 replayed); PqSpec additionally pins batch == exact
+    // q_knn_join on planted clusters.
     "q_pq_knn_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val nProbes = 10
@@ -1141,8 +1145,10 @@ object SimilarityOps {
     // and its LUT dispatch, so a cid-partitioned layout turns the whole
     // probe batch into one partition-pruned scan. Per-probe ADC top-64
     // through the WindowGroupLimit partial, exact re-rank to top-k.
-    // No oracle (approximate shortlist); IvfPqSpec pins batch == exact
-    // q_knn_join row-for-row on planted clusters.
+    // ORACLE-CHECKED since r18 (the batch IVFADC replay — per-probe
+    // cells, per-(probe, cell) residual LUTs, shortlists, ranked top-5);
+    // IvfPqSpec additionally pins batch == exact q_knn_join row-for-row
+    // on planted clusters.
     "q_ivfpq_knn_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val nProbes = 10
@@ -2642,6 +2648,27 @@ object SimilarityOps {
            FROM embeddings),
          ${pqChainCtes("e")}"""
 
+  /** The ADC replay tail shared by the four shortlist oracles (r18 —
+    * retiring the approximate-shortlist no-oracle debts): given the
+    * chain's `paf` codes and a LUT CTE keyed (m, cid[, probe/cell]),
+    * each vector's ADC is `list_sum(list(l ORDER BY m))` — the SAME
+    * ascending-m left fold pqAdcColOf's reduce(_ + _) emits — over LUT
+    * entries that are themselves the direct ascending-j Σ(p−c)² fold
+    * pqLut computes, against 1e-4-rounded codebook entries both engines
+    * share bit-for-bit (the q_pq_encode/q_ivfpq_encode hash matches
+    * prove the substrate). Approximate ANN, deterministically replayed:
+    * the shortlist cut (adc, vec_id) and the rounded-cosine re-rank are
+    * total orders over identical doubles. */
+  private def pqSubDist(sv: String, c: String): String =
+    s"""list_sum(list_transform(generate_series(1, ${Dim / PqM}),
+             j -> ($sv[j] - $c[j]) * ($sv[j] - $c[j])))"""
+
+  /** Vectors the PQ shortlist queries admit: the pre-shortlist zero-norm
+    * exclusion (r16 advisor) as SQL. */
+  private val pqAliveCte: String =
+    s"""alive AS (SELECT vec_id FROM e
+           WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0)"""
+
   val oracleSql: Map[String, String] = Map(
     // A hash match proves the whole per-subspace training pipeline —
     // see the q_pq_encode registry comment.
@@ -2649,6 +2676,83 @@ object SimilarityOps {
       s"""WITH $pqCtes
          SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS code
          FROM paf ORDER BY vec_id, m""",
+
+    // Flat-PQ shortlist + exact re-rank, fully replayed (r18): probe LUT
+    // from the chain's own probe slices (s WHERE vec_id = 0), per-vector
+    // ADC as the ordered fold above, top-PqShortlist by (adc, vec_id),
+    // q_similarity_topk's rounded-cosine re-rank on the survivors.
+    "q_pq_topk" ->
+      s"""WITH $pqCtes,
+         $pqAliveCte,
+         plut AS (SELECT c.m AS m, c.cid AS cid,
+             ${pqSubDist("ps.sv", "c.c")} AS l
+           FROM pc$PqIters c JOIN s ps ON ps.m = c.m AND ps.vec_id = 0),
+         vadc AS (SELECT p.vec_id, list_sum(list(pl.l ORDER BY pl.m)) AS adc
+           FROM paf p
+           JOIN plut pl ON p.m = pl.m AND p.cid = pl.cid
+           JOIN alive al ON p.vec_id = al.vec_id
+           WHERE p.vec_id <> 0
+           GROUP BY p.vec_id),
+         short AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS rk
+             FROM vadc) WHERE rk <= $PqShortlist)
+         SELECT vec_id, round(dot / (ne * np) * 1000000) / 1000000 AS cos
+         FROM (
+           SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, $Dim),
+               i -> e.v[i] * pr.p[i])) AS dot,
+             sqrt(list_sum(list_transform(generate_series(1, $Dim),
+               i -> e.v[i] * e.v[i]))) AS ne,
+             sqrt(list_sum(list_transform(generate_series(1, $Dim),
+               i -> pr.p[i] * pr.p[i]))) AS np
+           FROM short JOIN e USING (vec_id)
+           CROSS JOIN (SELECT v AS p FROM e WHERE vec_id = 0) pr)
+         WHERE NOT isnan(dot / (ne * np))
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    // The batch face (r18): same replay with probe_id riding through —
+    // per-probe LUTs from s WHERE vec_id < 10, per-probe shortlist via
+    // the partitioned row_number, per-probe rounded-cosine top-5 with
+    // the rank in the output, exactly the Spark window pair.
+    "q_pq_knn_join" ->
+      s"""WITH $pqCtes,
+         $pqAliveCte,
+         plut AS (SELECT ps.vec_id AS probe_id, c.m AS m, c.cid AS cid,
+             ${pqSubDist("ps.sv", "c.c")} AS l
+           FROM pc$PqIters c JOIN s ps ON ps.m = c.m AND ps.vec_id < 10),
+         vadc AS (SELECT pl.probe_id, p.vec_id,
+             list_sum(list(pl.l ORDER BY pl.m)) AS adc
+           FROM paf p
+           JOIN plut pl ON p.m = pl.m AND p.cid = pl.cid
+           JOIN alive al ON p.vec_id = al.vec_id
+           WHERE p.vec_id >= 10
+           GROUP BY pl.probe_id, p.vec_id),
+         short AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY adc, vec_id) AS rk
+             FROM vadc) WHERE rk <= $PqShortlist),
+         scored AS (
+           SELECT probe_id, vec_id,
+             round(dot / (ne * np) * 1000000) / 1000000 AS cos
+           FROM (
+             SELECT sh.probe_id, sh.vec_id,
+               list_sum(list_transform(generate_series(1, $Dim),
+                 i -> e.v[i] * pe.v[i])) AS dot,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim),
+                 i -> e.v[i] * e.v[i]))) AS ne,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim),
+                 i -> pe.v[i] * pe.v[i]))) AS np
+             FROM short sh
+             JOIN e ON e.vec_id = sh.vec_id
+             JOIN e pe ON pe.vec_id = sh.probe_id)
+           WHERE NOT isnan(dot / (ne * np)))
+         SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM (
+           SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM scored) WHERE rk <= 5
+         ORDER BY probe_id, rk""",
 
     // The rotation replay: R as a 64-row VALUES table (i, row) — the
     // printed doubles round-trip exactly (Double.toString is
@@ -2696,6 +2800,139 @@ object SimilarityOps {
            CAST(p.m AS BIGINT) AS m, CAST(p.cid AS BIGINT) AS code
          FROM paf p JOIN af a ON p.vec_id = a.vec_id
          ORDER BY p.vec_id, p.m""",
+
+    // IVFADC shortlist + exact re-rank, fully replayed (r18): the
+    // q_ivfpq_encode chain rebuilds cells + residual codes; the probe's
+    // nprobe=3 cells use ivfPqProbedCells' expanded fold (same spelling
+    // as kmDistSql, ties to low cid); per-cell LUTs are pqLut's direct
+    // fold over the probe's per-cell RESIDUAL slices; the inner join on
+    // (cell, m, code) is the Spark plan's cid-join LUT dispatch; then
+    // the ordered ADC fold, the (adc, vec_id) shortlist cut, and the
+    // rounded-cosine re-rank.
+    "q_ivfpq_topk" ->
+      s"""WITH $kmeansCtes,
+         rv AS (SELECT e.vec_id,
+             list_transform(generate_series(1, $Dim),
+               i -> e.v[i] - c.c[i]) AS v
+           FROM e JOIN af a ON e.vec_id = a.vec_id
+           JOIN c$KmIters c ON a.cid = c.cid),
+         ${pqChainCtes("rv")},
+         $pqAliveCte,
+         prq AS (SELECT v AS p FROM e WHERE vec_id = 0),
+         celld AS (SELECT c.cid,
+             list_sum(list_transform(pr.p, x -> x * x))
+             - 2 * list_sum(list_transform(generate_series(1, $Dim),
+                 i -> pr.p[i] * c.c[i]))
+             + list_sum(list_transform(c.c, x -> x * x)) AS d
+           FROM c$KmIters c CROSS JOIN prq pr),
+         cells AS (SELECT cid FROM (
+             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rk
+             FROM celld) WHERE rk <= 3),
+         pres AS (SELECT ce.cid AS cell, gm.m AS m,
+             list_transform(generate_series(1, ${Dim / PqM}),
+               j -> pr.p[gm.m * ${Dim / PqM} + j]
+                 - c.c[gm.m * ${Dim / PqM} + j]) AS sv
+           FROM cells ce JOIN c$KmIters c ON ce.cid = c.cid
+           CROSS JOIN prq pr
+           CROSS JOIN generate_series(0, ${PqM - 1}) AS gm(m)),
+         plut AS (SELECT pres.cell AS cell, b.m AS m, b.cid AS code,
+             ${pqSubDist("pres.sv", "b.c")} AS l
+           FROM pc$PqIters b JOIN pres ON pres.m = b.m),
+         vadc AS (SELECT p2.vec_id, list_sum(list(pl.l ORDER BY pl.m)) AS adc
+           FROM paf p2
+           JOIN af a ON p2.vec_id = a.vec_id
+           JOIN plut pl ON pl.cell = a.cid AND pl.m = p2.m
+             AND pl.code = p2.cid
+           JOIN alive al ON p2.vec_id = al.vec_id
+           WHERE p2.vec_id <> 0
+           GROUP BY p2.vec_id),
+         short AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS rk
+             FROM vadc) WHERE rk <= $PqShortlist)
+         SELECT vec_id, round(dot / (ne * np) * 1000000) / 1000000 AS cos
+         FROM (
+           SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, $Dim),
+               i -> e.v[i] * pr.p[i])) AS dot,
+             sqrt(list_sum(list_transform(generate_series(1, $Dim),
+               i -> e.v[i] * e.v[i]))) AS ne,
+             sqrt(list_sum(list_transform(generate_series(1, $Dim),
+               i -> pr.p[i] * pr.p[i]))) AS np
+           FROM short JOIN e USING (vec_id)
+           CROSS JOIN prq pr)
+         WHERE NOT isnan(dot / (ne * np))
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    // The batch IVFADC face (r18): per-probe cells, per-(probe, cell)
+    // residual LUTs, per-probe shortlist and top-5 — the full
+    // q_ivfpq_knn_join plan replayed with probe_id riding every CTE.
+    "q_ivfpq_knn_join" ->
+      s"""WITH $kmeansCtes,
+         rv AS (SELECT e.vec_id,
+             list_transform(generate_series(1, $Dim),
+               i -> e.v[i] - c.c[i]) AS v
+           FROM e JOIN af a ON e.vec_id = a.vec_id
+           JOIN c$KmIters c ON a.cid = c.cid),
+         ${pqChainCtes("rv")},
+         $pqAliveCte,
+         prq AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+         celld AS (SELECT pr.probe_id, c.cid,
+             list_sum(list_transform(pr.p, x -> x * x))
+             - 2 * list_sum(list_transform(generate_series(1, $Dim),
+                 i -> pr.p[i] * c.c[i]))
+             + list_sum(list_transform(c.c, x -> x * x)) AS d
+           FROM c$KmIters c CROSS JOIN prq pr),
+         cells AS (SELECT probe_id, cid FROM (
+             SELECT probe_id, cid,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY d, cid) AS rk
+             FROM celld) WHERE rk <= 3),
+         pres AS (SELECT ce.probe_id, ce.cid AS cell, gm.m AS m,
+             list_transform(generate_series(1, ${Dim / PqM}),
+               j -> pr.p[gm.m * ${Dim / PqM} + j]
+                 - c.c[gm.m * ${Dim / PqM} + j]) AS sv
+           FROM cells ce
+           JOIN c$KmIters c ON ce.cid = c.cid
+           JOIN prq pr ON pr.probe_id = ce.probe_id
+           CROSS JOIN generate_series(0, ${PqM - 1}) AS gm(m)),
+         plut AS (SELECT pres.probe_id, pres.cell AS cell, b.m AS m,
+             b.cid AS code, ${pqSubDist("pres.sv", "b.c")} AS l
+           FROM pc$PqIters b JOIN pres ON pres.m = b.m),
+         vadc AS (SELECT pl.probe_id, p2.vec_id,
+             list_sum(list(pl.l ORDER BY pl.m)) AS adc
+           FROM paf p2
+           JOIN af a ON p2.vec_id = a.vec_id
+           JOIN plut pl ON pl.cell = a.cid AND pl.m = p2.m
+             AND pl.code = p2.cid
+           JOIN alive al ON p2.vec_id = al.vec_id
+           WHERE p2.vec_id >= 10
+           GROUP BY pl.probe_id, p2.vec_id),
+         short AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY adc, vec_id) AS rk
+             FROM vadc) WHERE rk <= $PqShortlist),
+         scored AS (
+           SELECT probe_id, vec_id,
+             round(dot / (ne * np) * 1000000) / 1000000 AS cos
+           FROM (
+             SELECT sh.probe_id, sh.vec_id,
+               list_sum(list_transform(generate_series(1, $Dim),
+                 i -> e.v[i] * pe.v[i])) AS dot,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim),
+                 i -> e.v[i] * e.v[i]))) AS ne,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim),
+                 i -> pe.v[i] * pe.v[i]))) AS np
+             FROM short sh
+             JOIN e ON e.vec_id = sh.vec_id
+             JOIN e pe ON pe.vec_id = sh.probe_id)
+           WHERE NOT isnan(dot / (ne * np)))
+         SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM (
+           SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM scored) WHERE rk <= 5
+         ORDER BY probe_id, rk""",
 
     // A hash match here proves the ENTIRE iterative clustering — both
     // Lloyd's rounds, the rounded-mean updates, the empty-cluster carry,
