@@ -61,6 +61,22 @@ import graft.operators.SimilarityOps
   *    uses the SAME arithmetic as first-time ingest, so a migrated
   *    store and a rebuilt one are indistinguishable.
   *
+  * ==OPQ rotation (per-generation)==
+  *
+  * A generation may carry a trained orthonormal rotation
+  * ([[SimilarityOps.opqTrainRotation]] — Ge et al., CVPR 2013): ingest
+  * then assigns + residual-encodes in ROTATED space, retrieval rotates
+  * the probe per generation before building cells and LUTs, and
+  * migration to a rotated generation re-encodes through R. Because R
+  * is orthonormal, every generation's ADC estimates the same true
+  * ‖p − v‖², so the mixed-generation top-k stays valid mid-rollout —
+  * the deployment path for the measured OPQ recall win (IvfPqOpqProbe:
+  * recall@256 0.748 → 0.922 on the anisotropic corpus, delivered
+  * through migrateBatch/migrate). Deploy per the ARMING RULE
+  * ([[SimilarityOps.opqArmed]]): only when the train-time qerr drop vs
+  * the RR baseline clears the threshold — on variance-balanced data
+  * the rotation can cost recall (measured, r18–r19).
+  *
   * ==Deletion==
   *
   * Takedowns append vec_id tombstones to `indexDir/deletes/` ([[delete]]
@@ -82,6 +98,18 @@ object IvfPqIngest {
 
   type Cents = Array[(Int, Array[Double])]
   type Books = Array[Array[Array[Double]]]
+  type Rot = Array[Array[Double]]
+
+  /** One generation's frozen structures. `rot` is the OPQ/RR rotation
+    * (Ge et al., CVPR 2013): when present, every vector is rotated
+    * y = R·v BEFORE coarse assignment and residual encoding — centroids
+    * and codebooks are then structures OVER ROTATED SPACE, and retrieval
+    * rotates the probe by the same R before building its LUTs. R is
+    * orthonormal, so ‖R·p − R·v‖ = ‖p − v‖: ADC scores from rotated and
+    * unrotated generations estimate the SAME true distance, which is
+    * what keeps one global top-k over a mixed-generation store valid. */
+  final case class GenStructs(
+      cents: Cents, cb: Books, rot: Option[Rot] = None)
 
   /** Starts the ingest on a streaming (vec_id: long, v: array<double>)
     * frame, encoding against the frozen `cents`/`cb` of `gen`. */
@@ -91,18 +119,24 @@ object IvfPqIngest {
       checkpointDir: String,
       cents: Cents,
       cb: Books,
-      gen: Int = 0): StreamingQuery =
+      gen: Int = 0,
+      rot: Option[Rot] = None): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch, batchId, indexDir, cents, cb, gen)
+        processBatch(batch, batchId, indexDir, cents, cb, gen, rot)
       }
       .start()
 
   /** Deterministic identity of the frozen structures: shape plus an MD5
-    * over the exact double bits of centroids and codebooks, so "same
-    * hash" means "same arithmetic", not "probably similar". */
-  private[graft] def codebookId(cents: Cents, cb: Books): String = {
+    * over the exact double bits of centroids, codebooks, and (when
+    * present) the rotation, so "same hash" means "same arithmetic", not
+    * "probably similar". A rotated generation's id carries a distinct
+    * `ivfpq-opq` prefix: the same (cents, cb) with and without R produce
+    * INCOMPARABLE codes, and the prefix makes that a loud marker
+    * mismatch instead of an md5 coincidence question. */
+  private[graft] def codebookId(
+      cents: Cents, cb: Books, rot: Option[Rot] = None): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     def putD(d: Double): Unit = {
@@ -114,22 +148,27 @@ object IvfPqIngest {
       c.foreach(putD)
     }
     cb.foreach(_.foreach(_.foreach(putD)))
+    rot.foreach(_.foreach(_.foreach(putD)))
+    val tag = if (rot.isDefined) "ivfpq-opq" else "ivfpq"
     val hash = md.digest().map("%02x".format(_)).mkString
-    s"ivfpq ${cents.length} ${cb.length} ${cb(0).length} $hash"
+    s"$tag ${cents.length} ${cb.length} ${cb(0).length} $hash"
   }
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** First touch writes the generation's marker (unique-temp + rename +
+  /** First touch writes the generation's marker (atomic create +
     * content re-verify); every later batch verifies it. Mismatch = loud
     * failure with the rebuild instruction, never silent garbage
-    * retrieval. The publish is race-safe (r17 advisor): the temp name is
-    * unique per writer, and after the rename attempt the marker CONTENT
-    * is re-read and required to equal this writer's id — rename success
-    * alone doesn't prove our id is pinned when two first writers
-    * interleave, and a persistent rename failure surfaces as the same
-    * loud mismatch instead of unbounded recursion. */
+    * retrieval. The publish is race-safe (r18 advisor): `fs.create(…,
+    * overwrite = false)` refuses an existing destination — unlike
+    * rename, which RawLocalFileSystem (POSIX File.renameTo) happily
+    * lets OVERWRITE an already-published marker, so two interleaved
+    * first writers could each rename-and-verify their own id in turn
+    * and pin one writer's batch under the other's codebook. With the
+    * atomic create exactly one writer wins; the loser falls through to
+    * the read-and-compare, and a persistent create failure surfaces as
+    * the same loud mismatch instead of unbounded recursion. */
   private[graft] def checkCodebookMarker(
       spark: SparkSession, indexDir: String, gen: Int, id: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(indexDir)
@@ -153,18 +192,19 @@ object IvfPqIngest {
       case Some(line) => require(line == id, mismatch(line))
       case None =>
         fs.mkdirs(dir)
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s"_codebook_g$gen.tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        try out.write((id + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+        try {
+          val out = fs.create(marker, false) // refuses an existing marker
+          try out.write((id + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case _: java.io.IOException => () // a concurrent writer won
+        }
         // One bounded re-check, no recursion: whatever the interleaving,
         // the published marker must now carry OUR id.
         readMarker() match {
           case Some(line) => require(line == id, mismatch(line))
           case None => throw new IllegalStateException(
-            s"could not publish codebook marker $marker (rename failed " +
+            s"could not publish codebook marker $marker (create failed " +
               "and no concurrent writer published one)")
         }
     }
@@ -187,12 +227,12 @@ object IvfPqIngest {
     * so a migration can't silently skip a generation's codes. */
   def beginGeneration(
       spark: SparkSession, indexDir: String, gen: Int,
-      cents: Cents, cb: Books): Unit = {
+      cents: Cents, cb: Books, rot: Option[Rot] = None): Unit = {
     val latest = latestGeneration(spark, indexDir)
     require(gen == latest + 1,
       s"beginGeneration($gen) on index at generation $latest — " +
         s"generations are dense; the next one is ${latest + 1}")
-    checkCodebookMarker(spark, indexDir, gen, codebookId(cents, cb))
+    checkCodebookMarker(spark, indexDir, gen, codebookId(cents, cb, rot))
   }
 
   /** One shared encode pass: assign → residual → per-subspace argmin
@@ -207,12 +247,14 @@ object IvfPqIngest {
     * ContextCleaner means thousands of retained broadcast blocks at
     * production codebook sizes before a GC happens to notice. */
   private def encodeFrame(
-      vecs: DataFrame, cents: Cents, cb: Books): (DataFrame, () => Unit) = {
+      vecs: DataFrame, cents: Cents, cb: Books,
+      rot: Option[Rot] = None): (DataFrame, () => Unit) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val bcIdx = spark.sparkContext.broadcast(new SimilarityOps.CentIndex(cents))
     val bcC = spark.sparkContext.broadcast(cents.toMap)
     val bcCb = spark.sparkContext.broadcast(cb)
+    val bcR = spark.sparkContext.broadcast(rot)
     val coded = vecs
       .select(col("vec_id").cast("long").as("vec_id"),
         col("batch").cast("long").as("batch"),
@@ -222,9 +264,16 @@ object IvfPqIngest {
         val idx = bcIdx.value
         val cm = bcC.value
         val books = bcCb.value
+        val rOpt = bcR.value
         val n = books.length
         val ds = books(0)(0).length
-        it.map { case (id, b, v) =>
+        it.map { case (id, b, v0) =>
+          // OPQ generation: assign + residual-encode in ROTATED space
+          // (same loop-local matvec as SimilarityOps.rotateBy).
+          val v = rOpt match {
+            case Some(r) => rotated(r, v0)
+            case None => v0
+          }
           val (cid, _) = idx.assign(v)
           val c = cm(cid)
           val r = new Array[Double](v.length)
@@ -248,7 +297,26 @@ object IvfPqIngest {
       }
       .toDF("vec_id", "batch", "cid", "code", "qerr")
       .withColumn("code", col("code").cast("array<tinyint>"))
-    (coded, () => { bcIdx.destroy(); bcC.destroy(); bcCb.destroy() })
+    (coded,
+      () => { bcIdx.destroy(); bcC.destroy(); bcCb.destroy(); bcR.destroy() })
+  }
+
+  /** y = R·v, ascending-j fold per row — bit-identical to
+    * [[SimilarityOps.rotateBy]]'s loop, so a store fed through this path
+    * equals a batch `rotateBy → ivfPqEncode` build bit for bit. */
+  private def rotated(r: Rot, v: Array[Double]): Array[Double] = {
+    val n = r.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val ri = r(i)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += ri(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
   }
 
   /** Writes one batch's codes + stats dirs under a generation (Overwrite
@@ -272,11 +340,12 @@ object IvfPqIngest {
       indexDir: String,
       cents: Cents,
       cb: Books,
-      gen: Int = 0): Unit = {
+      gen: Int = 0,
+      rot: Option[Rot] = None): Unit = {
     val spark = batchRaw.sparkSession
-    checkCodebookMarker(spark, indexDir, gen, codebookId(cents, cb))
+    checkCodebookMarker(spark, indexDir, gen, codebookId(cents, cb, rot))
     val (coded, cleanup) =
-      encodeFrame(batchRaw.withColumn("batch", lit(batchId)), cents, cb)
+      encodeFrame(batchRaw.withColumn("batch", lit(batchId)), cents, cb, rot)
     val persisted = coded.persist()
     try writeBatch(persisted, indexDir, gen, batchId)
     finally { persisted.unpersist(); cleanup() }
@@ -329,9 +398,10 @@ object IvfPqIngest {
       fromGen: Int,
       toGen: Int,
       cents: Cents,
-      cb: Books): Unit = {
+      cb: Books,
+      rot: Option[Rot] = None): Unit = {
     require(toGen > fromGen, s"migrate must move forward: $fromGen -> $toGen")
-    checkCodebookMarker(spark, indexDir, toGen, codebookId(cents, cb))
+    checkCodebookMarker(spark, indexDir, toGen, codebookId(cents, cb, rot))
     val fromCodes = new org.apache.hadoop.fs.Path(
       s"$indexDir/codes/gen=$fromGen/batch=$batchId")
     val toCodes = new org.apache.hadoop.fs.Path(
@@ -357,7 +427,7 @@ object IvfPqIngest {
         col("v").cast("array<double>").as("v"))
       .join(ids, "vec_id")
       .withColumn("batch", lit(batchId))
-    val (coded, cleanup) = encodeFrame(batchVecs, cents, cb)
+    val (coded, cleanup) = encodeFrame(batchVecs, cents, cb, rot)
     val persisted = coded.persist()
     try {
       val nCoded = persisted.count()
@@ -396,18 +466,49 @@ object IvfPqIngest {
       vecs: DataFrame,
       toGen: Int,
       cents: Cents,
-      cb: Books): Int = {
-    checkCodebookMarker(spark, indexDir, toGen, codebookId(cents, cb))
+      cb: Books,
+      rot: Option[Rot] = None): Int = {
+    checkCodebookMarker(spark, indexDir, toGen, codebookId(cents, cb, rot))
     val byGen = listBatches(spark, indexDir)
     val pending = byGen.toSeq
       .filter(_._1 < toGen)
       .flatMap { case (g, bs) => bs.map(b => (g, b)) }
     if (pending.isEmpty) return 0
     // A batch already present at a HIGHER generation (crash window of a
-    // previous attempt) re-encodes from its live copy only.
+    // previous attempt) re-encodes from its live copy only. When EVERY
+    // pending batch is shadowed (a crash landed between the dynamic-
+    // overwrite commit and the old-dir deletes), there is nothing to
+    // re-encode — a zero-path parquet read would throw "unable to infer
+    // schema" instead of converging (r18 advisor) — so the re-run skips
+    // straight to deleting the stale old-generation dirs.
     val shadowed = shadowedBatches(byGen).toSet
     val live = pending.filterNot(shadowed)
     val codesRoot = s"$indexDir/codes"
+    if (live.nonEmpty) migrateLive(
+      spark, indexDir, vecs, toGen, cents, cb, rot, live, codesRoot)
+    // Old dirs go only after the new generation is fully committed.
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(codesRoot))
+    pending.foreach { case (g, b) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesRoot/gen=$g/batch=$b"), true)
+      val st = new org.apache.hadoop.fs.Path(s"$indexDir/stats/gen=$g/batch=$b")
+      if (fs.exists(st)) fs.delete(st, true)
+    }
+    pending.size
+  }
+
+  /** [[migrate]]'s re-encode pass over the non-shadowed batches: one
+    * read of the pending ids, one corpus join, one encode, one
+    * dynamic-overwrite write. */
+  private def migrateLive(
+      spark: SparkSession,
+      indexDir: String,
+      vecs: DataFrame,
+      toGen: Int,
+      cents: Cents,
+      cb: Books,
+      rot: Option[Rot],
+      live: Seq[(Int, Long)],
+      codesRoot: String): Unit = {
     val srcDirs = live.map { case (g, b) => s"$codesRoot/gen=$g/batch=$b" }
     val idsRaw = spark.read.option("basePath", codesRoot)
       .parquet(srcDirs: _*)
@@ -425,7 +526,7 @@ object IvfPqIngest {
       .select(col("vec_id").cast("long").as("vec_id"),
         col("v").cast("array<double>").as("v"))
       .join(ids, "vec_id")
-    val (coded, cleanup) = encodeFrame(batchVecs, cents, cb)
+    val (coded, cleanup) = encodeFrame(batchVecs, cents, cb, rot)
     val persisted = coded.persist()
     try {
       val actual = persisted.groupBy("batch").count()
@@ -457,14 +558,6 @@ object IvfPqIngest {
         .partitionBy("batch")
         .parquet(s"$indexDir/stats/gen=$toGen")
     } finally { persisted.unpersist(); cleanup() }
-    // Old dirs go only after the new generation is fully committed.
-    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(codesRoot))
-    pending.foreach { case (g, b) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$codesRoot/gen=$g/batch=$b"), true)
-      val st = new org.apache.hadoop.fs.Path(s"$indexDir/stats/gen=$g/batch=$b")
-      if (fs.exists(st)) fs.delete(st, true)
-    }
-    pending.size
   }
 
   // ---- Deletion (takedowns, dedup-after-the-fact) -------------------
@@ -562,32 +655,53 @@ object IvfPqIngest {
       .groupBy("gen", "batch")
       .agg(count(lit(1)).as("total"), sum(col("_del")).as("deleted"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1).toLong,
+      // Type-tolerant partition-column decode (r18 advisor): Spark
+      // infers `batch=N` dir names as IntegerType only while N fits an
+      // Int — a stream whose batchId passes Int.MaxValue flips the
+      // inferred type to LongType, and a hard getInt would throw.
+      .map(r => (r.getAs[Number]("gen").intValue,
+        r.getAs[Number]("batch").longValue,
         r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)))
     val affected = occupancy.collect {
       case (g, b, total, deleted)
-        if deleted > 0 && deleted.toDouble / total >= threshold => (g, b)
+        if deleted > 0 && deleted.toDouble / total >= threshold =>
+        (g, b, deleted == total)
     }.toSeq
-    affected.foreach { case (g, b) =>
+    affected.foreach { case (g, b, allGone) =>
       val live = new org.apache.hadoop.fs.Path(s"$codesRoot/gen=$g/batch=$b")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$codesRoot/gen=$g/_batch=$b.compact")
-      fs.delete(tmp, true)
-      spark.read.parquet(live.toString)
-        .join(broadcast(del), Seq("vec_id"), "left_anti")
-        .repartition(col("cid"))
-        .write.mode(SaveMode.Overwrite).partitionBy("cid")
-        .parquet(tmp.toString)
-      swapDir(fs, tmp, live)
+      if (allGone) {
+        // Every row tombstoned (r18 advisor): swapping in an empty
+        // rewrite would leave a file-less dir that partition discovery
+        // lists forever — drop the batch dir (and its stats) outright.
+        fs.delete(live, true)
+        val st = new org.apache.hadoop.fs.Path(
+          s"$indexDir/stats/gen=$g/batch=$b")
+        if (fs.exists(st)) fs.delete(st, true)
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$codesRoot/gen=$g/_batch=$b.compact")
+        fs.delete(tmp, true)
+        spark.read.parquet(live.toString)
+          .join(broadcast(del), Seq("vec_id"), "left_anti")
+          .repartition(col("cid"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cid")
+          .parquet(tmp.toString)
+        swapDir(fs, tmp, live)
+      }
     }
     // Prune consumed tombstones: keep only those still matching a live
     // row (the re-read sees the post-swap store). Unconditional — a
     // tombstone can go matchless without a rewrite here (unknown id, or
     // a migration already dropped the row), and matchless tombstones
-    // otherwise accumulate forever.
-    val surviving = spark.read.parquet(codesRoot)
-      .join(broadcast(del), Seq("vec_id"), "left_semi")
-      .select("vec_id").distinct().persist()
+    // otherwise accumulate forever. A compaction that emptied the store
+    // has no files left to infer a schema from (r18 advisor), so the
+    // re-read is guarded: no batches ⇒ no survivors, by definition.
+    val anyCodes = listBatches(spark, indexDir).values.exists(_.nonEmpty)
+    val surviving = (if (anyCodes)
+      spark.read.parquet(codesRoot)
+        .join(broadcast(del), Seq("vec_id"), "left_semi")
+        .select("vec_id").distinct()
+    else spark.range(0).select(col("id").as("vec_id"))).persist()
     try {
       val delLive = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
       val delTmp = new org.apache.hadoop.fs.Path(s"$indexDir/_deletes.tmp")
@@ -595,7 +709,7 @@ object IvfPqIngest {
       surviving.write.mode(SaveMode.Overwrite).parquet(delTmp.toString)
       swapDir(fs, delTmp, delLive)
     } finally surviving.unpersist()
-    affected
+    affected.map { case (g, b, _) => (g, b) }
   }
 
   /** ADC retrieval over the ACCUMULATED, possibly MIXED-GENERATION
@@ -606,21 +720,21 @@ object IvfPqIngest {
     * partition-prunes the codes scan (gen, batch and cid are all
     * partition columns); ADC top-k from codes alone — 8 B/row, no
     * vectors fetched. Returns (vec_id, adc) ascending. */
-  def retrieve(
+  def retrieveGens(
       spark: SparkSession,
       indexDir: String,
-      gens: Map[Int, (Cents, Books)],
+      gens: Map[Int, GenStructs],
       pv: Array[Double],
       nprobe: Int,
       k: Int): DataFrame = {
     require(gens.nonEmpty, "retrieve needs at least one generation")
-    val shapes = gens.values.map { case (_, cb) => (cb.length, cb(0).length) }
+    val shapes = gens.values.map(s => (s.cb.length, s.cb(0).length))
     require(shapes.toSet.size == 1,
       s"generations disagree on (nSub, ksub): ${shapes.toSet} — codes " +
         "of different shapes cannot share one ADC scan")
     val (nSub, ksub) = shapes.head
-    gens.foreach { case (g, (ce, bo)) =>
-      checkCodebookMarker(spark, indexDir, g, codebookId(ce, bo))
+    gens.foreach { case (g, s) =>
+      checkCodebookMarker(spark, indexDir, g, codebookId(s.cents, s.cb, s.rot))
     }
     val byGen = listBatches(spark, indexDir)
     val present = byGen.collect { case (g, bs) if bs.nonEmpty => g }.toSet
@@ -628,10 +742,16 @@ object IvfPqIngest {
       s"store holds generations $present but structures were passed " +
         s"only for ${gens.keySet} — a retrieval that silently skips a " +
         "generation's codes is wrong, not approximate")
-    val probed = gens.toSeq.map { case (g, (ce, bo)) =>
-      g -> SimilarityOps.ivfPqProbedCells(ce, pv, nprobe).map { case (cid, c) =>
-        (cid, SimilarityOps.pqLut(bo,
-          Array.tabulate(pv.length)(j => pv(j) - c(j))))
+    // An OPQ generation probes in ITS OWN rotated space: cells and LUTs
+    // come from R·p against rotated-space structures, and because R is
+    // orthonormal the resulting ADC still estimates ‖p − v‖² — directly
+    // comparable with every other generation's scores in one top-k.
+    val probed = gens.toSeq.map { case (g, s) =>
+      val pg = s.rot.map(rotated(_, pv)).getOrElse(pv)
+      g -> SimilarityOps.ivfPqProbedCells(s.cents, pg, nprobe).map {
+        case (cid, c) =>
+          (cid, SimilarityOps.pqLut(s.cb,
+            Array.tabulate(pg.length)(j => pg(j) - c(j))))
       }
     }
     val lutRows = probed.flatMap { case (g, cells) =>
@@ -670,6 +790,19 @@ object IvfPqIngest {
       .select("vec_id", "adc")
   }
 
+  /** Mixed-generation retrieval over unrotated structures (the
+    * pre-OPQ tuple surface — delegates to [[retrieveGens]]). */
+  def retrieve(
+      spark: SparkSession,
+      indexDir: String,
+      gens: Map[Int, (Cents, Books)],
+      pv: Array[Double],
+      nprobe: Int,
+      k: Int): DataFrame =
+    retrieveGens(spark, indexDir,
+      gens.map { case (g, (ce, bo)) => g -> GenStructs(ce, bo) },
+      pv, nprobe, k)
+
   /** Single-generation retrieval (the pre-migration surface). */
   def retrieve(
       spark: SparkSession,
@@ -679,5 +812,6 @@ object IvfPqIngest {
       pv: Array[Double],
       nprobe: Int,
       k: Int): DataFrame =
-    retrieve(spark, indexDir, Map(0 -> ((cents, cb))), pv, nprobe, k)
+    retrieveGens(spark, indexDir, Map(0 -> GenStructs(cents, cb)),
+      pv, nprobe, k)
 }

@@ -156,6 +156,85 @@ class IvfPqDeleteSpec extends AnyFunSuite {
     assert(!fs.exists(debris))
   }
 
+  test("a compaction that empties a batch — or the whole store — stays clean") {
+    // r18 advisor: a fully-tombstoned batch used to be rewritten as an
+    // empty dir (listed forever), and emptying the STORE broke the
+    // tombstone-prune re-read (no files to infer a schema from).
+    val dir = freshDir("empty")
+    build(dir)
+    // First: tombstone ALL of batch 2 only — its dir must be DROPPED,
+    // not swapped empty, and the other batches stay untouched.
+    val batch2Ids = spark.read.parquet(s"$dir/codes/gen=0/batch=2")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfPqIngest.delete(spark, dir, idsDf(batch2Ids))
+    val rewritten = IvfPqIngest.compact(spark, dir, 0.5)
+    assert(rewritten == Seq((0, 2L)))
+    val byGen = IvfPqIngest.listBatches(spark, dir)
+    assert(byGen(0) == Set(0L, 1L),
+      s"fully-tombstoned batch dir must be gone from listings: $byGen")
+    assert(IvfPqIngest.readDeletes(spark, dir).isEmpty ||
+      IvfPqIngest.readDeletes(spark, dir).get.count() == 0)
+    assert(topIds(dir).contains(7L), "survivors must still retrieve")
+    // Then: tombstone EVERYTHING — the store empties and compact still
+    // converges (prune re-read guarded), leaving no batch dirs and no
+    // tombstones.
+    val allIds = spark.read.parquet(s"$dir/codes")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfPqIngest.delete(spark, dir, idsDf(allIds))
+    val rewritten2 = IvfPqIngest.compact(spark, dir, 0.5)
+    assert(rewritten2.toSet == Set((0, 0L), (0, 1L)))
+    assert(IvfPqIngest.listBatches(spark, dir).values.forall(_.isEmpty),
+      "emptied store must list no batches")
+    assert(IvfPqIngest.readDeletes(spark, dir).isEmpty ||
+      IvfPqIngest.readDeletes(spark, dir).get.count() == 0,
+      "tombstones must prune even when the store emptied")
+  }
+
+  test("compact decodes batch ids past Int.MaxValue (partition type flip)") {
+    // r18 advisor: `batch=N` dir names infer as IntegerType only while
+    // N fits an Int; one long-running-stream batch id flips the column
+    // to LongType and a hard getInt in compact() would throw.
+    val dir = freshDir("bigbatch")
+    val (cents, cb) = structures
+    val bigId = Int.MaxValue.toLong + 7L
+    IvfPqIngest.processBatch(df(fixture._1), 0L, dir, cents, cb)
+    IvfPqIngest.processBatch(df(fixture._2.head), bigId, dir, cents, cb)
+    IvfPqIngest.delete(spark, dir, idsDf(Seq(1000L, 1001L, 1002L, 1003L, 1004L)))
+    val rewritten = IvfPqIngest.compact(spark, dir, 0.10)
+    assert(rewritten == Seq((0, bigId)), s"expected the big batch rewritten: $rewritten")
+    val raw = spark.read.parquet(s"$dir/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(raw.intersect(Set(1000L, 1001L, 1002L, 1003L, 1004L)).isEmpty)
+    assert(raw.contains(1005L), "live rows of the big batch must survive")
+  }
+
+  test("a >50%-tombstoned cell still fills top-k from live rows (no under-fill)") {
+    // r18 verdict #5: the anti-join runs BEFORE the top-k cut, so heavy
+    // deletion inside a probed cell must never shrink the result set
+    // while k live rows exist in the probed cells — pinned here.
+    val dir = freshDir("fill")
+    build(dir)
+    val (cents, cb) = structures
+    val pv = fixture._1(7)._2
+    // The probe's own cell under the store's own quantizer:
+    val homeCid = SimilarityOps.ivfPqProbedCells(cents, pv, 1).head._1
+    val cellIds = spark.read.parquet(s"$dir/codes")
+      .filter(col("cid") === homeCid)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    require(cellIds.size >= 12, s"fixture: home cell too small (${cellIds.size})")
+    // Tombstone ~60% of the home cell, keeping vector 7 and enough live.
+    val victims = cellIds.filterNot(_ == 7L)
+      .take((cellIds.size * 0.6).toInt)
+    IvfPqIngest.delete(spark, dir, idsDf(victims))
+    val k = 10
+    val got = IvfPqIngest.retrieve(spark, dir, cents, cb, pv, 3, k)
+      .collect().map(_.getLong(0))
+    assert(got.length == k,
+      s"top-$k under-filled to ${got.length} with live rows available")
+    assert(got.toSet.intersect(victims.toSet).isEmpty,
+      "tombstoned rows leaked into the filled shortlist")
+  }
+
   test("migration drops tombstoned rows and does not trip the lossy guard") {
     val dir = freshDir("mig")
     build(dir)

@@ -204,6 +204,33 @@ class IvfPqMigrateSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("incomparable"))
   }
 
+  test("bulk migrate converges when every pending batch is shadowed (crash after commit)") {
+    // The r18 advisor's crash window: the dynamic-overwrite committed,
+    // the old-dir delete loop never ran. Every pending batch is then
+    // shadowed, `live` is empty, and the re-run must CONVERGE (delete
+    // the stale dirs, return the count) — not die reading zero paths.
+    val dir = freshDir("allshadow")
+    build(dir, gen0, 0)
+    IvfPqIngest.beginGeneration(spark, dir, 1, gen1._1, gen1._2)
+    // Simulate the committed half: every batch already present at gen 1.
+    IvfPqIngest.processBatch(df(fixture._1), 0L, dir, gen1._1, gen1._2, 1)
+    fixture._2.zipWithIndex.foreach { case (b, i) =>
+      IvfPqIngest.processBatch(df(b), (i + 1).toLong, dir, gen1._1, gen1._2, 1)
+    }
+    assert(IvfPqIngest.shadowedBatches(IvfPqIngest.listBatches(spark, dir))
+      .map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+    val moved = IvfPqIngest.migrate(spark, dir, df(allRows), 1, gen1._1, gen1._2)
+    assert(moved == 4, s"re-run must still own its 4 pending batches, got $moved")
+    val byGen = IvfPqIngest.listBatches(spark, dir)
+    assert(byGen.getOrElse(0, Set.empty).isEmpty,
+      s"stale gen-0 dirs survived the converging re-run: $byGen")
+    assert(byGen(1) == Set(0L, 1L, 2L, 3L))
+    // And the converged store equals a from-scratch gen-1 build.
+    val rebuilt = freshDir("allshadow_rebuild")
+    build(rebuilt, gen1, 0)
+    assert(codesOf(dir).sameElements(codesOf(rebuilt)))
+  }
+
   test("post-migration qerr on the drifted batch returns toward the band") {
     val dir = freshDir("qerr")
     build(dir, gen0, 0)

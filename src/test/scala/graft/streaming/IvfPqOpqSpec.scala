@@ -1,0 +1,192 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPQ rotation IN THE STREAMING STORE (r18 verdict #1): the trained
+  * rotation (Ge et al., CVPR 2013 — [[SimilarityOps.opqTrainRotation]])
+  * deployed through [[IvfPqIngest]]'s generation machinery, so the
+  * measured recall win can roll into a LIVE index instead of existing
+  * only as a batch query. Load-bearing claims:
+  *  1. a store migrated to a rotated generation equals a from-scratch
+  *     rotated rebuild BIT FOR BIT, and both equal the batch
+  *     `rotateBy → ivfPqEncode` build — stream-maintained, migrated,
+  *     and batch-built OPQ indexes are interchangeable;
+  *  2. retrieval is correct across a MIXED rotated/unrotated interval:
+  *     each generation scores in its own space (the probe rotates per
+  *     generation), and because R is orthonormal both spaces' ADC
+  *     estimate the same ‖p − v‖², so one global top-k stays valid;
+  *  3. the codebook marker pins the rotation: the same (cents, cb)
+  *     with and without R are INCOMPARABLE structures and must fail
+  *     loud, never silently mix codes from different spaces.
+  * IvfPqOpqProbe drives the recall payoff at scale on the anisotropic
+  * corpus; this spec pins the arithmetic. */
+class IvfPqOpqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dim = 64
+  private val nClusters = 20
+  private val nBoot = 220
+
+  private def freshDir(tag: String): String =
+    s"/tmp/graft_ivfpq_opq_$tag-${System.nanoTime()}"
+
+  /** Bootstrap + 3 batches; batch 2 carries 5 planted near-twins of
+    * bootstrap vector 7 (the retrieval canaries). ANISOTROPIC on
+    * purpose — dims 0..7 carry 10× the spread — so the trained rotation
+    * has real structure to find, like the corpus OPQ exists for. */
+  private lazy val fixture: (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) = {
+    val rng = new scala.util.Random(61)
+    def scale(j: Int): Double = if (j < 8) 10.0 else 0.1
+    val centers = Array.fill(nClusters)(
+      Array.tabulate(dim)(j => scale(j) * rng.nextGaussian()))
+    def near(c: Array[Double], eps: Double) =
+      Array.tabulate(dim)(j => c(j) + eps * scale(j) * rng.nextGaussian())
+    val boot = (0 until nBoot).map { i =>
+      (i.toLong, near(centers(i % nClusters), 0.05))
+    }
+    val target = boot(7)._2
+    val batches = Seq(
+      (1000 until 1040).map(i => (i.toLong, near(centers(i % nClusters), 0.05))),
+      (2000 until 2040).map(i => (i.toLong, near(centers(i % nClusters), 0.05))),
+      (3000 until 3040).map(i => (i.toLong, near(centers(i % nClusters), 0.05)))
+        ++ (0 until 5).map(i => (3100L + i, near(target, 0.01))))
+    (boot, batches.map(_.toSeq))
+  }
+
+  private def df(rows: Seq[(Long, Array[Double])]) =
+    spark.createDataFrame(rows).toDF("vec_id", "v")
+
+  private lazy val allRows: Seq[(Long, Array[Double])] =
+    fixture._1 ++ fixture._2.flatten
+
+  /** Unrotated gen-0 structures (the pre-OPQ store). */
+  private lazy val gen0: IvfPqIngest.GenStructs = {
+    val e = df(fixture._1)
+    val cents = SimilarityOps.kmCentroids(e, 8, 2)
+    val resid = SimilarityOps.ivfPqResiduals(e, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    IvfPqIngest.GenStructs(cents, SimilarityOps.pqTrain(resid, 8, 16, 2))
+  }
+
+  /** OPQ gen-1: train R on the bootstrap window, then coarse + PQ
+    * structures in ROTATED space — the structures an operator ships
+    * when the qerr signal says the flat codebooks under-resolve. */
+  private lazy val gen1: IvfPqIngest.GenStructs = {
+    val e = df(fixture._1)
+    val r = SimilarityOps.opqTrainRotation(e, 8, 16, 2, 1)
+    val rot = SimilarityOps.rotateBy(e, r)
+    val cents = SimilarityOps.kmCentroids(rot, 8, 2)
+    val resid = SimilarityOps.ivfPqResiduals(rot, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    IvfPqIngest.GenStructs(
+      cents, SimilarityOps.pqTrain(resid, 8, 16, 2), Some(r))
+  }
+
+  private def build(dir: String, s: IvfPqIngest.GenStructs, gen: Int): Unit = {
+    val (boot, batches) = fixture
+    if (gen > 0) IvfPqIngest.beginGeneration(spark, dir, gen, s.cents, s.cb, s.rot)
+    IvfPqIngest.processBatch(df(boot), 0L, dir, s.cents, s.cb, gen, s.rot)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IvfPqIngest.processBatch(df(b), (i + 1).toLong, dir, s.cents, s.cb, gen, s.rot)
+    }
+  }
+
+  private def codesOf(dir: String): Array[(Long, Int, Seq[Byte])] =
+    spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "cid", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2).toSeq))
+      .sortBy(_._1)
+
+  test("migrated-to-OPQ store == from-scratch rotated rebuild == batch encode, bit for bit") {
+    val migrated = freshDir("mig")
+    build(migrated, gen0, 0)
+    IvfPqIngest.beginGeneration(spark, migrated, 1, gen1.cents, gen1.cb, gen1.rot)
+    val moved = IvfPqIngest.migrate(
+      spark, migrated, df(allRows), 1, gen1.cents, gen1.cb, gen1.rot)
+    assert(moved == 4, s"expected 4 batches migrated, got $moved")
+    val rebuilt = freshDir("rebuild")
+    build(rebuilt, gen1, 0)
+    val a = codesOf(migrated)
+    val b = codesOf(rebuilt)
+    assert(a.length == b.length && a.length == allRows.length)
+    assert(a.sameElements(b),
+      "migrated OPQ codes diverged from a from-scratch rotated build")
+    // And both equal the BATCH build: rotateBy → ivfPqEncode with the
+    // same structures — the stream/batch interchangeability contract,
+    // now holding through the rotation.
+    val batchCodes = SimilarityOps.ivfPqEncode(
+      SimilarityOps.rotateBy(df(allRows), gen1.rot.get), gen1.cents, gen1.cb)
+      .select("vec_id", "cid", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2).toSeq))
+      .sortBy(_._1)
+    assert(a.sameElements(batchCodes),
+      "streamed OPQ codes diverged from the batch rotateBy→ivfPqEncode build")
+  }
+
+  test("mixed rotated/unrotated retrieval is correct across the interval") {
+    val dir = freshDir("mixed")
+    build(dir, gen0, 0)
+    IvfPqIngest.beginGeneration(spark, dir, 1, gen1.cents, gen1.cb, gen1.rot)
+    // Migrate batches 0 and 1; batch 2 and batch 3 (the twins) stay at
+    // the unrotated gen 0 — the store is mid-rollout of the OPQ index.
+    IvfPqIngest.migrateBatch(spark, dir, 0L, df(allRows), 0, 1,
+      gen1.cents, gen1.cb, gen1.rot)
+    IvfPqIngest.migrateBatch(spark, dir, 1L, df(allRows), 0, 1,
+      gen1.cents, gen1.cb, gen1.rot)
+    val byGen = IvfPqIngest.listBatches(spark, dir)
+    assert(byGen(0) == Set(2L, 3L) && byGen(1) == Set(0L, 1L))
+
+    val pv = fixture._1(7)._2
+    val got = IvfPqIngest.retrieveGens(spark, dir,
+      Map(0 -> gen0, 1 -> gen1), pv, 3, 20)
+    // The (gen, cid) filter must still reach the scan as partition
+    // pruning — the rotation must not cost the store its prune.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.split("PartitionFilters:")(1).takeWhile(_ != ']').contains("cid"),
+      s"(gen, cid) pruning not in PartitionFilters:\n$plan")
+    val ids = got.collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "duplicate vec_ids in top-k")
+    val twins = (0 until 5).map(i => 3100L + i).toSet
+    assert(twins.subsetOf(ids.toSet),
+      s"unrotated-side planted twins missing from mixed retrieval: ${twins -- ids.toSet}")
+    assert(ids.contains(7L),
+      "rotated-side probe's own vector missing from mixed retrieval")
+  }
+
+  test("the marker pins the rotation: same (cents, cb) with/without R are incomparable") {
+    val dir = freshDir("marker")
+    val s = gen1
+    IvfPqIngest.processBatch(df(fixture._1), 0L, dir, s.cents, s.cb, 0, s.rot)
+    // Same generation, same centroids and codebooks, NO rotation: the
+    // codes would live in a different space — must fail loud.
+    val ex = intercept[IllegalArgumentException] {
+      IvfPqIngest.processBatch(df(fixture._2.head), 1L, dir, s.cents, s.cb, 0, None)
+    }
+    assert(ex.getMessage.contains("incomparable"))
+    // And retrieval with the rotation dropped must refuse too.
+    val ex2 = intercept[IllegalArgumentException] {
+      IvfPqIngest.retrieve(spark, dir, s.cents, s.cb, fixture._1(7)._2, 3, 5)
+        .collect()
+    }
+    assert(ex2.getMessage.contains("incomparable"))
+  }
+
+  test("rotated single-generation retrieval surfaces planted twins") {
+    val dir = freshDir("single")
+    build(dir, gen1, 0)
+    val pv = fixture._1(7)._2
+    // k=40: the ADC shortlist is the SHORTLIST stage (a deployment
+    // re-ranks it exactly); with ksub=16 spec-scale codebooks on the
+    // anisotropic fixture the twins land in the top-40, not the top-20
+    // — the re-rank contract, not a correctness bar, sets k here.
+    val ids = IvfPqIngest.retrieveGens(spark, dir, Map(0 -> gen1), pv, 3, 40)
+      .collect().map(_.getLong(0)).toSet
+    val twins = (0 until 5).map(i => 3100L + i).toSet
+    assert(twins.subsetOf(ids), s"twins missing under rotated ADC: ${twins -- ids}")
+    assert(ids.contains(7L), "probe's own vector missing under rotated ADC")
+  }
+}
