@@ -217,6 +217,30 @@ object OpqRecallProbe {
     // On the anisotropic corpus the rotation family must beat identity.
     require(recallOf("aniso", "opq", 256) > recallOf("aniso", "flat", 256),
       "OPQ did not beat un-rotated PQ on anisotropic data")
+    // ---- Arming-rule adjudication (r18 verdict #2) -------------------
+    // The deployment rule must split the regimes on MEASURED qerr: the
+    // anisotropic corpus arms (drop >= 15%), the balanced mixture must
+    // not — its ~6% qerr win came with a one-signed recall REGRESSION
+    // vs RR at every shortlist (r18: 4-for-4, ~2σ each; re-measured
+    // here at whatever nProbes this run carries).
+    val armed = Seq("mixture", "aniso").map { c =>
+      c -> SimilarityOps.opqArmed(qerrOf(c, "rr"), qerrOf(c, "opq"))
+    }.toMap
+    require(armed("aniso"),
+      "anisotropic corpus did not arm OPQ — the threshold is too high")
+    // The mixture recall gap, against a 3σ sampling bound (recall@10
+    // over nProbes probes ≈ 10·nProbes Bernoulli draws, p(1−p) ≤ ¼):
+    // either the gap is noise, or the arming rule must already keep
+    // OPQ OFF for this regime — a real regression is acceptable only
+    // disarmed.
+    val noise = 3.0 * math.sqrt(0.25 / (10.0 * nProbes))
+    val worstGap = shortlists.map(s =>
+      recallOf("mixture", "rr", s) - recallOf("mixture", "opq", s)).max
+    println(f"[opq-recall] mixture RR-vs-OPQ worst recall gap " +
+      f"$worstGap%.4f (3σ noise bound $noise%.4f); armed=$armed")
+    require(worstGap <= noise || !armed("mixture"),
+      f"mixture recall regression $worstGap%.4f beyond noise $noise%.4f " +
+        "AND the arming rule would still deploy OPQ — lower the threshold")
 
     val armsJson = results.map { case (c, a, q, w, recs) =>
       val rj = recs.map { case (s, rec) =>
@@ -225,7 +249,10 @@ object OpqRecallProbe {
     }.mkString("[", ",", "]")
     println(
       s"""{"probe":"opq_recall","n_vecs":$nVecs,"n_probes":$nProbes,""" +
-        s""""train_cap":$trainCap,"ksub":$ksub,"arms":$armsJson}""")
+        s""""train_cap":$trainCap,"ksub":$ksub,""" +
+        f""""armed":{"mixture":${armed("mixture")},"aniso":${armed("aniso")}},""" +
+        f""""mixture_worst_gap":$worstGap%.4f,"gap_noise_bound":$noise%.4f,""" +
+        s""""arms":$armsJson}""")
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p))

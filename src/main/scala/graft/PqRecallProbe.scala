@@ -230,9 +230,6 @@ object PqRecallProbe {
         .write.mode("overwrite").parquet(s"$vdir/pqcodes")
     }
     val batch = probePool.take(batchProbes)
-    val batchLutDf = broadcast(spark.createDataFrame(
-      batch.toSeq.map { case (pid, pv) => (pid, SimilarityOps.pqLut(cbFlat, pv)) })
-      .toDF("probe_id", "lut"))
     val batchProbeDf = broadcast(
       spark.createDataFrame(batch.toSeq).toDF("probe_id", "p"))
     val perProbeAdc = Window.partitionBy(col("probe_id"))
@@ -248,38 +245,112 @@ object PqRecallProbe {
     // cross product is generated after it, inside each task.
     val batchParts = math.max(spark.sparkContext.defaultParallelism,
       (nVecs.toDouble * batchProbes / 30e6).ceil.toInt)
-    val shortDf = spark.read.parquet(s"$vdir/pqcodes")
-      .repartition(batchParts)
-      .crossJoin(batchLutDf)
-      .select(col("probe_id"), col("vec_id"),
-        SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub).as("adc"))
-      .withColumn("rk", row_number().over(perProbeAdc))
-      .filter(col("rk") <= 64)
-      .select("probe_id", "vec_id")
-    val planStr = shortDf.queryExecution.executedPlan.toString
-    require(planStr.contains("WindowGroupLimit") && planStr.contains("Partial"),
-      s"batch top-64 at $batchProbes probes lost the WindowGroupLimit " +
-        "partial — the shuffle would carry the full scored cross product")
-    val (shortRows, batchScanWall) = timed(s"batch_adc_scan ($batchProbes probes)") {
-      shortDf.as[(Long, Long)].collect()
+
+    /** One batch arm: per-chunk shortlist scan (plan-guarded on the
+      * first chunk), one exact re-rank over the union, recall@10 over
+      * the `truth`-covered probes (the first nProbes of the batch draw
+      * from the same pool). Chunking exists for the IVF arm's broadcast
+      * arithmetic: 1000 probes × nprobe cells × 2048-double LUTs is a
+      * ~260 MB frame, far past sane broadcast size, so a deployment
+      * ships the probe batch in bounded chunks — walls add, the
+      * broadcast stays small. The flat arm runs as one chunk (1000
+      * LUTs ≈ 16 MB). */
+    def batchArm(name: String, chunkSize: Int,
+        mkShort: Seq[(Long, Array[Double])] => DataFrame)
+      : (Double, Double, Double, Double) = {
+      var scanWall = 0.0
+      val shortRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      batch.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+        val shortDf = mkShort(chunk.toSeq)
+        if (i == 0) {
+          val planStr = shortDf.queryExecution.executedPlan.toString
+          require(planStr.contains("WindowGroupLimit") &&
+            planStr.contains("Partial"),
+            s"$name batch top-64 lost the WindowGroupLimit partial — the " +
+              "shuffle would carry the full scored cross product")
+        }
+        val (rows, w) = timed(
+          s"batch[$name] adc_scan chunk ${i + 1} (${chunk.length} probes)") {
+          shortDf.as[(Long, Long)].collect()
+        }
+        scanWall += w
+        shortRows ++= rows
+      }
+      val shortBatchDf = broadcast(
+        spark.createDataFrame(shortRows.toSeq).toDF("probe_id", "vec_id"))
+      val (got, rerankWall) = timed(s"batch[$name] rerank (top-10/probe)") {
+        shortBatchDf.join(corpus, "vec_id")
+          .join(batchProbeDf, "probe_id")
+          .select(col("probe_id"), col("vec_id"),
+            expr("cosine_sim(v, p)").as("cos"))
+          .filter(!isnan(col("cos")))
+          .withColumn("rk", row_number().over(perProbeCos))
+          .filter(col("rk") <= 10)
+          .select("probe_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      }
+      val recall = sweepProbes.map { case (pid, _) =>
+        val t = truth.getOrElse(pid, Set.empty)
+        if (t.isEmpty) 1.0
+        else t.count(got.getOrElse(pid, Set.empty)).toDouble / t.size
+      }.sum / sweepProbes.length
+      val wall = scanWall + rerankWall
+      println(f"[pq-recall] batch[$name]: $batchProbes probes × $nVecs " +
+        f"corpus = ${batchProbes / wall}%.1f probes/s (scan $scanWall%.2f " +
+        f"s + rerank $rerankWall%.2f s) recall@10=$recall%.4f @64")
+      (scanWall, rerankWall, batchProbes / wall, recall)
     }
-    val shortBatchDf = broadcast(
-      spark.createDataFrame(shortRows.toSeq).toDF("probe_id", "vec_id"))
-    val (_, batchRerankWall) = timed("batch_rerank (top-5 per probe)") {
-      shortBatchDf.join(corpus, "vec_id")
-        .join(batchProbeDf, "probe_id")
-        .select(col("probe_id"), col("vec_id"),
-          expr("cosine_sim(v, p)").as("cos"))
-        .filter(!isnan(col("cos")))
-        .withColumn("rk", row_number().over(perProbeCos))
-        .filter(col("rk") <= 5)
-        .select("probe_id", "vec_id").as[(Long, Long)].collect().length
-    }
-    val batchWall = batchScanWall + batchRerankWall
-    val probesPerSec = batchProbes / batchWall
-    println(f"[pq-recall] batch: $batchProbes probes × $nVecs corpus = " +
-      f"$probesPerSec%.1f probes/s (scan $batchScanWall%.2f s + " +
-      f"rerank $batchRerankWall%.2f s; WindowGroupLimit partial verified)")
+
+    // Flat-PQ arm: the registered q_pq_knn_join shape — every probe
+    // scores every code (corpus × batch pairs; the COST MODEL of the
+    // unpruned face, owned since r18).
+    val (flatScanW, flatRerankW, flatPps, flatRecall) =
+      batchArm("flat", batchProbes, { chunk =>
+        val lutDf = broadcast(spark.createDataFrame(
+          chunk.map { case (pid, pv) => (pid, SimilarityOps.pqLut(cbFlat, pv)) })
+          .toDF("probe_id", "lut"))
+        spark.read.parquet(s"$vdir/pqcodes")
+          .repartition(batchParts)
+          .crossJoin(lutDf)
+          .select(col("probe_id"), col("vec_id"),
+            SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub)
+              .as("adc"))
+          .withColumn("rk", row_number().over(perProbeAdc))
+          .filter(col("rk") <= 64)
+          .select("probe_id", "vec_id")
+      })
+
+    // IVF-PRUNED arm (r18 verdict #3): the registered q_ivfpq_knn_join
+    // shape at real batch size — per-(probe, cell) residual LUTs, the
+    // inner join on cid doing each probe's nprobe filter AND its LUT
+    // dispatch, so every probe scores ~nprobe/nlist of the corpus
+    // (~200× fewer pairs at nlist=3162/nprobe=16) instead of all of it.
+    val ivfNprobe = 16
+    val (ivfScanW, ivfRerankW, ivfPps, ivfRecall) =
+      batchArm("ivf", 250, { chunk =>
+        val lutRows = chunk.flatMap { case (pid, pv) =>
+          SimilarityOps.ivfPqProbedCells(cents, pv, ivfNprobe).map {
+            case (cid, c) =>
+              (pid, cid, SimilarityOps.pqLut(cb,
+                Array.tabulate(pv.length)(j => pv(j) - c(j))))
+          }
+        }
+        val lutDf = broadcast(
+          spark.createDataFrame(lutRows).toDF("probe_id", "cid", "lut"))
+        codes.join(lutDf, "cid")
+          .select(col("probe_id"), col("vec_id"),
+            SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub)
+              .as("adc"))
+          .withColumn("rk", row_number().over(perProbeAdc))
+          .filter(col("rk") <= 64)
+          .select("probe_id", "vec_id")
+      })
+    val batchScanWall = flatScanW
+    val batchRerankWall = flatRerankW
+    val probesPerSec = flatPps
+    println(f"[pq-recall] batch flat-vs-ivf: $flatPps%.1f -> $ivfPps%.1f " +
+      f"probes/s (${ivfPps / flatPps}%.1f×) at recall@10 " +
+      f"$flatRecall%.4f vs $ivfRecall%.4f (matched shortlist 64)")
 
     // One JSON line for COVERAGE.md / the round artifact.
     val arms = results.map { case (np, sl, r, sw, rw) =>
@@ -292,6 +363,12 @@ object PqRecallProbe {
         s""""batch_probes":$batchProbes,"batch_scan_s":${f"$batchScanWall%.2f"},""" +
         s""""batch_rerank_s":${f"$batchRerankWall%.2f"},""" +
         s""""batch_probes_per_s":${f"$probesPerSec%.1f"},""" +
+        s""""batch_recall_at_10":${f"$flatRecall%.4f"},""" +
+        s""""batch_ivf_nprobe":$ivfNprobe,""" +
+        s""""batch_ivf_scan_s":${f"$ivfScanW%.2f"},""" +
+        s""""batch_ivf_rerank_s":${f"$ivfRerankW%.2f"},""" +
+        s""""batch_ivf_probes_per_s":${f"$ivfPps%.1f"},""" +
+        s""""batch_ivf_recall_at_10":${f"$ivfRecall%.4f"},""" +
         s""""flat_train_s":${f"$flatWall%.2f"},"flat_encode_s":${f"$flatEncWall%.2f"}}""")
     spark.stop()
     // The corpus + code stores are per-run scratch (~1 GB at 4M, ~2.5 GB

@@ -1196,6 +1196,46 @@ object SimilarityOps {
         .select(col("probe_id"), col("rk").cast("long").as("rk"),
           col("vec_id"), col("cos"))
         .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // STORE-HEALTH MANIFEST (r18 verdict #6): the vector-store twin of
+    // q_shard_manifest — per (batch, cell): total/live/tombstoned row
+    // counts, occupancy in basis points, and the live rows' summed
+    // quantization error (IvfPqIngest's retrain signal, 1e-4-scaled to
+    // a LONG so the group aggregate is an order-independent integer sum
+    // both engines compute exactly — a float mean would hash-drift on
+    // partial-agg order). Batches and tombstones are the deterministic
+    // emulation the oracle replays (vec_id % 4 / % 37): the PLAN is the
+    // store's own compact() occupancy aggregate — one codes-scan join
+    // against a broadcast tombstone set, one codegen'd groupBy — so the
+    // query certifies the auditing face of the live store cross-engine.
+    // At 100 TB: the scan reads (vec_id, cid, qerr)-width columns only,
+    // the tombstone side is broadcast by contract, and the output is
+    // one row per (batch, cell) — operator-dashboard sized.
+    "q_store_manifest" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cents = kmCentroids(e, KmK, KmIters)
+      val resid = ivfPqResiduals(e, cents)
+        .select(col("vec_id"), col("r").as("v"))
+      val cb = pqTrain(resid, PqM, PqKsub, PqIters)
+      ivfPqQerr(e, cents, cb)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          round(col("qerr") * 10000).cast("long").as("qerr_s"),
+          pmod(col("vec_id"), lit(4)).cast("long").as("batch"),
+          when(pmod(col("vec_id"), lit(37)) === 0, 1L).otherwise(0L)
+            .as("is_del"))
+        .groupBy("batch", "cid")
+        .agg(count(lit(1)).as("total"),
+          sum(lit(1L) - col("is_del")).as("live"),
+          sum(col("is_del")).as("deleted"),
+          sum(when(col("is_del") === 0, col("qerr_s")).otherwise(0L))
+            .as("live_qerr_sum_s"))
+        .select(col("batch"), col("cid"), col("total"), col("live"),
+          col("deleted"),
+          floor(col("live") * lit(10000.0) / col("total")).cast("long")
+            .as("occupancy_bp"),
+          col("live_qerr_sum_s"))
+        .orderBy("batch", "cid")
     })
   )
 
@@ -2345,6 +2385,27 @@ object SimilarityOps {
     r
   }
 
+  /** Deployment ARMING RULE for the trained rotation (r18 verdict #2):
+    * ship OPQ only when its train-time quantization error improves on
+    * the RR baseline by at least `minDrop` (default 15%). Measured
+    * rationale, not an assumption: the alternation optimizes
+    * RECONSTRUCTION, not neighbor ORDERING — on variance-balanced data
+    * (OpqRecallProbe's mixture corpus) it bought only ~6% qerr and
+    * consistently COST recall vs RR (one-signed at every shortlist,
+    * r18–r19 probes), while on anisotropic data it cleared 30%+ qerr
+    * and ~+9pt recall@256. The threshold sits between the regimes: a
+    * qerr drop big enough to clear it means the rotation found real
+    * covariance structure, which is exactly when the recall win
+    * follows. Both inputs come free at train time (one encode/decode
+    * pass each), so arming costs nothing extra. */
+  private[graft] def opqArmed(
+      qerrRr: Double, qerrOpq: Double, minDrop: Double = 0.15): Boolean = {
+    require(qerrRr > 0 && qerrOpq >= 0 && minDrop >= 0 && minDrop < 1,
+      s"opqArmed needs positive errors and a drop in [0,1): " +
+        s"rr=$qerrRr opq=$qerrOpq minDrop=$minDrop")
+    qerrOpq <= qerrRr * (1.0 - minDrop)
+  }
+
   /** Argmin-squared-L2 code for `v(off..off+dsub)` against one subspace's
     * codebook; ties break LOW like every assignment in this file (strict
     * `<`), so codes are deterministic under duplicate codebook entries. */
@@ -2570,6 +2631,54 @@ object SimilarityOps {
       }
       .toDF("vec_id", "cid", "v", "code")
       .withColumn("code", col("code").cast("array<tinyint>"))
+  }
+
+  /** (vec_id, cid, qerr): the [[ivfPqEncode]] pass emitting the per-row
+    * QUANTIZATION ERROR instead of the code — qerr = Σ_m (ascending) of
+    * the argmin entry's distance, each the ascending-j Σ(r−c)² fold.
+    * This is the exact value [[graft.streaming.IvfPqIngest]]'s stats
+    * pass computes per batch (the retrain signal), exposed batch-side
+    * so the store-health manifest (q_store_manifest) has a DuckDB twin:
+    * every input double is shared bit-for-bit across engines (rounded
+    * centroids/codebooks, exact residuals), and both folds replay in
+    * the same order, so the 1e-4-scaled qerr is cross-engine EXACT. */
+  private[graft] def ivfPqQerr(
+      e: DataFrame, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new CentIndex(cents))
+    val bcC = spark.sparkContext.broadcast(cents.toMap)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    e.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val cm = bcC.value
+        val books = bcCb.value
+        val n = books.length
+        val ds = books(0)(0).length
+        it.map { case (id, v) =>
+          val (cid, _) = idx.assign(v)
+          val c = cm(cid)
+          val r = new Array[Double](v.length)
+          var j = 0
+          while (j < v.length) { r(j) = v(j) - c(j); j += 1 }
+          var qerr = 0.0
+          var m = 0
+          while (m < n) {
+            val best = pqNearest(books(m), r, m * ds)
+            val ce = books(m)(best)
+            var dd = 0.0
+            var k = 0
+            while (k < ds) { val t = r(m * ds + k) - ce(k); dd += t * t; k += 1 }
+            qerr += dd
+            m += 1
+          }
+          (id, cid, qerr)
+        }
+      }
+      .toDF("vec_id", "cid", "qerr")
   }
 
   /** The probe's nprobe nearest cells by the SAME arithmetic the data
@@ -2800,6 +2909,43 @@ object SimilarityOps {
            CAST(p.m AS BIGINT) AS m, CAST(p.cid AS BIGINT) AS code
          FROM paf p JOIN af a ON p.vec_id = a.vec_id
          ORDER BY p.vec_id, p.m""",
+
+    // Store-health manifest: the q_ivfpq_encode chain's final distance
+    // CTE (pdf) already holds every (vec_id, m, cid) residual distance,
+    // so the per-row quantization error is min-over-cid summed ascending
+    // in m — the exact double ivfPqQerr's loop folds (same entries, same
+    // order) — scaled 1e-4 to a BIGINT before grouping so every
+    // aggregate below is integer-exact in both engines. Batch/tombstone
+    // emulation replays the registered query's vec_id % 4 / % 37.
+    "q_store_manifest" ->
+      s"""WITH $kmeansCtes,
+         rv AS (SELECT e.vec_id,
+             list_transform(generate_series(1, $Dim),
+               i -> e.v[i] - c.c[i]) AS v
+           FROM e JOIN af a ON e.vec_id = a.vec_id
+           JOIN c$KmIters c ON a.cid = c.cid),
+         ${pqChainCtes("rv")},
+         vq AS (SELECT vec_id,
+             CAST(round(list_sum(list(md ORDER BY m)) * 10000) AS BIGINT)
+               AS qerr_s
+           FROM (SELECT vec_id, m, min(d) AS md FROM pdf
+             GROUP BY vec_id, m)
+           GROUP BY vec_id),
+         srows AS (SELECT a.vec_id,
+             CAST(a.cid AS BIGINT) AS cid,
+             CAST(a.vec_id % 4 AS BIGINT) AS batch,
+             CASE WHEN a.vec_id % 37 = 0 THEN 1 ELSE 0 END AS is_del,
+             vq.qerr_s AS qerr_s
+           FROM af a JOIN vq ON a.vec_id = vq.vec_id)
+         SELECT batch, cid,
+           count(*) AS total,
+           CAST(sum(1 - is_del) AS BIGINT) AS live,
+           CAST(sum(is_del) AS BIGINT) AS deleted,
+           CAST(floor(sum(1 - is_del) * 10000.0 / count(*)) AS BIGINT)
+             AS occupancy_bp,
+           CAST(sum(CASE WHEN is_del = 0 THEN qerr_s ELSE 0 END) AS BIGINT)
+             AS live_qerr_sum_s
+         FROM srows GROUP BY batch, cid ORDER BY batch, cid""",
 
     // IVFADC shortlist + exact re-rank, fully replayed (r18): the
     // q_ivfpq_encode chain rebuilds cells + residual codes; the probe's

@@ -98,6 +98,28 @@ class OpqSpec extends AnyFunSuite {
       f"OPQ $errOpq%.2f (${(1 - errOpq / errRr) * 100}%.1f%% lower)")
   }
 
+  test("arming rule: OPQ deploys only past the qerr-drop threshold") {
+    // The deployment split the probes measured (r18 verdict #2): aniso
+    // cleared a 30%+ drop and +recall; the balanced mixture bought ~6%
+    // qerr and COST recall — so the rule arms one and not the other.
+    assert(SimilarityOps.opqArmed(100.0, 70.0), "30% drop must arm")
+    assert(!SimilarityOps.opqArmed(100.0, 94.0), "6% drop must not arm")
+    assert(SimilarityOps.opqArmed(100.0, 85.0), "threshold is inclusive")
+    assert(!SimilarityOps.opqArmed(100.0, 85.0 + 1e-6))
+    assert(SimilarityOps.opqArmed(100.0, 94.0, minDrop = 0.05),
+      "the threshold is a knob")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.opqArmed(0.0, 1.0)
+    }
+    // And measured, not just arithmetic: the spec's anisotropic corpus
+    // must clear the default bar (it measured 42.9% in the payoff test).
+    val rows = anisotropic(400, 17)
+    val rOpq = SimilarityOps.opqTrainRotation(df(rows), 8, 16, 2, 2)
+    assert(SimilarityOps.opqArmed(
+      qerr(rows, SimilarityOps.rrMatrix), qerr(rows, rOpq)),
+      "the anisotropic regime must arm OPQ at the default threshold")
+  }
+
   test("isometry transfers: OPQ shortlist recall >= RR on anisotropic clusters") {
     // RrPqSpec's 9/9-vs-3/9 fixture, one rung up: OPQ must hold RR's
     // perfect shortlist (it can't do better than 9/9) while lowering
