@@ -111,6 +111,78 @@ object IvfPqIngest {
   final case class GenStructs(
       cents: Cents, cb: Books, rot: Option[Rot] = None)
 
+  /** Trains one generation's structures on `window` (a (vec_id, v)
+    * frame whose ids are re-based 0..n-1 — the k-means/PQ seeds are the
+    * lowest ids, and a retrain window's original ids are scratch) and
+    * applies the ARMING RULE ([[SimilarityOps.opqArmed]]) to decide the
+    * rotation: OPQ trains first, its flat-PQ quantization error is
+    * measured against the RR baseline's on the same window (one
+    * encode/decode pass each — the rotation-quality signal both recall
+    * probes validated), and ONLY a drop past `minDrop` ships rotated
+    * structures; otherwise the generation is unrotated (identity), the
+    * measured right answer for variance-balanced data where the
+    * rotation costs recall. Coarse centroids and residual codebooks
+    * then train in the chosen space. This is the one-call retrain an
+    * operator runs when the qerr signal flags. */
+  def trainGeneration(
+      window: DataFrame,
+      nlist: Int,
+      nSub: Int,
+      ksub: Int,
+      kmIters: Int = 2,
+      pqIters: Int = 2,
+      opqSweeps: Int = 2,
+      minDrop: Double = 0.15): GenStructs = {
+    val opqR = SimilarityOps.opqTrainRotation(window, nSub, ksub, pqIters, opqSweeps)
+    val qerrRr = flatQerr(window, Some(SimilarityOps.rrMatrix), nSub, ksub, pqIters)
+    val qerrOpq = flatQerr(window, Some(opqR), nSub, ksub, pqIters)
+    val rot = if (SimilarityOps.opqArmed(qerrRr, qerrOpq, minDrop)) Some(opqR)
+      else None
+    val base = rot match {
+      case Some(r) => SimilarityOps.rotateBy(window, r)
+      case None => window.select(col("vec_id").cast("long").as("vec_id"),
+        col("v").cast("array<double>").as("v"))
+    }
+    val cents = SimilarityOps.kmCentroids(base, nlist, kmIters)
+    val resid = SimilarityOps.ivfPqResiduals(base, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    GenStructs(cents, SimilarityOps.pqTrain(resid, nSub, ksub, pqIters), rot)
+  }
+
+  /** Total flat-PQ quantization error of `e` under rotation `rot` —
+    * the arming signal: train per-subspace codebooks on the rotated
+    * frame, then one distributed encode/decode pass summing
+    * ‖y − decode(encode(y))‖². */
+  private def flatQerr(
+      e: DataFrame, rot: Option[Rot],
+      nSub: Int, ksub: Int, pqIters: Int): Double = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val frame = rot.map(SimilarityOps.rotateBy(e, _)).getOrElse(e)
+    val cb = SimilarityOps.pqTrain(frame, nSub, ksub, pqIters)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val out = frame.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val books = bcCb.value
+        val ds = books(0)(0).length
+        it.map { case (_, y) =>
+          var err = 0.0
+          var m = 0
+          while (m < books.length) {
+            val best = SimilarityOps.pqNearest(books(m), y, m * ds)
+            val ce = books(m)(best)
+            var j = 0
+            while (j < ds) { val t = y(m * ds + j) - ce(j); err += t * t; j += 1 }
+            m += 1
+          }
+          err
+        }
+      }.reduce(_ + _)
+    bcCb.destroy()
+    out
+  }
+
   /** Starts the ingest on a streaming (vec_id: long, v: array<double>)
     * frame, encoding against the frozen `cents`/`cb` of `gen`. */
   def start(
@@ -788,6 +860,104 @@ object IvfPqIngest {
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(k)
       .select("vec_id", "adc")
+  }
+
+  /** BATCH ADC retrieval over the store — the q_ivfpq_knn_join shape
+    * as a first-class store method: one top-k ADC shortlist per probe,
+    * per-(probe, generation, cell) residual LUTs riding broadcast
+    * frames, the join on (gen, cid) doing every probe's nprobe filter
+    * AND its LUT dispatch at once, per-probe top-k through Catalyst's
+    * WindowGroupLimit partial (the shuffle carries ≤ k × probes ×
+    * partitions rows, never the scored product). Mixed generations and
+    * rotations are handled exactly as [[retrieveGens]] — each
+    * generation scores in its own space, one global per-probe top-k.
+    *
+    * The probe batch is processed in `chunkProbes`-sized CHUNKS,
+    * sequentially, because the LUT frame is probes × nprobe ×
+    * (nSub·ksub) doubles — ~260 MB at 1000 probes × 16 cells × 2048
+    * entries, far past sane broadcast size — so each chunk's broadcast
+    * stays bounded and is released before the next. The result is
+    * therefore MATERIALIZED (probes × k rows — the answer's natural
+    * size, driver-small by construction) and returned as a local-backed
+    * frame of (probe_id, vec_id, adc) ascending per probe. */
+  def retrieveBatch(
+      spark: SparkSession,
+      indexDir: String,
+      gens: Map[Int, GenStructs],
+      probes: Seq[(Long, Array[Double])],
+      nprobe: Int,
+      k: Int,
+      chunkProbes: Int = 250): DataFrame = {
+    require(gens.nonEmpty, "retrieveBatch needs at least one generation")
+    require(chunkProbes > 0, s"chunkProbes must be positive: $chunkProbes")
+    val shapes = gens.values.map(s => (s.cb.length, s.cb(0).length))
+    require(shapes.toSet.size == 1,
+      s"generations disagree on (nSub, ksub): ${shapes.toSet} — codes " +
+        "of different shapes cannot share one ADC scan")
+    val (nSub, ksub) = shapes.head
+    gens.foreach { case (g, s) =>
+      checkCodebookMarker(spark, indexDir, g, codebookId(s.cents, s.cb, s.rot))
+    }
+    val byGen = listBatches(spark, indexDir)
+    val present = byGen.collect { case (g, bs) if bs.nonEmpty => g }.toSet
+    require(present.subsetOf(gens.keySet),
+      s"store holds generations $present but structures were passed " +
+        s"only for ${gens.keySet} — a retrieval that silently skips a " +
+        "generation's codes is wrong, not approximate")
+    val shadowed = shadowedBatches(byGen)
+    val del = readDeletes(spark, indexDir)
+    import spark.implicits._
+    val perProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val rows = probes.grouped(chunkProbes).flatMap { chunk =>
+      val probed = chunk.map { case (pid, pv) =>
+        pid -> gens.toSeq.map { case (g, s) =>
+          val pg = s.rot.map(rotated(_, pv)).getOrElse(pv)
+          g -> SimilarityOps.ivfPqProbedCells(s.cents, pg, nprobe).map {
+            case (cid, c) =>
+              (cid, SimilarityOps.pqLut(s.cb,
+                Array.tabulate(pg.length)(j => pg(j) - c(j))))
+          }
+        }
+      }
+      val lutRows = probed.flatMap { case (pid, perGen) =>
+        perGen.flatMap { case (g, cells) =>
+          cells.map { case (cid, lut) => (pid, g, cid, lut) }
+        }
+      }
+      val lutDf = broadcast(spark.createDataFrame(lutRows)
+        .toDF("probe_id", "gen", "cid", "lut"))
+      // Chunk-level partition prune: per generation, the union of every
+      // chunk probe's cells — static, so it reaches the scan; the join
+      // below then narrows to each probe's own cells.
+      val prune = gens.keySet.toSeq.sorted.map { g =>
+        val cids = probed.flatMap(_._2.collect {
+          case (`g`, cells) => cells.map(_._1)
+        }.flatten).distinct
+        col("gen") === g && col("cid").isin(cids: _*)
+      }.reduce(_ || _)
+      val dedup = shadowed.foldLeft(lit(true)) { case (acc, (g, b)) =>
+        acc && !(col("gen") === g && col("batch") === b)
+      }
+      val scanned = spark.read.parquet(s"$indexDir/codes")
+        .filter(prune).filter(dedup)
+      val alive = del match {
+        case Some(d) => scanned.join(broadcast(d), Seq("vec_id"), "left_anti")
+        case None => scanned
+      }
+      alive
+        .join(lutDf, Seq("gen", "cid"))
+        .select(col("probe_id"), col("vec_id"),
+          SimilarityOps.pqAdcColOf(col("lut"), col("code"), ksub, nSub)
+            .as("adc"))
+        .withColumn("rk", row_number().over(perProbe))
+        .filter(col("rk") <= k)
+        .select("probe_id", "vec_id", "adc")
+        .as[(Long, Long, Double)].collect()
+    }.toSeq
+    spark.createDataFrame(rows).toDF("probe_id", "vec_id", "adc")
+      .orderBy(col("probe_id"), col("adc").asc, col("vec_id"))
   }
 
   /** Mixed-generation retrieval over unrotated structures (the

@@ -175,6 +175,70 @@ class IvfPqOpqSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("incomparable"))
   }
 
+  test("trainGeneration applies the arming rule and matches hand-built structures") {
+    val window = df(fixture._1)
+    // The anisotropic window must ARM (the regime OPQ exists for), and
+    // the armed structures must equal the hand-built gen1 exactly —
+    // trainGeneration is a composition, not a new code path.
+    def flatR(a: Array[Array[Double]]): Seq[Double] =
+      a.toSeq.flatMap(_.toSeq)
+    def flatC(c: IvfPqIngest.Cents): Seq[Double] =
+      c.sortBy(_._1).toSeq.flatMap(_._2.toSeq)
+    def flatB(b: IvfPqIngest.Books): Seq[Double] =
+      b.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    val armed = IvfPqIngest.trainGeneration(window, 8, 8, 16, opqSweeps = 1)
+    assert(armed.rot.isDefined,
+      "anisotropic window did not arm OPQ at the default threshold")
+    assert(flatR(armed.rot.get) == flatR(gen1.rot.get),
+      "armed rotation diverged from the hand-built opqTrainRotation")
+    assert(flatC(armed.cents) == flatC(gen1.cents))
+    assert(flatB(armed.cb) == flatB(gen1.cb))
+    // An unreachable threshold DISARMS: unrotated structures, equal to
+    // the hand-built gen0 — the measured right answer for data where
+    // the rotation buys too little.
+    val disarmed = IvfPqIngest.trainGeneration(
+      window, 8, 8, 16, opqSweeps = 1, minDrop = 0.99)
+    assert(disarmed.rot.isEmpty, "minDrop=0.99 must never arm")
+    assert(flatC(disarmed.cents) == flatC(gen0.cents))
+    assert(flatB(disarmed.cb) == flatB(gen0.cb))
+  }
+
+  test("retrieveBatch == per-probe retrieveGens on the mixed rotated store") {
+    val dir = freshDir("batch")
+    build(dir, gen0, 0)
+    IvfPqIngest.beginGeneration(spark, dir, 1, gen1.cents, gen1.cb, gen1.rot)
+    IvfPqIngest.migrateBatch(spark, dir, 0L, df(allRows), 0, 1,
+      gen1.cents, gen1.cb, gen1.rot)
+    IvfPqIngest.migrateBatch(spark, dir, 1L, df(allRows), 0, 1,
+      gen1.cents, gen1.cb, gen1.rot)
+    val gens = Map(0 -> gen0, 1 -> gen1)
+    val probes = Seq(7L, 20L, 55L).map(i => i -> fixture._1(i.toInt)._2)
+    // chunkProbes = 2 forces the chunked path (2 + 1).
+    val got = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
+      chunkProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    probes.foreach { case (pid, pv) =>
+      val single = IvfPqIngest.retrieveGens(spark, dir, gens, pv, 3, 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = got(pid).map(t => (t._2, t._3)).toSeq
+      assert(batch == single,
+        s"probe $pid: batch face diverged from single retrieval\n" +
+          s"batch:  $batch\nsingle: $single")
+    }
+    // Tombstones are respected by the batch face too.
+    val victim = got(7L).head._2
+    IvfPqIngest.delete(spark, dir,
+      spark.createDataFrame(Seq(Tuple1(victim))).toDF("vec_id"))
+    val after = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
+      chunkProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.exists(_._2 == victim),
+      s"tombstoned $victim leaked into the batch shortlist")
+    assert(after.count(_._1 == 7L) == 15,
+      "batch top-k under-filled after a tombstone with live rows available")
+  }
+
   test("rotated single-generation retrieval surfaces planted twins") {
     val dir = freshDir("single")
     build(dir, gen1, 0)
