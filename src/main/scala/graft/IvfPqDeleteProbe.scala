@@ -135,6 +135,11 @@ object IvfPqDeleteProbe {
       walls += ((pm / 1000.0, w))
       require(twinRows.map(_._1).toSet.subsetOf(got),
         "undeleted twins lost under tombstones")
+      // No under-fill (r18 verdict #5): the anti-join cuts BEFORE the
+      // top-k, so even at 10% tombstones the shortlist fills to k while
+      // k live rows exist in the probed cells.
+      require(got.size == k,
+        s"top-$k under-filled to ${got.size} at ${pm / 10.0}% deletes")
       println(f"[ivfpq-delete] fraction ${pm / 10.0}%.1f%%: retrieve " +
         f"$w%.2f s (base $wall0%.2f s), append $delWall%.2f s")
     }
