@@ -45,6 +45,10 @@ object PqRecallProbe {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val nProbes = args.lift(1).map(_.toInt).getOrElse(100)
     val batchProbes = args.lift(2).map(_.toInt).getOrElse(1000)
+    // Optional 4th arg `batch` skips the (already-committed) knob sweep
+    // and runs only the batch arms — a re-measurement of the batch face
+    // shouldn't cost 25 redundant sweep arms.
+    val runSweep = !args.lift(3).contains("batch")
     val spark = Sessions.local(appName = "graft-pq-recall-probe")
     import spark.implicits._
     val sc = spark.sparkContext
@@ -160,7 +164,7 @@ object PqRecallProbe {
     val maxShort = shortlists.max
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Double, Double, Double)] // nprobe, short, recall, scanW, rerankW
-    for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+    for (nprobe <- Seq(1, 2, 4, 8, 16) if runSweep) {
       val lutRows = sweepProbes.flatMap { case (pid, pv) =>
         SimilarityOps.ivfPqProbedCells(cents, pv, nprobe).map { case (cid, c) =>
           (pid, cid,
@@ -210,11 +214,13 @@ object PqRecallProbe {
     // cover the neighborhood, shortlist larger than the expected
     // same-center cluster ≈ nVecs/nCenters) the structure must be doing
     // its job on non-planted data.
-    val widest = results.filter(r => r._1 == 16 && r._2 == shortlists.max)
-      .head._3
-    require(widest >= 0.9,
-      f"widest arm (nprobe=16, shortlist=${shortlists.max}) recall@10 " +
-        f"$widest%.4f < 0.9 — IVF-PQ is broken on non-planted data")
+    if (runSweep) {
+      val widest = results.filter(r => r._1 == 16 && r._2 == shortlists.max)
+        .head._3
+      require(widest >= 0.9,
+        f"widest arm (nprobe=16, shortlist=${shortlists.max}) recall@10 " +
+          f"$widest%.4f < 0.9 — IVF-PQ is broken on non-planted data")
+    }
 
     // ---- Batch retrieval at scale (verdict task #5): q_pq_knn_join's
     // shape with a 1000-probe batch against the 1M corpus. Flat PQ
@@ -345,12 +351,67 @@ object PqRecallProbe {
           .filter(col("rk") <= 64)
           .select("probe_id", "vec_id")
       })
+    // ONE-PASS decode-side IVF arm (the retrieveBatch "decode" strategy
+    // shape, r19): the same pruned (probe, cell) pair set as the chunked
+    // arm, but the store is read ONCE for the whole batch — probes +
+    // structures ride tiny broadcasts and each pair's ADC computes from
+    // the decoded code per row (bit-identical fold to the LUT path,
+    // spec-pinned). This is the regime answer to the chunked arm's cost
+    // model: its 4 full store scans were the fixed cost absorbing the
+    // nprobe pruning win.
+    val (ivf1ScanW, ivf1RerankW, ivf1Pps, ivf1Recall) =
+      batchArm("ivf1p", batchProbes, { chunk =>
+        val pairRows = chunk.flatMap { case (pid, pv) =>
+          SimilarityOps.ivfPqProbedCells(cents, pv, ivfNprobe).map {
+            case (cid, _) => (pid, cid)
+          }
+        }
+        val pairDf = broadcast(
+          spark.createDataFrame(pairRows).toDF("probe_id", "cid"))
+        val bcP = sc.broadcast(chunk.toMap)
+        val bcC = sc.broadcast(cents.toMap)
+        val bcB = sc.broadcast(cb)
+        codes.join(pairDf, "cid")
+          .select(col("probe_id").cast("long"), col("cid").cast("int"),
+            col("vec_id").cast("long"), col("code"))
+          .as[(Long, Int, Long, Seq[Byte])]
+          .mapPartitions { it =>
+            val pm = bcP.value
+            val cm = bcC.value
+            val books = bcB.value
+            val ds = books(0)(0).length
+            it.map { case (pid, cid, vid, code) =>
+              val pg = pm(pid)
+              val c = cm(cid)
+              var adc = 0.0
+              var m = 0
+              while (m < books.length) {
+                val ce = books(m)(code(m) & 0xFF)
+                var dd = 0.0
+                var j = 0
+                while (j < ds) {
+                  val t = (pg(m * ds + j) - c(m * ds + j)) - ce(j)
+                  dd += t * t
+                  j += 1
+                }
+                adc += dd
+                m += 1
+              }
+              (pid, vid, adc)
+            }
+          }
+          .toDF("probe_id", "vec_id", "adc")
+          .withColumn("rk", row_number().over(perProbeAdc))
+          .filter(col("rk") <= 64)
+          .select("probe_id", "vec_id")
+      })
     val batchScanWall = flatScanW
     val batchRerankWall = flatRerankW
     val probesPerSec = flatPps
-    println(f"[pq-recall] batch flat-vs-ivf: $flatPps%.1f -> $ivfPps%.1f " +
-      f"probes/s (${ivfPps / flatPps}%.1f×) at recall@10 " +
-      f"$flatRecall%.4f vs $ivfRecall%.4f (matched shortlist 64)")
+    println(f"[pq-recall] batch flat-vs-ivf-vs-ivf1p: $flatPps%.1f -> " +
+      f"$ivfPps%.1f -> $ivf1Pps%.1f probes/s at recall@10 " +
+      f"$flatRecall%.4f / $ivfRecall%.4f / $ivf1Recall%.4f " +
+      "(matched shortlist 64)")
 
     // One JSON line for COVERAGE.md / the round artifact.
     val arms = results.map { case (np, sl, r, sw, rw) =>
@@ -369,6 +430,10 @@ object PqRecallProbe {
         s""""batch_ivf_rerank_s":${f"$ivfRerankW%.2f"},""" +
         s""""batch_ivf_probes_per_s":${f"$ivfPps%.1f"},""" +
         s""""batch_ivf_recall_at_10":${f"$ivfRecall%.4f"},""" +
+        s""""batch_ivf1p_scan_s":${f"$ivf1ScanW%.2f"},""" +
+        s""""batch_ivf1p_rerank_s":${f"$ivf1RerankW%.2f"},""" +
+        s""""batch_ivf1p_probes_per_s":${f"$ivf1Pps%.1f"},""" +
+        s""""batch_ivf1p_recall_at_10":${f"$ivf1Recall%.4f"},""" +
         s""""flat_train_s":${f"$flatWall%.2f"},"flat_encode_s":${f"$flatEncWall%.2f"}}""")
     spark.stop()
     // The corpus + code stores are per-run scratch (~1 GB at 4M, ~2.5 GB

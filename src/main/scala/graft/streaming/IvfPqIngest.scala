@@ -872,14 +872,30 @@ object IvfPqIngest {
     * rotations are handled exactly as [[retrieveGens]] — each
     * generation scores in its own space, one global per-probe top-k.
     *
-    * The probe batch is processed in `chunkProbes`-sized CHUNKS,
-    * sequentially, because the LUT frame is probes × nprobe ×
-    * (nSub·ksub) doubles — ~260 MB at 1000 probes × 16 cells × 2048
-    * entries, far past sane broadcast size — so each chunk's broadcast
-    * stays bounded and is released before the next. The result is
-    * therefore MATERIALIZED (probes × k rows — the answer's natural
-    * size, driver-small by construction) and returned as a local-backed
-    * frame of (probe_id, vec_id, adc) ascending per probe. */
+    * Two physical strategies, picked by `strategy` (default "auto"):
+    *
+    *  - `"lut"` — per-(probe, gen, cell) LUT broadcasts with the
+    *    codegen'd ADC lookup, processed in `chunkProbes`-sized CHUNKS
+    *    because the LUT frame grows as probes × nprobe × (nSub·ksub)
+    *    doubles (~260 MB at 1000 × 16 × 2048) and each chunk pays a
+    *    full store scan. The right shape for SMALL probe batches.
+    *  - `"decode"` — ONE store pass for the whole batch: broadcast the
+    *    raw (per-generation-rotated) probe vectors plus each
+    *    generation's centroids/codebooks — O(probes·dim) + O(structures)
+    *    bytes, no ksub factor — and compute each scored pair's ADC
+    *    DECODE-SIDE (residual = R·p − centroid(cid), minus the decoded
+    *    code entry, squared, summed in pqLut/pqAdcColOf's exact
+    *    ascending-(m, j) fold — BIT-IDENTICAL doubles to the LUT path).
+    *    ~8× the per-pair FLOPs, but the store is read ONCE: at 10M ×
+    *    1000 probes the chunked-LUT path's 4 full scans absorbed most
+    *    of the nprobe pruning win (measured, PqRecallProbe r19), which
+    *    is exactly the regime this path exists for.
+    *
+    * "auto" uses decode when the LUT frame would exceed one bounded
+    * broadcast (~32 MB). The result is MATERIALIZED either way
+    * (probes × k rows — the answer's natural size, driver-small by
+    * construction) and returned as a local-backed frame of
+    * (probe_id, vec_id, adc) ascending per probe. */
   def retrieveBatch(
       spark: SparkSession,
       indexDir: String,
@@ -887,9 +903,12 @@ object IvfPqIngest {
       probes: Seq[(Long, Array[Double])],
       nprobe: Int,
       k: Int,
-      chunkProbes: Int = 250): DataFrame = {
+      chunkProbes: Int = 250,
+      strategy: String = "auto"): DataFrame = {
     require(gens.nonEmpty, "retrieveBatch needs at least one generation")
     require(chunkProbes > 0, s"chunkProbes must be positive: $chunkProbes")
+    require(Set("auto", "lut", "decode")(strategy),
+      s"unknown strategy '$strategy' (auto|lut|decode)")
     val shapes = gens.values.map(s => (s.cb.length, s.cb(0).length))
     require(shapes.toSet.size == 1,
       s"generations disagree on (nSub, ksub): ${shapes.toSet} — codes " +
@@ -910,6 +929,15 @@ object IvfPqIngest {
     val perProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id"))
+    val lutBytes = probes.size.toLong * nprobe * gens.size * nSub * ksub * 8
+    val useDecode = strategy == "decode" ||
+      (strategy == "auto" && lutBytes > 32L * 1024 * 1024)
+    if (useDecode) {
+      val rows = decodeBatchRows(
+        spark, indexDir, gens, probes, nprobe, k, shadowed, del)
+      return spark.createDataFrame(rows).toDF("probe_id", "vec_id", "adc")
+        .orderBy(col("probe_id"), col("adc").asc, col("vec_id"))
+    }
     val rows = probes.grouped(chunkProbes).flatMap { chunk =>
       val probed = chunk.map { case (pid, pv) =>
         pid -> gens.toSeq.map { case (g, s) =>
@@ -958,6 +986,103 @@ object IvfPqIngest {
     }.toSeq
     spark.createDataFrame(rows).toDF("probe_id", "vec_id", "adc")
       .orderBy(col("probe_id"), col("adc").asc, col("vec_id"))
+  }
+
+  /** [[retrieveBatch]]'s ONE-PASS decode-side ADC: broadcast the
+    * per-generation-rotated probe vectors + each generation's
+    * centroids/codebooks (KBs–MBs, independent of ksub·nprobe), join
+    * the codes scan against the tiny (probe, gen, cid) dispatch table,
+    * and compute each pair's ADC in a per-partition loop —
+    * t = (R·p − centroid) − decode(code) squared and summed in the
+    * exact ascending-(m, j) fold [[SimilarityOps.pqLut]]/`pqAdcColOf`
+    * replay, so the two strategies return BIT-IDENTICAL doubles
+    * (IvfPqOpqSpec pins it). ~8× the per-pair FLOPs of a LUT lookup,
+    * ONE store read for any batch size. */
+  private def decodeBatchRows(
+      spark: SparkSession,
+      indexDir: String,
+      gens: Map[Int, GenStructs],
+      probes: Seq[(Long, Array[Double])],
+      nprobe: Int,
+      k: Int,
+      shadowed: Seq[(Int, Long)],
+      del: Option[DataFrame]): Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    val rotProbes: Map[(Long, Int), Array[Double]] =
+      probes.flatMap { case (pid, pv) =>
+        gens.toSeq.map { case (g, s) =>
+          (pid, g) -> s.rot.map(rotated(_, pv)).getOrElse(pv)
+        }
+      }.toMap
+    val pairRows = probes.flatMap { case (pid, _) =>
+      gens.toSeq.flatMap { case (g, s) =>
+        SimilarityOps.ivfPqProbedCells(s.cents, rotProbes((pid, g)), nprobe)
+          .map { case (cid, _) => (pid, g, cid) }
+      }
+    }
+    val pairDf = broadcast(spark.createDataFrame(pairRows)
+      .toDF("probe_id", "gen", "cid"))
+    val prune = gens.keySet.toSeq.sorted.map { g =>
+      val cids = pairRows.collect { case (_, `g`, cid) => cid }.distinct
+      col("gen") === g && col("cid").isin(cids: _*)
+    }.reduce(_ || _)
+    val dedup = shadowed.foldLeft(lit(true)) { case (acc, (g, b)) =>
+      acc && !(col("gen") === g && col("batch") === b)
+    }
+    val scanned = spark.read.parquet(s"$indexDir/codes")
+      .filter(prune).filter(dedup)
+    val alive = del match {
+      case Some(d) => scanned.join(broadcast(d), Seq("vec_id"), "left_anti")
+      case None => scanned
+    }
+    val sc = spark.sparkContext
+    val bcProbes = sc.broadcast(rotProbes)
+    val bcCents = sc.broadcast(gens.map { case (g, s) => g -> s.cents.toMap })
+    val bcBooks = sc.broadcast(gens.map { case (g, s) => g -> s.cb })
+    val perProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    try {
+      alive
+        .join(pairDf, Seq("gen", "cid"))
+        .select(col("probe_id").cast("long"), col("gen").cast("int"),
+          col("cid").cast("int"), col("vec_id").cast("long"), col("code"))
+        .as[(Long, Int, Int, Long, Seq[Byte])]
+        .mapPartitions { it =>
+          val pm = bcProbes.value
+          val cm = bcCents.value
+          val bm = bcBooks.value
+          it.map { case (pid, g, cid, vid, code) =>
+            val pg = pm((pid, g))
+            val c = cm(g)(cid)
+            val books = bm(g)
+            val ds = books(0)(0).length
+            var adc = 0.0
+            var m = 0
+            while (m < books.length) {
+              val ce = books(m)(code(m) & 0xFF)
+              var dd = 0.0
+              var j = 0
+              while (j < ds) {
+                // (pg − c) first, then − ce: the same two IEEE
+                // subtractions, in the same order, as pqLut's residual
+                // array followed by its distance fold — bit-identical.
+                val t = (pg(m * ds + j) - c(m * ds + j)) - ce(j)
+                dd += t * t
+                j += 1
+              }
+              adc += dd
+              m += 1
+            }
+            (pid, vid, adc)
+          }
+        }
+        .toDF("probe_id", "vec_id", "adc")
+        .withColumn("rk", row_number().over(perProbe))
+        .filter(col("rk") <= k)
+        .select("probe_id", "vec_id", "adc")
+        .as[(Long, Long, Double)].collect().toSeq
+    } finally { bcProbes.destroy(); bcCents.destroy(); bcBooks.destroy() }
   }
 
   /** Mixed-generation retrieval over unrotated structures (the

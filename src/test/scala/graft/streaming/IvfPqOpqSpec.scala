@@ -226,17 +226,31 @@ class IvfPqOpqSpec extends AnyFunSuite {
         s"probe $pid: batch face diverged from single retrieval\n" +
           s"batch:  $batch\nsingle: $single")
     }
-    // Tombstones are respected by the batch face too.
+    // The one-pass DECODE strategy returns BIT-IDENTICAL rows to the
+    // chunked-LUT strategy — same residual arithmetic in the same fold
+    // order, so the choice is purely a cost decision.
+    val decoded = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
+      strategy = "decode")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lutRows = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
+      strategy = "lut", chunkProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(decoded == lutRows,
+      s"decode-side ADC diverged from the LUT path\n$decoded\nvs\n$lutRows")
+
+    // Tombstones are respected by the batch face too (both strategies).
     val victim = got(7L).head._2
     IvfPqIngest.delete(spark, dir,
       spark.createDataFrame(Seq(Tuple1(victim))).toDF("vec_id"))
-    val after = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
-      chunkProbes = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(!after.exists(_._2 == victim),
-      s"tombstoned $victim leaked into the batch shortlist")
-    assert(after.count(_._1 == 7L) == 15,
-      "batch top-k under-filled after a tombstone with live rows available")
+    for (strat <- Seq("lut", "decode")) {
+      val after = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
+        chunkProbes = 2, strategy = strat)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.exists(_._2 == victim),
+        s"[$strat] tombstoned $victim leaked into the batch shortlist")
+      assert(after.count(_._1 == 7L) == 15,
+        s"[$strat] batch top-k under-filled after a tombstone with live rows")
+    }
   }
 
   test("rotated single-generation retrieval surfaces planted twins") {
