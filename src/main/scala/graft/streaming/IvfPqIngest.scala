@@ -233,14 +233,17 @@ object IvfPqIngest {
     * content re-verify); every later batch verifies it. Mismatch = loud
     * failure with the rebuild instruction, never silent garbage
     * retrieval. The publish is race-safe (r18 advisor): `fs.create(…,
-    * overwrite = false)` refuses an existing destination — unlike
-    * rename, which RawLocalFileSystem (POSIX File.renameTo) happily
-    * lets OVERWRITE an already-published marker, so two interleaved
-    * first writers could each rename-and-verify their own id in turn
-    * and pin one writer's batch under the other's codebook. With the
-    * atomic create exactly one writer wins; the loser falls through to
-    * the read-and-compare, and a persistent create failure surfaces as
-    * the same loud mismatch instead of unbounded recursion. */
+    * overwrite = false)` refuses an existing destination on every
+    * Hadoop filesystem — whereas rename-to-existing is PLATFORM
+    * DEPENDENT (raw POSIX File.renameTo overwrites; Hadoop's checksum
+    * LocalFileSystem refuses — both behaviors pinned in
+    * IvfPqIngestSpec), so a rename-based publish could let two
+    * interleaved first writers each rename-and-verify their own id in
+    * turn and pin one writer's batch under the other's codebook. With
+    * the atomic create exactly one writer wins; the loser falls
+    * through to the read-and-compare, and a persistent create failure
+    * surfaces as the same loud mismatch instead of unbounded
+    * recursion. */
   private[graft] def checkCodebookMarker(
       spark: SparkSession, indexDir: String, gen: Int, id: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(indexDir)

@@ -128,6 +128,44 @@ class IvfPqIngestSpec extends AnyFunSuite {
       s"twins not at the minimum ADC: $twinAdcs vs $minAdc")
   }
 
+  test("marker publish mechanism: create(overwrite=false) refuses an existing marker") {
+    // Pins the property the r18-advisor marker fix rests on in THIS
+    // environment: the atomic create the publish now uses REFUSES an
+    // existing destination, so a losing first writer falls through to
+    // the read-and-compare instead of replacing the winner's id. The
+    // old rename-based publish depended on platform behavior — raw
+    // POSIX renameTo OVERWRITES an existing file; Hadoop's checksum
+    // LocalFileSystem (measured here) refuses it — which is exactly
+    // why the publish must not rely on rename semantics at all. Both
+    // measured behaviors are pinned so a platform change fails loud.
+    val dir = freshDir("fs_props")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val marker = new org.apache.hadoop.fs.Path(root, "_probe_marker")
+    val out = fs.create(marker, false)
+    out.write("A\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    intercept[java.io.IOException] {
+      fs.create(marker, false).close()
+    }
+    // Rename-to-existing on this FS returns false and leaves the
+    // winner's content in place (on raw POSIX it would OVERWRITE —
+    // the platform-dependence the create-based publish removes).
+    val other = new org.apache.hadoop.fs.Path(root, "_probe_other")
+    val out2 = fs.create(other, false)
+    out2.write("B\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out2.close()
+    val renamed = fs.rename(other, marker)
+    val in = fs.open(marker)
+    val line = try new java.io.BufferedReader(
+      new java.io.InputStreamReader(in)).readLine() finally in.close()
+    assert(!renamed && line == "A",
+      s"rename-to-existing behavior changed (renamed=$renamed, " +
+        s"content=$line) — revisit the marker-publish reasoning; the " +
+        "create path stays correct either way")
+  }
+
   test("streaming wiring: start() maintains the store through real micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
