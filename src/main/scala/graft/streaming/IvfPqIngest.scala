@@ -787,6 +787,60 @@ object IvfPqIngest {
     affected.map { case (g, b, _) => (g, b) }
   }
 
+  /** STORE-HEALTH MANIFEST over the live store — the operator-facing
+    * twin of the oracle-checked q_store_manifest query: one row per
+    * (gen, batch) with total/live/deleted row counts, occupancy in
+    * basis points, the batch's ingest-time qerr stats (the retrain
+    * signal, joined from `stats/`), and whether the batch is SHADOWED
+    * (present at a higher generation — non-empty only inside a
+    * migration crash window). The plan is compact()'s occupancy
+    * aggregate: one codes scan reading (vec_id + partition columns)
+    * joined against the broadcast tombstone set, one codegen'd groupBy
+    * — dashboard-sized output at any store size. An empty store
+    * returns an empty frame with the same schema. */
+  def manifest(spark: SparkSession, indexDir: String): DataFrame = {
+    val empty = spark.range(0).select(
+      col("id").cast("int").as("gen"), col("id").as("batch"),
+      col("id").as("total"), col("id").as("live"), col("id").as("deleted"),
+      col("id").as("occupancy_bp"), lit(false).as("shadowed"),
+      col("id").as("ingest_n"),
+      col("id").cast("double").as("ingest_mean_qerr"),
+      col("id").cast("double").as("ingest_max_qerr"))
+    val byGen = listBatches(spark, indexDir)
+    if (!byGen.values.exists(_.nonEmpty)) return empty
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("gen").cast("int").as("gen"),
+        col("batch").cast("long").as("batch"), col("vec_id"))
+    val withDel = readDeletes(spark, indexDir) match {
+      case Some(del) =>
+        codes.join(broadcast(del.withColumn("_del", lit(1))),
+          Seq("vec_id"), "left")
+      case None => codes.withColumn("_del", lit(null).cast("int"))
+    }
+    val shadowed = shadowedBatches(byGen).toSet
+    val shadowCol = shadowed.foldLeft(lit(false)) { case (acc, (g, b)) =>
+      acc || (col("gen") === g && col("batch") === b)
+    }
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .select(col("gen").cast("int").as("gen"),
+        col("batch").cast("long").as("batch"),
+        col("n").as("ingest_n"),
+        col("mean_qerr").as("ingest_mean_qerr"),
+        col("max_qerr").as("ingest_max_qerr"))
+    withDel
+      .groupBy("gen", "batch")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("_del").isNull, 1L).otherwise(0L)).as("live"),
+        sum(when(col("_del").isNotNull, 1L).otherwise(0L)).as("deleted"))
+      .select(col("gen"), col("batch"), col("total"), col("live"),
+        col("deleted"),
+        floor(col("live") * lit(10000.0) / col("total")).cast("long")
+          .as("occupancy_bp"),
+        shadowCol.as("shadowed"))
+      .join(stats, Seq("gen", "batch"), "left")
+      .orderBy("gen", "batch")
+  }
+
   /** ADC retrieval over the ACCUMULATED, possibly MIXED-GENERATION
     * store: per generation, probed cells from that generation's frozen
     * centroids and per-cell residual LUTs, all riding ONE broadcast

@@ -235,6 +235,44 @@ class IvfPqDeleteSpec extends AnyFunSuite {
       "tombstoned rows leaked into the filled shortlist")
   }
 
+  test("manifest() tracks the store through delete and compaction") {
+    val dir = freshDir("manifest")
+    // Empty store: empty frame, full schema.
+    val empty = IvfPqIngest.manifest(spark, dir)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("gen", "batch",
+      "total", "live", "deleted", "occupancy_bp", "shadowed",
+      "ingest_n", "ingest_mean_qerr", "ingest_max_qerr"))
+    build(dir)
+    def rows(): Map[(Int, Long), (Long, Long, Long, Long, Boolean, Long)] =
+      IvfPqIngest.manifest(spark, dir).collect().map { r =>
+        (r.getInt(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6), r.getLong(7)))
+      }.toMap
+    val before = rows()
+    assert(before.keySet == Set((0, 0L), (0, 1L), (0, 2L)))
+    assert(before((0, 0L)) == ((nBoot.toLong, nBoot.toLong, 0L, 10000L,
+      false, nBoot.toLong)),
+      s"pristine batch row wrong: ${before((0, 0L))}")
+    assert(before((0, 2L))._1 == 45L) // 40 + 5 twins
+    // Tombstone 5 of batch 2: live/deleted/occupancy update; the
+    // ingest-time stats column stays the as-written signal.
+    IvfPqIngest.delete(spark, dir,
+      idsDf(Seq(2100L, 2101L, 2102L, 2103L, 2104L)))
+    val during = rows()
+    assert(during((0, 2L))._2 == 40L && during((0, 2L))._3 == 5L)
+    assert(during((0, 2L))._4 == (40L * 10000 / 45),
+      s"occupancy_bp wrong: ${during((0, 2L))._4}")
+    assert(during((0, 0L)) == before((0, 0L)), "untouched batch drifted")
+    // Post-compaction the batch is physically clean again.
+    IvfPqIngest.compact(spark, dir, 0.05)
+    val after = rows()
+    assert(after((0, 2L))._1 == 40L && after((0, 2L))._2 == 40L &&
+      after((0, 2L))._3 == 0L && after((0, 2L))._4 == 10000L,
+      s"post-compaction manifest row wrong: ${after((0, 2L))}")
+    assert(!after.values.exists(_._5), "no batch should be shadowed")
+  }
+
   test("migration drops tombstoned rows and does not trip the lossy guard") {
     val dir = freshDir("mig")
     build(dir)

@@ -159,6 +159,13 @@ class IvfPqMigrateSpec extends AnyFunSuite {
     val byGen = IvfPqIngest.listBatches(spark, dir)
     assert(byGen(0).contains(2L) && byGen(1).contains(2L))
     assert(IvfPqIngest.shadowedBatches(byGen) == Seq((0, 2L)))
+    // The operator sees the crash window in the manifest: exactly the
+    // twice-present batch's LOWER-generation row flags shadowed.
+    val shadowRows = IvfPqIngest.manifest(spark, dir)
+      .filter(col("shadowed")).select("gen", "batch")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(shadowRows == Seq((0, 2L)),
+      s"manifest shadowed flags wrong: $shadowRows")
     val pv = fixture._1(7)._2
     val ids = IvfPqIngest.retrieve(spark, dir,
       Map(0 -> gen0, 1 -> gen1), pv, 3, 20)
