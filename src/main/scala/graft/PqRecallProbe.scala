@@ -295,11 +295,20 @@ object PqRecallProbe {
           .select("probe_id", "vec_id").as[(Long, Long)].collect()
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       }
-      val recall = sweepProbes.map { case (pid, _) =>
+      // Recall over the probes BOTH measured: sweepProbes have truth,
+      // the batch has candidates. With batchProbes < nProbes the
+      // uncovered sweep probes would otherwise count as recall 0 and
+      // silently deflate the batch figure (r19 advisor).
+      val batchIds = batch.iterator.map(_._1).toSet
+      val covered = sweepProbes.filter { case (pid, _) => batchIds(pid) }
+      require(covered.nonEmpty,
+        s"no overlap between the $nProbes truth probes and the " +
+          s"$batchProbes batch probes — recall is unmeasurable")
+      val recall = covered.map { case (pid, _) =>
         val t = truth.getOrElse(pid, Set.empty)
         if (t.isEmpty) 1.0
         else t.count(got.getOrElse(pid, Set.empty)).toDouble / t.size
-      }.sum / sweepProbes.length
+      }.sum / covered.length
       val wall = scanWall + rerankWall
       println(f"[pq-recall] batch[$name]: $batchProbes probes × $nVecs " +
         f"corpus = ${batchProbes / wall}%.1f probes/s (scan $scanWall%.2f " +

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** embeddings as (vec_id, v: array<double>). Cast once: float32→double
     * widening must happen before any arithmetic so both engines (and any
@@ -2200,6 +2200,9 @@ object SimilarityOps {
         val r = bc.value
         val n = r.length
         it.map { case (id, v) =>
+          require(v.length == n,
+            s"rotateBy: ${v.length}-dim vector under a $n-dim rotation " +
+              "— a mismatched rotation must fail loud, not truncate")
           val out = new Array[Double](n)
           var i = 0
           while (i < n) {

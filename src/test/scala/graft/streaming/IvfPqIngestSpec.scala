@@ -128,42 +128,84 @@ class IvfPqIngestSpec extends AnyFunSuite {
       s"twins not at the minimum ADC: $twinAdcs vs $minAdc")
   }
 
-  test("marker publish mechanism: create(overwrite=false) refuses an existing marker") {
-    // Pins the property the r18-advisor marker fix rests on in THIS
-    // environment: the atomic create the publish now uses REFUSES an
-    // existing destination, so a losing first writer falls through to
-    // the read-and-compare instead of replacing the winner's id. The
-    // old rename-based publish depended on platform behavior — raw
-    // POSIX renameTo OVERWRITES an existing file; Hadoop's checksum
-    // LocalFileSystem (measured here) refuses it — which is exactly
-    // why the publish must not rely on rename semantics at all. Both
-    // measured behaviors are pinned so a platform change fails loud.
+  test("marker publish mechanism: FileContext no-overwrite rename refuses an existing marker") {
+    // Pins the property the r19-advisor marker fix rests on in THIS
+    // environment: the publish writes the COMPLETE id to a unique temp
+    // file first (so no reader ever observes an empty/partial marker —
+    // the failure mode of fs.create(overwrite=false)+write on
+    // filesystems where that create is an exists-check followed by a
+    // truncating open), then renames via FileContext WITHOUT
+    // Options.Rename.OVERWRITE, which the FS contract requires to FAIL
+    // when the destination exists — so a losing first writer falls
+    // through to the read-and-compare instead of replacing the
+    // winner's id. Measured here so a platform change fails loud.
     val dir = freshDir("fs_props")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     val marker = new org.apache.hadoop.fs.Path(root, "_probe_marker")
-    val out = fs.create(marker, false)
-    out.write("A\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    intercept[java.io.IOException] {
-      fs.create(marker, false).close()
+    def writeTmp(name: String, content: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(root, name)
+      val out = fs.create(p, true)
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      p
     }
-    // Rename-to-existing on this FS returns false and leaves the
-    // winner's content in place (on raw POSIX it would OVERWRITE —
-    // the platform-dependence the create-based publish removes).
-    val other = new org.apache.hadoop.fs.Path(root, "_probe_other")
-    val out2 = fs.create(other, false)
-    out2.write("B\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out2.close()
-    val renamed = fs.rename(other, marker)
-    val in = fs.open(marker)
-    val line = try new java.io.BufferedReader(
+    def readMarker(): String = {
+      val in = fs.open(marker)
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine() finally in.close()
+    }
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    // First publisher wins: rename lands the complete content.
+    fc.rename(writeTmp(".t1", "A\n"), marker)
+    assert(readMarker() == "A")
+    // Second publisher's no-overwrite rename must REFUSE the existing
+    // destination and leave the winner's content in place.
+    val t2 = writeTmp(".t2", "B\n")
+    intercept[java.io.IOException] { fc.rename(t2, marker) }
+    assert(readMarker() == "A",
+      "no-overwrite rename replaced an existing marker — revisit the " +
+        "marker-publish reasoning (the read-and-compare backstop stays " +
+        "correct either way)")
+  }
+
+  test("concurrent first publishers: one complete id wins, failures are loud") {
+    // Drives checkCodebookMarker itself from many threads racing the
+    // SAME fresh dir with TWO different ids. The contract (scaladoc):
+    // the published marker always holds ONE COMPLETE candidate id —
+    // never empty, never partial (the temp+rename publish never
+    // exposes in-flight bytes) — every failure is the loud
+    // incomparable message (never a silent proceed-with-nothing), and
+    // at least one writer succeeds. The exact success/failure
+    // partition vs the final content is best-effort on a local FS
+    // (rename-no-overwrite is check-then-rename underneath — the
+    // documented residual window the read-and-compare backstops), so
+    // it is deliberately NOT asserted here.
+    val dir = freshDir("race")
+    val ids = Seq("ivfpq 8 8 16 aaaa", "ivfpq 8 8 16 bbbb")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((0 until 16).map { i =>
+        Future {
+          try { IvfPqIngest.checkCodebookMarker(spark, dir, 0, ids(i % 2)); None }
+          catch { case e: IllegalArgumentException => Some(e.getMessage) }
+        }
+      }), 60.seconds)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_codebook_g0"))
+    val won = try new java.io.BufferedReader(
       new java.io.InputStreamReader(in)).readLine() finally in.close()
-    assert(!renamed && line == "A",
-      s"rename-to-existing behavior changed (renamed=$renamed, " +
-        s"content=$line) — revisit the marker-publish reasoning; the " +
-        "create path stays correct either way")
+    assert(ids.contains(won), s"marker holds neither candidate id: [$won]")
+    assert(results.exists(_.isEmpty), "no writer succeeded")
+    results.filter(_.isDefined).foreach { r =>
+      assert(r.exists(_.contains("incomparable")),
+        s"a losing writer did not fail loud: $r")
+    }
   }
 
   test("streaming wiring: start() maintains the store through real micro-batches") {

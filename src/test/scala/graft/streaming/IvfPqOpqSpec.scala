@@ -253,6 +253,54 @@ class IvfPqOpqSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieveBatchDf == retrieveBatch(decode) bit for bit on the mixed rotated store") {
+    // The DataFrame-native face (probes as a frame, nothing driver-
+    // materialized) must return EXACTLY the Seq face's decode-strategy
+    // rows — same candidates, bit-identical ADC doubles — across the
+    // hardest store state: mixed rotated/unrotated generations, a
+    // shadowed crash-window batch, and tombstones.
+    val dir = freshDir("dfbatch")
+    build(dir, gen0, 0)
+    IvfPqIngest.beginGeneration(spark, dir, 1, gen1.cents, gen1.cb, gen1.rot)
+    IvfPqIngest.migrateBatch(spark, dir, 0L, df(allRows), 0, 1,
+      gen1.cents, gen1.cb, gen1.rot)
+    // Crash window: batch 1 present at BOTH generations.
+    IvfPqIngest.processBatch(df(fixture._2.head), 1L, dir,
+      gen1.cents, gen1.cb, 1, gen1.rot)
+    assert(IvfPqIngest.shadowedBatches(IvfPqIngest.listBatches(spark, dir))
+      .nonEmpty, "fixture must exercise the shadowed-batch filter")
+    IvfPqIngest.delete(spark, dir,
+      spark.createDataFrame(Seq(Tuple1(20L), Tuple1(3100L))).toDF("vec_id"))
+    val gens = Map(0 -> gen0, 1 -> gen1)
+    val probes = Seq(7L, 20L, 55L, 100L).map(i => i -> fixture._1(i.toInt)._2)
+    val seqRows = IvfPqIngest.retrieveBatch(spark, dir, gens, probes, 3, 15,
+      strategy = "decode")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val probesDf = spark.createDataFrame(probes).toDF("probe_id", "v")
+    val dfRows = IvfPqIngest.retrieveBatchDf(spark, dir, gens, probesDf, 3, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    assert(dfRows == seqRows,
+      s"DataFrame face diverged from the Seq decode face\n$dfRows\nvs\n$seqRows")
+    assert(!dfRows.exists(t => t._2 == 20L || t._2 == 3100L),
+      "tombstoned ids leaked through the DataFrame face")
+    assert(probes.forall { case (pid, _) => dfRows.count(_._1 == pid) == 15 },
+      "per-probe top-k under-filled")
+    // The per-probe top-k must run through the WindowGroupLimit partial
+    // — the exchange carries k×probes×partitions rows, never the scored
+    // product — and duplicate probe ids are refused, not mis-ranked.
+    val plan = IvfPqIngest.retrieveBatchDf(spark, dir, gens, probesDf, 3, 15)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"batch top-k lost the WindowGroupLimit partial:\n$plan")
+    val dup = probesDf.unionByName(probesDf.limit(1))
+    val ex = intercept[IllegalArgumentException] {
+      IvfPqIngest.retrieveBatchDf(spark, dir, gens, dup, 3, 15)
+    }
+    assert(ex.getMessage.contains("duplicate probe_ids"))
+  }
+
   test("rotated single-generation retrieval surfaces planted twins") {
     val dir = freshDir("single")
     build(dir, gen1, 0)
