@@ -1198,44 +1198,57 @@ object SimilarityOps {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
-    // STORE-HEALTH MANIFEST (r18 verdict #6): the vector-store twin of
-    // q_shard_manifest — per (batch, cell): total/live/tombstoned row
-    // counts, occupancy in basis points, and the live rows' summed
-    // quantization error (IvfPqIngest's retrain signal, 1e-4-scaled to
-    // a LONG so the group aggregate is an order-independent integer sum
-    // both engines compute exactly — a float mean would hash-drift on
-    // partial-agg order). Batches and tombstones are the deterministic
-    // emulation the oracle replays (vec_id % 4 / % 37): the PLAN is the
-    // store's own compact() occupancy aggregate — one codes-scan join
-    // against a broadcast tombstone set, one codegen'd groupBy — so the
-    // query certifies the auditing face of the live store cross-engine.
-    // At 100 TB: the scan reads (vec_id, cid, qerr)-width columns only,
-    // the tombstone side is broadcast by contract, and the output is
-    // one row per (batch, cell) — operator-dashboard sized.
+    // STORE-HEALTH MANIFEST (r18 verdict #6; generation axis r19 #5):
+    // the vector-store twin of q_shard_manifest — per (gen, batch,
+    // cell): total/live/tombstoned row counts, occupancy in basis
+    // points, the live rows' summed quantization error (IvfPqIngest's
+    // retrain signal, 1e-4-scaled to a LONG so the group aggregate is
+    // an order-independent integer sum both engines compute exactly —
+    // a float mean would hash-drift on partial-agg order), and the
+    // SHADOWED flag: a (gen, batch) whose batch is also present at a
+    // higher generation — the migration crash window the live
+    // manifest() reports. Generations, batches, and tombstones are the
+    // deterministic emulation the oracle replays (vec_id % 8 == 7
+    // plants batch 3 at gen 1 while vec_id % 8 == 3 keeps it at gen 0
+    // — exactly one shadowed (gen, batch) pair; batch = vec_id % 4;
+    // tombstones = vec_id % 37): the PLAN is the store's own compact()
+    // occupancy aggregate — one codes-scan join against a broadcast
+    // tombstone set, one codegen'd groupBy, one dashboard-sized window
+    // for the shadow flag — so the query certifies the FULL audit
+    // schema of the live store cross-engine. At 100 TB: the scan reads
+    // (vec_id, cid, qerr)-width columns only, the tombstone side is
+    // broadcast by contract, the shadow window runs over the
+    // aggregated (gen, batch, cell) rows — operator-dashboard sized.
     "q_store_manifest" -> ((s, d) => {
       val e = vecs(s, d)
       val cents = kmCentroids(e, KmK, KmIters)
       val resid = ivfPqResiduals(e, cents)
         .select(col("vec_id"), col("r").as("v"))
       val cb = pqTrain(resid, PqM, PqKsub, PqIters)
+      val perBatch = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("batch"))
       ivfPqQerr(e, cents, cb)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           round(col("qerr") * 10000).cast("long").as("qerr_s"),
           pmod(col("vec_id"), lit(4)).cast("long").as("batch"),
+          when(pmod(col("vec_id"), lit(8)) === 7, 1L).otherwise(0L)
+            .as("gen"),
           when(pmod(col("vec_id"), lit(37)) === 0, 1L).otherwise(0L)
             .as("is_del"))
-        .groupBy("batch", "cid")
+        .groupBy("gen", "batch", "cid")
         .agg(count(lit(1)).as("total"),
           sum(lit(1L) - col("is_del")).as("live"),
           sum(col("is_del")).as("deleted"),
           sum(when(col("is_del") === 0, col("qerr_s")).otherwise(0L))
             .as("live_qerr_sum_s"))
-        .select(col("batch"), col("cid"), col("total"), col("live"),
-          col("deleted"),
+        .select(col("gen"), col("batch"), col("cid"), col("total"),
+          col("live"), col("deleted"),
           floor(col("live") * lit(10000.0) / col("total")).cast("long")
             .as("occupancy_bp"),
-          col("live_qerr_sum_s"))
-        .orderBy("batch", "cid")
+          col("live_qerr_sum_s"),
+          (col("gen") < max(col("gen")).over(perBatch)).cast("long")
+            .as("shadowed"))
+        .orderBy("gen", "batch", "cid")
     })
   )
 
@@ -2918,8 +2931,11 @@ object SimilarityOps {
     // so the per-row quantization error is min-over-cid summed ascending
     // in m — the exact double ivfPqQerr's loop folds (same entries, same
     // order) — scaled 1e-4 to a BIGINT before grouping so every
-    // aggregate below is integer-exact in both engines. Batch/tombstone
-    // emulation replays the registered query's vec_id % 4 / % 37.
+    // aggregate below is integer-exact in both engines. Generation/
+    // batch/tombstone emulation replays the registered query's
+    // vec_id % 8 == 7 / % 4 / % 37; the shadowed flag is the same
+    // gen < max(gen) OVER (PARTITION BY batch) window over the
+    // aggregated rows.
     "q_store_manifest" ->
       s"""WITH $kmeansCtes,
          rv AS (SELECT e.vec_id,
@@ -2937,18 +2953,25 @@ object SimilarityOps {
          srows AS (SELECT a.vec_id,
              CAST(a.cid AS BIGINT) AS cid,
              CAST(a.vec_id % 4 AS BIGINT) AS batch,
+             CAST(CASE WHEN a.vec_id % 8 = 7 THEN 1 ELSE 0 END AS BIGINT)
+               AS gen,
              CASE WHEN a.vec_id % 37 = 0 THEN 1 ELSE 0 END AS is_del,
              vq.qerr_s AS qerr_s
-           FROM af a JOIN vq ON a.vec_id = vq.vec_id)
-         SELECT batch, cid,
-           count(*) AS total,
-           CAST(sum(1 - is_del) AS BIGINT) AS live,
-           CAST(sum(is_del) AS BIGINT) AS deleted,
-           CAST(floor(sum(1 - is_del) * 10000.0 / count(*)) AS BIGINT)
-             AS occupancy_bp,
-           CAST(sum(CASE WHEN is_del = 0 THEN qerr_s ELSE 0 END) AS BIGINT)
-             AS live_qerr_sum_s
-         FROM srows GROUP BY batch, cid ORDER BY batch, cid""",
+           FROM af a JOIN vq ON a.vec_id = vq.vec_id),
+         g AS (SELECT gen, batch, cid,
+             count(*) AS total,
+             CAST(sum(1 - is_del) AS BIGINT) AS live,
+             CAST(sum(is_del) AS BIGINT) AS deleted,
+             CAST(floor(sum(1 - is_del) * 10000.0 / count(*)) AS BIGINT)
+               AS occupancy_bp,
+             CAST(sum(CASE WHEN is_del = 0 THEN qerr_s ELSE 0 END) AS BIGINT)
+               AS live_qerr_sum_s
+           FROM srows GROUP BY gen, batch, cid)
+         SELECT gen, batch, cid, total, live, deleted, occupancy_bp,
+           live_qerr_sum_s,
+           CAST(gen < max(gen) OVER (PARTITION BY batch) AS BIGINT)
+             AS shadowed
+         FROM g ORDER BY gen, batch, cid""",
 
     // IVFADC shortlist + exact re-rank, fully replayed (r18): the
     // q_ivfpq_encode chain rebuilds cells + residual codes; the probe's
