@@ -87,6 +87,24 @@ import graft.operators.SimilarityOps
   * tombstones afterwards. IvfPqDeleteSpec pins the invariant: a deleted
   * vector appears in NO ADC result, pre- or post-compaction.
   *
+  * ==Self-maintenance==
+  *
+  * [[maintain]] closes the loop unattended: it reads the store's own
+  * qerr bands, flags drifted batches, trains a new generation through
+  * the arming rule, PERSISTS the structures beside the marker
+  * ([[saveGeneration]]/[[loadGeneration]]), publishes, and migrates
+  * flagged-first then bulk — one idempotent call that re-converges
+  * from a crash at any point (IvfPqMaintainSpec).
+  *
+  * ==Batch retrieval==
+  *
+  * [[retrieveBatch]] serves driver-sized probe batches (two physical
+  * strategies, LUT vs one-pass decode); [[retrieveBatchDf]] is the
+  * same decode arithmetic with the probe set as a DATAFRAME — nothing
+  * probe-count-sized ever touches the driver, which is what lets the
+  * corpus itself be the probe set (SemDeDup / knn-graph construction
+  * over the compressed store).
+  *
   * Encoding arithmetic is BIT-IDENTICAL to the batch
   * [[SimilarityOps.ivfPqEncode]] (same CentIndex assign, same residual
   * subtraction, same strict-< argmin), pinned by IvfPqIngestSpec: the
