@@ -1241,6 +1241,11 @@ object SimilarityOps {
           sum(col("is_del")).as("deleted"),
           sum(when(col("is_del") === 0, col("qerr_s")).otherwise(0L))
             .as("live_qerr_sum_s"))
+        // The aggregate output is dashboard-sized by construction
+        // (≤ gens × batches × cells rows) — one partition satisfies the
+        // shadow window's ClusteredDistribution without an exchange, so
+        // the window costs no extra shuffle stage at any store scale.
+        .coalesce(1)
         .select(col("gen"), col("batch"), col("cid"), col("total"),
           col("live"), col("deleted"),
           floor(col("live") * lit(10000.0) / col("total")).cast("long")
