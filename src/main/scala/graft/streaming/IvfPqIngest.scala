@@ -792,10 +792,16 @@ object IvfPqIngest {
     * is priced in, runs the full proven choreography unattended:
     *
     *  1. per-batch ingest-time mean qerr at the latest generation; the
-    *     in-distribution BAND is the median (robust while drifted
-    *     batches are a minority — when they are the majority, every
-    *     batch re-encodes anyway); batches past `driftRatio` × band are
-    *     FLAGGED;
+    *     in-distribution BAND is the median — robust while drifted
+    *     batches are a MINORITY (the takedown/new-domain case this
+    *     loop exists for). When most of the store has drifted, the
+    *     median tracks the new normal and the RATIO signal reads
+    *     quiet — that regime is a whole-distribution shift, detected
+    *     by the band LEVEL rising, and an operator drives it by
+    *     passing `bandOverride` (the known in-distribution band, e.g.
+    *     the previous generation's training-time qerr) so every
+    *     drifted batch flags against the true baseline. Batches past
+    *     `driftRatio` × band are FLAGGED;
     *  2. no flags ⇒ NO-OP (no training, no new generation — the steady
     *     state costs one stats read);
     *  3. else [[trainGeneration]] on the operator-supplied recent
@@ -829,8 +835,11 @@ object IvfPqIngest {
       kmIters: Int = 2,
       pqIters: Int = 2,
       opqSweeps: Int = 2,
-      minDrop: Double = 0.15): MaintainReport = {
+      minDrop: Double = 0.15,
+      bandOverride: Option[Double] = None): MaintainReport = {
     require(driftRatio > 1.0, s"driftRatio must exceed 1: $driftRatio")
+    require(bandOverride.forall(_ > 0),
+      s"bandOverride must be positive: $bandOverride")
     val latest = latestGeneration(spark, indexDir)
     require(latest >= 0,
       s"maintain() on $indexDir: no published generation — ingest first")
@@ -857,7 +866,7 @@ object IvfPqIngest {
       return MaintainReport(latest, None, Nil, armed = false, 0,
         resumed = false, Double.NaN, Double.NaN)
     val sorted = qerrs.values.toSeq.sorted
-    val band = sorted(sorted.size / 2)
+    val band = bandOverride.getOrElse(sorted(sorted.size / 2))
     val worst = qerrs.values.max / band
     val flagged = qerrs.toSeq
       .filter { case (_, q) => q > driftRatio * band }

@@ -236,6 +236,43 @@ class IvfPqMaintainSpec extends AnyFunSuite {
       s"must name the missing sidecar: ${ex.getMessage}")
   }
 
+  test("majority drift: the median band reads quiet; bandOverride flags it") {
+    // When MOST of the store has drifted, the median tracks the new
+    // normal and the ratio signal is structurally quiet — a
+    // whole-distribution shift, not the minority-drift case the median
+    // is for. The operator drives it by passing the known
+    // in-distribution band: every drifted batch then flags.
+    val dir = freshDir("majority")
+    val (boot, batches) = fixture
+    val drifted = batches(2)
+    IvfPqIngest.processBatch(df(boot), 0L, dir, gen0.cents, gen0.cb)
+    // Two MORE drifted batches (ids disjoint) — drift is now 3 of 4.
+    IvfPqIngest.processBatch(df(drifted), 1L, dir, gen0.cents, gen0.cb)
+    IvfPqIngest.processBatch(
+      df(drifted.map { case (id, v) => (id + 10000, v) }), 2L, dir,
+      gen0.cents, gen0.cb)
+    IvfPqIngest.processBatch(
+      df(drifted.map { case (id, v) => (id + 20000, v) }), 3L, dir,
+      gen0.cents, gen0.cb)
+    val corpus = df(boot ++ drifted ++
+      drifted.map { case (id, v) => (id + 10000, v) } ++
+      drifted.map { case (id, v) => (id + 20000, v) })
+    // Median band = the drifted level → quiet → no-op.
+    val quiet = IvfPqIngest.maintain(spark, dir, corpus, df(window), 8, 8, 16)
+    assert(quiet.newGen.isEmpty,
+      s"majority drift must read quiet under the median band: $quiet")
+    // The operator supplies the true in-dist band (the bootstrap
+    // batch's own qerr) → all three drifted batches flag.
+    val inBand = spark.read.parquet(s"$dir/stats")
+      .filter(col("gen") === 0 && col("batch") === 0)
+      .select("mean_qerr").head().getDouble(0)
+    val r = IvfPqIngest.maintain(spark, dir, corpus, df(window), 8, 8, 16,
+      bandOverride = Some(inBand))
+    assert(r.newGen.contains(1) && r.flagged.toSet == Set(1L, 2L, 3L),
+      s"override must flag every drifted batch: $r")
+    assert(r.migrated == 4)
+  }
+
   test("trainGeneration refuses a window whose dim disagrees with the rotation") {
     // r19 advisor: the rotation machinery is pinned at 64 dims; a wider
     // window would silently truncate, a narrower one would throw
