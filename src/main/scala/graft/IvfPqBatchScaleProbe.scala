@@ -153,6 +153,20 @@ object IvfPqBatchScaleProbe {
 
     // ---- DF face at knn-graph scale ------------------------------------
     if (dfProbes > 0) {
+      // Spill-aware shuffle sizing (the retrieveBatchDf scaladoc's
+      // deployment knob): the local sort below the partial top-k
+      // buffers each join-output partition, and the scored-pair volume
+      // is dfProbes × nprobe × (n/nlist) — at 1M probes × 1M corpus
+      // that is 16B pairs, which over the default 32 partitions means
+      // ~50M-row (≈1.5 GB) per-task sorts × 32 concurrent = a heap
+      // cliff (measured: OOM at the 8 GB default). ~10M pairs per
+      // partition keeps every sort spill-friendly.
+      val pairs = dfProbes.toDouble * nprobe * (nVecs.toDouble / nlist)
+      val dfParts = math.max(spark.sparkContext.defaultParallelism,
+        (pairs / 10e6).ceil.toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", dfParts)
+      println(s"[ivfpq-batchscale] shuffle partitions for the DF arm: " +
+        s"$dfParts (${pairs / 1e9} B pairs)")
       // The probe FRAME: never collected, never on the driver.
       val probesDf = mixture(nVecs, nVecs + dfProbes)
         .select(col("vec_id").as("probe_id"), col("v"))

@@ -1500,6 +1500,13 @@ object IvfPqIngest {
     *     the exchange carries ≤ k × probes × partitions rows, never the
     *     scored product.
     *
+    * DEPLOYMENT KNOB: the memory governor is the local sort below the
+    * partial top-k, which buffers one join-output partition of the
+    * scored stream — size `spark.sql.shuffle.partitions` so
+    * probes × nprobe × (rows/nlist) / partitions stays ≲ 10M pairs
+    * (measured: 16B pairs over 32 partitions = ~1.5 GB per-task sorts
+    * and a heap cliff; IvfPqBatchScaleProbe encodes the rule).
+    *
     * Tombstones, shadowed crash-window batches, and mixed
     * rotated/unrotated generations are handled exactly as
     * [[retrieveGens]]. */
