@@ -39,6 +39,15 @@ object IvfPqBatchScaleProbe {
     val dfProbes = args.lift(1).map(_.toInt).getOrElse(100000)
     val seqProbes = args.lift(2).map(_.toInt).getOrElse(1000)
     val delFrac = args.lift(3).map(_.toDouble).getOrElse(0.0)
+    // Frame-chunk size for the DF arm (0 = one pass). The single-pass
+    // shape is RIGHT on a cluster — the partial-top-k sort spills the
+    // scored stream across every executor's local disk — but ONE box
+    // has one disk: 16B pairs × ~44 B/row of sort spill is hundreds of
+    // GB (measured: ENOSPC at 1M×1M on a 79 GB-free box), so a
+    // single-box run processes the probe FRAME in bounded chunks, each
+    // a full retrieveBatchDf call appended to the same result — the
+    // same discipline as the LUT face's probe chunks, at frame level.
+    val dfChunk = args.lift(4).map(_.toInt).getOrElse(0)
     val spark = Sessions.local(appName = "graft-ivfpq-batch-scale-probe")
     import spark.implicits._
 
@@ -161,20 +170,32 @@ object IvfPqBatchScaleProbe {
       // ~50M-row (≈1.5 GB) per-task sorts × 32 concurrent = a heap
       // cliff (measured: OOM at the 8 GB default). ~10M pairs per
       // partition keeps every sort spill-friendly.
-      val pairs = dfProbes.toDouble * nprobe * (nVecs.toDouble / nlist)
+      val chunk = if (dfChunk > 0) dfChunk else dfProbes
+      val pairs = chunk.toDouble * nprobe * (nVecs.toDouble / nlist)
       val dfParts = math.max(spark.sparkContext.defaultParallelism,
         (pairs / 10e6).ceil.toInt)
       spark.conf.set("spark.sql.shuffle.partitions", dfParts)
       println(s"[ivfpq-batchscale] shuffle partitions for the DF arm: " +
-        s"$dfParts (${pairs / 1e9} B pairs)")
+        s"$dfParts (${pairs / 1e9} B pairs per chunk)")
       // The probe FRAME: never collected, never on the driver.
-      val probesDf = mixture(nVecs, nVecs + dfProbes)
-        .select(col("vec_id").as("probe_id"), col("v"))
-      val (outN, dfWall) = timed(s"retrieveBatchDf ($dfProbes probes)") {
-        IvfPqIngest.retrieveBatchDf(spark, dir, gens, probesDf, nprobe, k)
-          .write.mode("overwrite").parquet(s"$dir/knn")
-        spark.read.parquet(s"$dir/knn").count()
+      var dfWall = 0.0
+      var outN = 0L
+      (nVecs until nVecs + dfProbes by chunk.toLong).zipWithIndex.foreach {
+        case (from, ci) =>
+          val until = math.min(from + chunk, nVecs + dfProbes)
+          val probesDf = mixture(from, until)
+            .select(col("vec_id").as("probe_id"), col("v"))
+          val mode = if (ci == 0) "overwrite" else "append"
+          val (n, w) = timed(
+            s"retrieveBatchDf chunk ${ci + 1} (${until - from} probes)") {
+            IvfPqIngest.retrieveBatchDf(spark, dir, gens, probesDf, nprobe, k)
+              .write.mode(mode).parquet(s"$dir/knn")
+            until - from
+          }
+          dfWall += w
+          outN += n * k
       }
+      outN = spark.read.parquet(s"$dir/knn").count()
       require(outN == dfProbes.toLong * k,
         s"expected ${dfProbes.toLong * k} shortlist rows, got $outN")
       println(f"[ivfpq-batchscale] DF face: ${dfProbes / dfWall}%.1f probes/s")
