@@ -45,6 +45,21 @@ object Sessions {
       .config("spark.sql.files.openCostInBytes",
         (8L * 1024 * 1024 / nCores).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE coalescing floor (guide §2.2/§2.5): with the default
+      // parallelismFirst=true Spark coalesces post-shuffle partitions down
+      // to minPartitionSize (1 MB) — correct when stage cost tracks bytes,
+      // wrong for the dedup family's candidate-pair joins, where a ~1 MB
+      // (doc_id, shingle_hash) shuffle fans out into millions of pairs and
+      // the coalesced SINGLE partition serializes the heaviest compute in
+      // the query (q_containment_dedup measured two back-to-back 1-task
+      // 1.35 s stages = 2/3 of its wall; 16-task twin runs in ~0.2 s).
+      // 64 KB keeps genuinely tiny exchanges (CC rounds, dashboard aggs)
+      // coalesced while letting KB-scale-but-compute-heavy stages keep
+      // parallelism. Scale-neutral by construction: any 100 TB exchange is
+      // GBs per partition and never sees either floor. Parameterised for
+      // cluster tuning; the env override keeps the driver bench comparable.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       // Bucketed scans report their sortBy order only under this flag
       // (post-3.0 Spark drops the ordering claim because multi-file
       // buckets would need a merge-read). The engine's bucketed writes go

@@ -95,13 +95,18 @@ object GraphOps {
   def connectedComponentsWithRounds(
       edgesIn: DataFrame, maxRounds: Int = 60): (DataFrame, Int) = {
     val Array(ua, va) = edgesIn.columns.take(2)
+    val sess = edgesIn.sparkSession
     // Canonical working form: strictly big→small, no self-loops, distinct.
-    // Each round MUST truncate lineage, not just cache: the stars union
-    // their input with itself, so the logical plan grows several-fold per
-    // round and a persist-only loop stack-overflows Catalyst within ~8
-    // rounds. localCheckpoint(eager) materializes the round to RDD blocks
-    // and replaces the plan with a LogicalRDD — the canonical Spark shape
-    // for iterative graph algorithms.
+    // Materialized UNDER THE SESSION DEFAULT conf (AQE on): `edgesIn` is
+    // typically an expensive candidate-generation plan (band joins, cell
+    // assignment) whose join planning wants AQE — only the star rounds
+    // below, which operate on the materialized LogicalRDD, run with it
+    // off. Each round MUST truncate lineage, not just cache: the stars
+    // union their input with itself, so the logical plan grows
+    // several-fold per round and a persist-only loop stack-overflows
+    // Catalyst within ~8 rounds. localCheckpoint materializes the round to
+    // RDD blocks and replaces the plan with a LogicalRDD — the canonical
+    // Spark shape for iterative graph algorithms.
     var edges = edgesIn
       .filter(col(ua) =!= col(va))
       .select(greatest(col(ua), col(va)).as("u"),
@@ -109,21 +114,66 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
     var rounds = 0
-    var converged = edges.isEmpty
-    while (!converged && rounds < maxRounds) {
-      rounds += 1
-      // Dedup + flag-merge share ONE shuffle: the round is fixpoint iff no
-      // surviving (u, v) saw any relabelled source row.
-      val next = smallStarRows(largeStarRows(edges))
-        .groupBy("u", "v").agg(max("chg").as("chg"))
-        .localCheckpoint(true)
-      val moved = next.agg(max("chg")).head.getBoolean(0)
-      converged = !moved
-      // The previous round's checkpoint blocks are released by the
-      // ContextCleaner once this Dataset reference drops (Dataset.rdd
-      // would be a NEW derived RDD — unpersisting it is a silent no-op,
-      // and the real block-holder RDD is private to the LogicalRDD node).
-      edges = next.select("u", "v")
+    val nEdges = edges.count() // one tiny job over the cached blocks
+    var converged = nEdges == 0L
+    // Loop execution conf, restored below (the caller's consumption of the
+    // returned labels runs under the session defaults). Two coupled
+    // choices, both from optimization-round measurement (guide §1, §2):
+    //
+    //  - AQE OFF for the rounds: a round is two windows + one aggregate
+    //    over the previous round's materialized blocks — no joins, so
+    //    AQE's real levers (skew-join splitting, join-strategy switching;
+    //    it cannot split window or aggregation partitions) can never fire
+    //    here. What it DID contribute was materializing each round's 3
+    //    exchanges as separately scheduled jobs with a driver re-planning
+    //    gap between them — q_neardup_groups spent 31 jobs / ~2.2 s on a
+    //    graph whose total task time is ~0.3 s. With the static plan plus
+    //    the LAZY per-round checkpoint (eager = false: the fixpoint
+    //    aggregate is the action that materializes the round's blocks) a
+    //    round is ONE job.
+    //  - Loop shuffle partitions DERIVED FROM THE MEASURED EDGE COUNT
+    //    (guide §2.2: scale-adaptive, never a constant), clamped to the
+    //    session setting: ⌈|E| / 4M⌉ keeps round partitions in the
+    //    ~100 MB class at any corpus size, while a fixture-scale graph
+    //    runs its rounds 1-wide — the static-plan equivalent of what AQE
+    //    coalescing chose, without its per-exchange job cascade. The
+    //    session value stays the cap so a cluster's own sizing is never
+    //    exceeded... and never silently under-parallelized either: |E|/4M
+    //    rows per partition is the BOUND per round (star rounds never
+    //    grow the deduped edge set), so a partition can only shrink as
+    //    rounds contract.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = sess.conf.get(aqeKey, "true")
+    val partWas = sess.conf.get(partKey)
+    val loopParts = math.max(1L,
+      math.min(partWas.toLongOption.getOrElse(200L),
+        nEdges / 4000000L + 1L)).toString
+    try {
+      sess.conf.set(aqeKey, "false")
+      sess.conf.set(partKey, loopParts)
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        // Dedup + flag-merge share ONE shuffle: the round is fixpoint iff
+        // no surviving (u, v) saw any relabelled source row.
+        val next = smallStarRows(largeStarRows(edges))
+          .groupBy("u", "v").agg(max("chg").as("chg"))
+          .localCheckpoint(false)
+        // One action per round: computes the round, persists its blocks
+        // (the lazy checkpoint materializes under this job), and folds
+        // the fixpoint probe over them.
+        val moved = next.agg(max("chg")).head.getBoolean(0)
+        converged = !moved
+        // The previous round's checkpoint blocks are released by the
+        // ContextCleaner once this Dataset reference drops (Dataset.rdd
+        // would be a NEW derived RDD — unpersisting it is a silent no-op,
+        // and the real block-holder RDD is private to the LogicalRDD
+        // node).
+        edges = next.select("u", "v")
+      }
+    } finally {
+      sess.conf.set(aqeKey, aqeWas)
+      sess.conf.set(partKey, partWas)
     }
     // No silent caps (round-6 principle): an unconverged edge set means
     // some component is still multi-level and its members would get

@@ -98,17 +98,24 @@ object ScalarOps {
         col("o_orderkey"))
     }),
 
-    // NOT orderedOnce: the output here is corpus-sized (every lineitem row,
-    // 9 columns) while the compute is scan-speed, so caching costs more
-    // than the sampling re-scan it saves (measured 2.3 s plain vs 2.7 s
-    // persisted at sf0.1). orderedOnce pays off when compute per row is
-    // expensive (regex, sha2, HOF folds) or output is much smaller than
-    // input; a cheap wide projection is better left to the double-eval.
+    // SORT-FIRST, PROJECT-AFTER (optimization r21, guide §2.3/§2.4): the
+    // sort keys (l_orderkey, l_linenumber) are plain source columns and a
+    // projection is a map — it preserves the sorted row order — so the
+    // global sort runs on the 6 NARROW source columns and the
+    // transcendental projection is computed exactly ONCE, after the range
+    // exchange, parallel across the sort partitions. The two shapes this
+    // replaces both paid more: a bare projection-then-sort executes the
+    // math TWICE (the range boundary sampling re-runs the child), and
+    // orderedOnce's persist() paid a columnar cache build measured at
+    // 1.9 s single-task at sf0.1 (the scan stage is one row group) plus
+    // output-sized executor memory at any scale. Output rows and order
+    // are IDENTICAL ((l_orderkey, l_linenumber) is the table's unique
+    // key); oracle hash unchanged.
     "q_scalar_math" -> ((s, d) => {
-      // orderedOnce: the child is a map-only scan, so a bare global sort
-      // would execute the whole transcendental projection TWICE (range
-      // boundary sampling + the sort itself — the q_repetition lesson)
-      Tables.orderedOnce(Tables.lineitem(s, d)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           round2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
@@ -117,8 +124,7 @@ object ScalarOps {
           floor(col("l_extendedprice")).as("price_floor"),
           round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
           round(log(col("l_extendedprice")), 4).as("price_ln"),
-          round(pow(col("l_tax") + 1.0, 2), 4).as("tax_sq")),
-        col("l_orderkey"), col("l_linenumber"))
+          round(pow(col("l_tax") + 1.0, 2), 4).as("tax_sq"))
     }),
 
     // Array ops over the 64-dim float embeddings. Elements are cast to

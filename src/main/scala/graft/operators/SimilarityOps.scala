@@ -568,10 +568,19 @@ object SimilarityOps {
       // even within one stage tree.
       val shSets = distinctShingles(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Per-doc set size, in-row like the set itself: no exchange.
-      val sizes = Tables.documents(s, d).select(col("doc_id"),
-        size(array_distinct(call_function("shingle_hashes", col("text"))))
-          .cast("long").as("n_sh"))
+      // Per-doc set size = the persisted frame's per-doc row count (the
+      // explode emits exactly one row per distinct shingle): a map-side-
+      // combined aggregate over CACHED rows. The previous spelling
+      // re-derived it from documents.text — a second (and, via the final
+      // containment join, third) full tokenize-and-hash pass over the
+      // corpus for a number the cached frame already carries (r21
+      // optimization, guide §1.2 "don't compute things twice"). Docs with
+      // zero shingles (< 3 words) drop out of the frame, but they cannot
+      // appear downstream anyway: surv needs n_rep ≥ 1 and the final gate
+      // needs n_inter ≥ 1, both of which imply at least one shingle —
+      // output rows identical, oracle untouched.
+      val sizes = shSets.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"))
       val dfreq = shSets.groupBy("sh").agg(count(lit(1)).as("df"))
       // Only df ≥ 2 ("repeatable") rows matter anywhere downstream: a
       // candidate-generating prefix shingle must reach ANOTHER doc, and a
@@ -1735,8 +1744,48 @@ object SimilarityOps {
     * and a k-row collect for the next broadcast — the canonical scalable
     * iterative shape. An emptied cluster keeps its previous centroid, the
     * same carry rule the oracle's LEFT JOIN + coalesce spells. */
+  /** Runs a quantizer-training body (driver-side collect loop over
+    * map-only scans + fixed-group aggregates) under the conf those jobs
+    * actually want, restoring the session conf after (r21 optimization,
+    * guide §1.2/§2.2):
+    *
+    *  - AQE off: every training action here is scan → partial agg →
+    *    exchange → final agg → collect, with NO join anywhere in the
+    *    plan, so AQE's join levers can't fire; what it did contribute
+    *    was materializing each collect's exchange as a separately
+    *    scheduled job plus a re-optimization gap — measured at 2-3 jobs
+    *    per collect where the static plan needs one (the ivf/pq/kmeans
+    *    family runs 3-11 such collects per query).
+    *  - Reduce partitions = min(session, `groups`), where `groups` is the
+    *    aggregate's EXACT key count (k cells / nSub·ksub codes / Dim gram
+    *    rows — known a priori, scale-independent): partial aggregation
+    *    bounds the reduce input to mapTasks × groups tiny rows, so more
+    *    than `groups` reducers is provably idle capacity AT ANY CORPUS
+    *    SIZE — this is a problem-size derivation, not a local-mode tune.
+    *    The session value stays the cap so a cluster's sizing is never
+    *    exceeded.
+    *
+    * Partial-agg merge order (and hence the last ulp of the sums) is
+    * task-arrival nondeterministic under ANY partition count — the 1e-4
+    * rounding contract on every trained mean absorbs it, unchanged. */
+  private def trainConf[T](s: SparkSession, groups: Int)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val pKey = "spark.sql.shuffle.partitions"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    val pWas = s.conf.get(pKey)
+    try {
+      s.conf.set(aqeKey, "false")
+      s.conf.set(pKey, math.max(1,
+        math.min(pWas.toIntOption.getOrElse(200), groups)).toString)
+      body
+    } finally {
+      s.conf.set(aqeKey, aqeWas)
+      s.conf.set(pKey, pWas)
+    }
+  }
+
   private[graft] def kmCentroids(
-      e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
+      e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = trainConf(e.sparkSession, k) {
     val spark = e.sparkSession
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = e
@@ -1884,7 +1933,7 @@ object SimilarityOps {
     */
   private[graft] def ivfCentroids(
       e: DataFrame, k: Int, iters: Int,
-      forceBrute: Boolean = false): Array[(Int, Array[Double])] = {
+      forceBrute: Boolean = false): Array[(Int, Array[Double])] = trainConf(e.sparkSession, k) {
     val spark = e.sparkSession
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = e
@@ -2256,7 +2305,7 @@ object SimilarityOps {
     * OpqSpec pins it). */
   private[graft] def opqGram(
       e: DataFrame, r0: Array[Array[Double]],
-      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = trainConf(e.sparkSession, Dim) {
     val spark = e.sparkSession
     import spark.implicits._
     val bcR = spark.sparkContext.broadcast(r0)
@@ -2456,7 +2505,7 @@ object SimilarityOps {
     * (the iterative-float family contract — here it only pins determinism
     * across reruns, since no SQL oracle replays PQ). */
   private[graft] def pqTrain(
-      e: DataFrame, nSub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+      e: DataFrame, nSub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = trainConf(e.sparkSession, nSub * ksub) {
     val spark = e.sparkSession
     import spark.implicits._
     val dsub = Dim / nSub
