@@ -60,6 +60,19 @@ object Sessions {
       // cluster tuning; the env override keeps the driver bench comparable.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
+      // Shuffle writer selection (guide §2.1): below this partition-count
+      // threshold Spark uses the bypass-merge writer, which opens one
+      // FILE PER REDUCE PARTITION per map task — at shuffle.partitions =
+      // cores that is 32 file creates per map task for exchanges that
+      // often carry a few KB, and the engine's suite is dominated by such
+      // exchanges (dashboard-sized aggregates, training collects, CC
+      // rounds). 0 always selects the serialized sort writer (one spill
+      // file + index per map task, radix sort on partition ids) — the
+      // writer every ≥200-partition production shuffle uses anyway, so
+      // this aligns local behavior WITH the cluster path rather than away
+      // from it. Env-overridable for A/B.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       // Bucketed scans report their sortBy order only under this flag
       // (post-3.0 Spark drops the ordering claim because multi-file
       // buckets would need a merge-read). The engine's bucketed writes go

@@ -293,14 +293,21 @@ object TextOps {
     // passes, so its lifetime is this call (q_winsorize sf0.1 floor:
     // 2.69 → 2.32 s from this alone).
     val in = df.persist()
-    val ranged =
-      try in
-        .repartitionByRange(order: _*)
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true)
+    // LAZY checkpoint (r21 optimization): the per-partition-totals collect
+    // right below is the action that materializes the blocks, so the
+    // range pass and the totals pass share ONE job instead of an eager
+    // materialize job plus a collect job. The eager-materialization
+    // guarantee the scaladoc relies on is unchanged — the blocks exist
+    // (and the pid→offset map is pinned to them) before offsets are
+    // computed, and every later consumer reads the same blocks.
+    val ranged = in
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val partTotals =
+      try ranged.groupBy("__pid").agg(sum(valueCol).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       finally in.unpersist()
-    val partTotals = ranged.groupBy("__pid").agg(sum(valueCol).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
     val offsets = partTotals.map(_._1)
       .zip(partTotals.scanLeft(0L)(_ + _._2).dropRight(1))
     val offCol =
