@@ -186,14 +186,15 @@ object IvfPqBatchScaleProbe {
           val probesDf = mixture(from, until)
             .select(col("vec_id").as("probe_id"), col("v"))
           val mode = if (ci == 0) "overwrite" else "append"
-          val (n, w) = timed(
+          // row count comes from the post-loop parquet count (the old
+          // in-loop accumulation was a dead store — r20 advice #5)
+          val (_, w) = timed(
             s"retrieveBatchDf chunk ${ci + 1} (${until - from} probes)") {
             IvfPqIngest.retrieveBatchDf(spark, dir, gens, probesDf, nprobe, k)
               .write.mode(mode).parquet(s"$dir/knn")
             until - from
           }
           dfWall += w
-          outN += n * k
       }
       outN = spark.read.parquet(s"$dir/knn").count()
       require(outN == dfProbes.toLong * k,

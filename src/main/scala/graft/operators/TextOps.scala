@@ -99,7 +99,18 @@ object TextOps {
     // answers -1 past the bound instead of finishing an exact distance
     // nobody keeps; kept pairs' distances are exact either way, so the
     // oracle (plain levenshtein + <= 20 in DuckDB) sees identical rows.
-    a.join(b, col("al") === col("bl") && col("ab") === col("bb")
+    // SHUFFLE_HASH, not the planner's local-size broadcast pick (r21
+    // optimization, guide §3.1 "pick the strategy deliberately"): this IS
+    // the documented scale shape — the corpus shuffles its (lang, blk)
+    // block key + 80-char key and blocks meet as equi-join buckets; at
+    // 100 TB neither side broadcasts. Locally the broadcast plan also
+    // placed the quadratic Levenshtein DP INSIDE the probe-side SCAN
+    // stage, whose parallelism is the file-split count (the single-row-
+    // group fixture runs it ~1-wide, measured as two ~950 ms scan-stage
+    // jobs); post-exchange it runs at the session's shuffle width. Block
+    // membership is capped at FuzzyMaxBlock, so per-key build sides are
+    // bounded — the SHJ OOM caveat cannot bite.
+    a.hint("shuffle_hash").join(b, col("al") === col("bl") && col("ab") === col("bb")
         && col("doc_a") < col("doc_b")
         && abs(length(col("ka")) - length(col("kb"))) <= 20)
       .select(col("doc_a"), col("doc_b"),

@@ -749,8 +749,16 @@ object IvfPqIngest {
       oos.writeObject(s)
       oos.flush()
     } finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(tmp, dest), s"could not publish structures $dest")
+    // Atomic replace (r20 advice #2): delete-then-rename left a window
+    // with NO _structs_g file — a concurrent maintain() resume would
+    // throw the misleading "rollout begun outside maintain()" error, and
+    // a crash inside the window lost the sidecar until an operator
+    // re-saved. FileContext.rename with OVERWRITE swaps tmp→dest in one
+    // namesystem op on HDFS-class filesystems (best-effort non-atomic on
+    // raw local FS, same caveat as the marker publish).
+    org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Loads generation `gen`'s persisted structures, verified against
@@ -1482,10 +1490,15 @@ object IvfPqIngest {
     *     centroids + rotation ride ONE broadcast) emits the DISPATCH
     *     frame (probe_id, gen, cid, pg) — the probe's per-generation
     *     rotated vector and its nprobe probed cells, ~dim·8 B × nprobe
-    *     × generations per probe, distributed, never collected;
+    *     × generations per probe, distributed, never collected. The
+    *     probe frame is evaluated ONCE (persisted for the pass, then
+    *     released) and the dispatch frame is locally checkpointed, so
+    *     an expensive — or nondeterministic — probe plan is computed
+    *     exactly once and every downstream consumer sees the same rows
+    *     (r20 advice #4);
     *  2. the codes scan partition-prunes to the UNION of probed cells —
-    *     collected from a pg-free replay of pass 1, driver-bounded by
-    *     generations × nlist ints REGARDLESS of probe count (at
+    *     a distinct over the checkpointed dispatch frame, driver-bounded
+    *     by generations × nlist ints REGARDLESS of probe count (at
     *     knn-graph scale every cell is probed and the filter is a
     *     no-op, which is exactly when pruning stops mattering);
     *  3. codes ⋈ dispatch ON (gen, cid) — a shuffle join (the dispatch
@@ -1536,6 +1549,14 @@ object IvfPqIngest {
     import spark.implicits._
     val p = probes.select(col("probe_id").cast("long").as("probe_id"),
       col("v").cast("array<double>").as("v"))
+      // The probe frame may be an expensive (and possibly
+      // nondeterministic: sample(), rand-derived) upstream plan — the
+      // SemDeDup corpus-as-probes shape. It is evaluated ONCE into this
+      // cache (r20 verdict "what's wrong" #1 / advice #4): the duplicate
+      // check populates it, the dispatch pass reads it, and everything
+      // downstream reads the CHECKPOINTED dispatch, so the cell prune can
+      // never disagree with the rows the join actually scores.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Duplicate probe ids would score each candidate once per duplicate
     // (the Seq face refuses them too); one aggregate over the probe
     // frame is noise next to the retrieval itself.
@@ -1548,20 +1569,33 @@ object IvfPqIngest {
     // reclaims them (unlike encodeFrame's per-micro-batch loop, this is
     // a one-shot call).
     val bcAssign = sc.broadcast(gens.map { case (g, s) => g -> (s.cents, s.rot) })
-    def dispatchRows(withPg: Boolean) = p.as[(Long, Array[Double])]
+    // ONE dispatch pass (was: a pg-free replay for the cell union plus a
+    // second full pass for the join — the per-probe nprobe argmax over
+    // nlist cells ran twice, and an expensive unpersisted probe plan
+    // recomputed wholesale). localCheckpoint truncates the lineage, so
+    // the cell-union collect below materializes the blocks and the
+    // dispatch join reads the SAME rows; the blocks are leased to the
+    // returned frame like the broadcasts (ContextCleaner reclaims them
+    // when the caller drops it).
+    val dispatch = p.as[(Long, Array[Double])]
       .mapPartitions { it =>
         val gm = bcAssign.value
         it.flatMap { case (pid, pv) =>
           gm.iterator.flatMap { case (g, (cents, rot)) =>
             val pg = rot.map(rotated(_, pv)).getOrElse(pv)
             SimilarityOps.ivfPqProbedCells(cents, pg, nprobe).map {
-              case (cid, _) => (pid, g, cid, if (withPg) pg else Array.empty[Double])
+              case (cid, _) => (pid, g, cid, pg)
             }
           }
         }
       }
-    val cellSet = dispatchRows(withPg = false)
-      .map { case (_, g, cid, _) => (g, cid) }.distinct().collect()
+      .toDF("probe_id", "gen", "cid", "pg")
+      .localCheckpoint(false)
+    val cellSet = dispatch.select(col("gen"), col("cid")).distinct()
+      .as[(Int, Int)].collect()
+    // dispatch is materialized and lineage-truncated past this point; the
+    // probe cache has served both its consumers.
+    p.unpersist()
     val prune = gens.keySet.toSeq.sorted.map { g =>
       val cids = cellSet.collect { case (`g`, cid) => cid }.toSeq
       col("gen") === g && col("cid").isin(cids: _*)
@@ -1575,8 +1609,6 @@ object IvfPqIngest {
       case Some(d) => scanned.join(broadcast(d), Seq("vec_id"), "left_anti")
       case None => scanned
     }
-    val dispatch = dispatchRows(withPg = true)
-      .toDF("probe_id", "gen", "cid", "pg")
     val bcCents = sc.broadcast(gens.map { case (g, s) => g -> s.cents.toMap })
     val bcBooks = sc.broadcast(gens.map { case (g, s) => g -> s.cb })
     val perProbe = org.apache.spark.sql.expressions.Window
