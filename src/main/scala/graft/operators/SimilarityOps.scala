@@ -605,7 +605,20 @@ object SimilarityOps {
       // because it handed df=1's prefix slots to pairable shingles; the
       // u-offset is what makes the cut exact rather than a superset.)
       val nRep = rep.groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
-      val surv = nRep.join(sizes, "doc_id")
+      // ONE persisted doc-level metadata frame: (n_sh, n_rep) is consumed
+      // by THREE pair-level stages (surv, the PPJoin length filter, the
+      // final gate), and without the persist each consumer re-runs the
+      // corpus-scale aggregate over the cached shingle frames — measured
+      // at the 1M-doc probe, the unpersisted length-filter joins cost
+      // ~5 s of re-aggregation for a frame of n_docs × 24 B rows. The
+      // left join keeps the same doc set as `sizes` (all-df=1 docs get
+      // n_rep = 0 and fail u < p exactly as the old inner-join surv
+      // dropped them).
+      val docMeta = sizes.join(nRep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_rep"), lit(0L)).as("n_rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val surv = docMeta
         .withColumn("p", expr("n_sh div 10") + 1)
         .withColumn("u", col("n_sh") - col("n_rep"))
         .filter(col("u") < col("p"))
@@ -621,7 +634,27 @@ object SimilarityOps {
         .select(col("x.doc_id").as("doc_contained"),
           col("y.doc_id").as("doc_container"))
         .distinct()
-      val inter = cand
+      // PPJoin length filter (Xiao et al. WWW'08 §3.1), exact by the same
+      // upper-bound argument as the prefix itself: every shared shingle
+      // has df ≥ 2, so A∩B ⊆ rep(B) and n_inter ≤ n_rep_b — a pair with
+      // n_rep_b·10 < n_sh_a·9 fails the final gate no matter what the
+      // intersection join counts, so dropping it here cannot change the
+      // output. (The x side needs no twin filter: surv's u < p already
+      // implies n_rep_a ≥ ⌈0.9·n_sh_a⌉.) Two doc-level metadata joins on
+      // the DEDUPED pair set prune the verify fan-out BEFORE its
+      // (container, sh) exchange — measured by ContainmentPruneProbe:
+      // sf0.1 fixture 133k → 81k pairs (−38.9%), intersection fan-out
+      // 8.38M → 4.39M rows (−47.6%); 1M-doc probe corpus −5.5%/−5.6%
+      // (bounded upside on sparse corpora, never negative beyond the
+      // pair-level join itself).
+      val candFit = cand
+        .join(docMeta.select(col("doc_id").as("doc_container"),
+          col("n_rep").as("n_rep_b")), "doc_container")
+        .join(docMeta.select(col("doc_id").as("doc_contained"),
+          col("n_sh").as("n_sh_a")), "doc_contained")
+        .filter(col("n_rep_b") * 10 >= col("n_sh_a") * 9)
+        .select("doc_contained", "doc_container")
+      val inter = candFit
         .join(rep.as("sa"), col("doc_contained") === col("sa.doc_id"))
         .join(rep.as("sb"),
           col("doc_container") === col("sb.doc_id") &&
@@ -629,8 +662,8 @@ object SimilarityOps {
         .groupBy("doc_contained", "doc_container")
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_contained"),
-          "doc_contained")
+        .join(docMeta.select(col("doc_id").as("doc_contained"),
+          col("n_sh")), "doc_contained")
         .filter(col("n_inter") * 10 >= col("n_sh") * 9)
         .select(col("doc_contained"), col("doc_container"),
           (round(col("n_inter") / col("n_sh") * 10000) / 10000)

@@ -242,6 +242,45 @@ class SimilaritySpec extends AnyFunSuite {
       "slice-in-page pair visible to Jaccard — planted case is wrong")
   }
 
+  test("containment length filter is output-invariant on a template-heavy " +
+      "corpus (many candidates on both sides of the prune boundary)") {
+    import spark.implicits._
+    // One 100-word template plus 20 overlapping 15-word slices of it.
+    // Exercises every population the PPJoin length filter partitions:
+    //  - slice→template: true containment 1.0, survives filter and gate;
+    //  - template→slice: the template IS a surv candidate (its last 9
+    //    shingles are df=1, so u=9 < p=10, and its prefix therefore holds
+    //    exactly one df≥2 shingle — shared with slices), and every such
+    //    pair is LENGTH-PRUNED (slice rep-count 13 ≪ 0.9·98);
+    //  - slice→slice: adjacent slices share 9 of 13 shingles — candidates
+    //    that SURVIVE the filter (equal sizes) but fail the 0.9 gate in
+    //    the intersection join, pinning the verify path.
+    // The serial all-pairs model is ground truth: a wrongly-pruned pair
+    // shows up as a missing key.
+    val words = (1 to 100).map(i => s"t$i")
+    val docs = (0 until 20).map { k =>
+      (100L + k, words.slice(k * 4, k * 4 + 15).mkString(" "))
+    } :+ (1L -> words.mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lenf").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.SimilarityOps
+      .queries("q_containment_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val model = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b && sa.nonEmpty
+      inter = (sa & sb).size if inter * 10 >= sa.size * 9
+    } yield (a, b) -> math.round(inter.toDouble / sa.size * 10000) / 10000.0)
+      .toMap
+    assert(got == model, s"got=${got.keySet}\nmodel=${model.keySet}")
+    // the planted structure actually exercised both populations
+    assert(model.keySet.forall(_._2 == 1L) && model.size == 20,
+      s"expected exactly the 20 slice→template hits, got ${model.keySet}")
+  }
+
   test("incremental dedup drops only batch docs that duplicate the corpus") {
     import spark.implicits._
     // corpus = doc_id < 250, batch = doc_id ≥ 250 (the query's contract).
