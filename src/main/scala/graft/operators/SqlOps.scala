@@ -14,10 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object SqlOps {
 
-  /** Register every fixture table as a temp view for SQL-text queries. */
-  def registerViews(s: SparkSession, d: String): Unit = {
-    Tables.names.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
-    Tables.events(s, d).createOrReplaceTempView("events")
+  /** Register fixture tables as temp views for SQL-text queries. Each
+    * `spark.read.parquet` costs a schema-inference job (~20 ms, measured:
+    * ten 1-task jobs ahead of q_sql_lateral_top1's first real stage), so
+    * queries pass exactly the tables their SQL text references — an
+    * r21 optimization (guide §1.2: don't compute what you throw away);
+    * the no-arg form keeps the register-everything behavior for harness
+    * callers. View registration is metadata-only and changes no plan. */
+  def registerViews(s: SparkSession, d: String,
+      only: Seq[String] = Seq.empty): Unit = {
+    val wanted = if (only.isEmpty) Tables.names else only
+    wanted.filterNot(_ == "events")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    if (only.isEmpty || only.contains("events"))
+      Tables.events(s, d).createOrReplaceTempView("events")
   }
 
   val queries: Map[String, Q] = Map(
@@ -26,7 +36,7 @@ object SqlOps {
     // SQL entry point. Plan is identical to the DSL form: broadcast/SMJ
     // joins + partial aggregation + TakeOrderedAndProject for the LIMIT.
     "q_sql_revenue" -> ((s, d) => {
-      registerViews(s, d)
+      registerViews(s, d, Seq("customer", "orders", "lineitem"))
       s.sql("""
         SELECT o_orderkey,
                round(sum(l_extendedprice * (1.0 - l_discount)) * 100) / 100
@@ -50,7 +60,7 @@ object SqlOps {
     // the same shape as GraphOps' star contraction. Only the integer-
     // division spelling differs per engine (div vs //).
     "q_sql_org_depth" -> ((s, d) => {
-      registerViews(s, d)
+      registerViews(s, d, Seq("nation"))
       s.sql("""
         WITH RECURSIVE up(node, anc, depth) AS (
           SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
@@ -70,7 +80,7 @@ object SqlOps {
     // the shape stays distributed at any fact size. Same SQL text runs on
     // DuckDB as the oracle.
     "q_sql_lateral_top1" -> ((s, d) => {
-      registerViews(s, d)
+      registerViews(s, d, Seq("customer", "orders"))
       s.sql("""
         SELECT c_custkey, o.o_orderkey, o.price
         FROM customer c,
