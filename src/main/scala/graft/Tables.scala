@@ -19,8 +19,37 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session schema catalog (r21): `spark.read.parquet` re-infers the
+    * schema on EVERY call by reading footers in a scheduled 1-task job
+    * (~20-25 ms measured) — a pure fixed cost paid 1-3× per query build,
+    * every pass. Production engines put exactly this metadata in a catalog
+    * (HMS, Iceberg manifests) so reads don't touch footers; this map is
+    * that layer for the path-addressed fixtures. METADATA ONLY — no rows,
+    * no file listings, no query results are cached: the scan lists and
+    * reads parquet at every execution, so every bench/oracle invocation
+    * still computes from the inputs. Keyed per SparkSession (weakly — a
+    * stopped session's entries are collectable) because a schema belongs
+    * to the session whose confs inferred it (e.g. the nanosAsLong branch
+    * below). A path rewritten with a DIFFERENT schema inside one session
+    * would read through stale metadata — fixture dirs are immutable for a
+    * session's lifetime and every spec writes to a fresh temp dir, so the
+    * corner is unreachable; it would surface as a loud analysis/read
+    * error, not silent rows. */
+  private val schemaCatalog =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[
+        String, org.apache.spark.sql.types.StructType]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val perSession = schemaCatalog.synchronized {
+      schemaCatalog.computeIfAbsent(
+        spark, _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    val schema =
+      perSession.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Materialize-then-sort, for queries whose final deterministic
     * `orderBy` sits on a NARROW (shuffle-free) child. A global sort plans a

@@ -177,6 +177,25 @@ class FixtureSchemaCanarySpec extends AnyFunSuite {
       assert(ev.get(c._1).contains(c._2), s"events surface drifted at $c: $ev")
   }
 
+  test("schema-catalog read is indistinguishable from a plain inferred " +
+      "read on every fixture table") {
+    // Tables.table serves reads through a per-session schema catalog
+    // (r21: skips the per-call footer-inference job). The contract pinned
+    // here: the catalogued read's schema — names, types, NULLABILITY —
+    // and rows are identical to a fresh spark.read.parquet inference of
+    // the same path, for every fixture table, on repeated calls.
+    for (t <- Tables.names) {
+      val path = s"${TestSpark.sf}/$t.parquet"
+      val plain = spark.read.parquet(path)
+      val viaCatalog = Tables.table(spark, TestSpark.sf, t)
+      assert(viaCatalog.schema == plain.schema,
+        s"$t: catalog schema ${viaCatalog.schema} != inferred ${plain.schema}")
+      val again = Tables.table(spark, TestSpark.sf, t)
+      assert(again.schema == plain.schema, s"$t drifted on second read")
+      assert(viaCatalog.count() == plain.count(), s"$t row count drifted")
+    }
+  }
+
   test("real fixture loads and is micro-exact between ts and ts_ns") {
     val df = Tables.events(spark, TestSpark.sf)
       .select(expr("sum(case when unix_micros(ts) * 1000 != ts_ns - pmod(ts_ns, 1000) then 1 else 0 end)").as("bad"),
