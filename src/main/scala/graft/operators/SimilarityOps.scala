@@ -939,7 +939,7 @@ object SimilarityOps {
       val planes = AnnPlanes.planes // Dim × 8, fixed seed
       val e = vecs(s, d)
       def sketchBit(m: Int): Column = {
-        val plane = array(planes(m).map(lit): _*)
+        val plane = typedLit(planes(m).toSeq)
         when(dot(col("v"), plane) > 0, shiftleft(lit(1), m)).otherwise(0)
       }
       val sketched = e.select(col("vec_id"), col("v"),
@@ -1451,9 +1451,14 @@ object SimilarityOps {
     * the doubles — and therefore every argmin — are bit-identical. */
   private def kmScores(cents: Array[(Int, Array[Double])]): Column = {
     val vv = dot(col("v"), col("v"))
+    // typedLit, not array(c.map(lit)): the values (and the constant-folded
+    // runtime Literal) are identical, but the element-wise spelling hands
+    // Catalyst k × Dim expression nodes PER PLAN — and the training loop
+    // rebuilds this plan every Lloyd's iteration, so analysis time was a
+    // measurable slice of each collect's driver gap (r21).
     array(cents.map { case (_, c) =>
-      val ca = array(c.map(lit): _*)
-      vv - lit(2d) * dot(col("v"), ca) + lit(c.map(x => x * x).sum)
+      vv - lit(2d) * dot(col("v"), typedLit(c.toSeq)) +
+        lit(c.map(x => x * x).sum)
     }: _*)
   }
 
@@ -1863,10 +1868,12 @@ object SimilarityOps {
     // copy of the whole k×Dim literal under every score node — a
     // quadratic Column tree whose driver-side conversion OOMed at
     // nlist=1024 (round-16 ScaleProbe finding).
-    val cidLit = array(cents.map { case (cid, _) => lit(cid) }: _*)
+    // typedLit per centroid (and for the cid lookup): same constant-folded
+    // values, one Catalyst node instead of Dim — see kmScores (r21).
+    val cidLit = typedLit(cents.map(_._1).toSeq)
     e.select(col("vec_id"), col("v"),
         array((0 until k).map(i =>
-          dot(col("v"), array(cents(i)._2.map(lit): _*))): _*).as("scores"))
+          dot(col("v"), typedLit(cents(i)._2.toSeq))): _*).as("scores"))
       .select(col("vec_id"), col("v"),
         element_at(cidLit,
           array_position(col("scores"), array_max(col("scores"))).cast("int"))
@@ -3482,7 +3489,7 @@ object AnnPlanes {
     import org.apache.spark.sql.functions._
     val ps = planesFor(nPlanes)
     (0 until nPlanes).map { m =>
-      val plane = array(ps(m).map(lit): _*)
+      val plane = typedLit(ps(m).toSeq)
       when(call_function("dot_product", v, plane) > 0, shiftleft(lit(1L), m))
         .otherwise(0L)
     }.reduce(_ + _)
