@@ -65,6 +65,37 @@ object Bench {
   private[graft] def drifted(ref: Double, cur: Double): Boolean =
     cur > 1.3 * ref && cur - ref > 0.2
 
+  /** Single-thread CPU calibration (seconds for a fixed deterministic LCG
+    * loop, min of 3) — the box-era tag r21's verdict asked for (what's
+    * wrong #4): BENCH_FLOORS.jsonl had accumulated floors from boxes that
+    * differ ~1.3× in single-core speed, making floor_drift flags
+    * uninterpretable. Each full run now records its own calibration, and
+    * [[readFloorHistory]]-side filtering (see [[sameEra]]) windows the
+    * drift reference to SAME-ERA lines only. Measurement bookkeeping
+    * only: the timed region, per-query methodology and output contract
+    * are untouched — this runs once, before any table warm-up. */
+  private[graft] def boxCal(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0L
+      var i = 0L
+      while (i < 50000000L) { h = h * 6364136223846793005L + i; i += 1 }
+      if (h == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm-up
+    Seq(once(), once(), once()).min
+  }
+
+  /** Same box era = single-core calibration within ±25% (the observed
+    * inter-era gap is ~1.3×; intra-era run-to-run jitter is a few %).
+    * History lines with no calibration (pre-r22) never match — that IS
+    * the requested re-base: the first calibrated run starts a fresh
+    * floor window, and the history self-maintains from there. */
+  private[graft] def sameEra(histCal: Option[Double], curCal: Double): Boolean =
+    histCal.exists(h => h > 0 && curCal > 0 &&
+      math.max(h, curCal) / math.min(h, curCal) <= 1.25)
+
   /** May this run's floors enter BENCH_FLOORS.jsonl? An idle interleaved
     * run posts low-single-digit contended counts; the driver's poisoned
     * r16 run had 49/118. The gate is 15% of the suite, floored at 3 so
@@ -81,6 +112,9 @@ object Bench {
     // the artifact, not a bare -1 — round 11's fixture-schema break erased
     // 21 rows with zero diagnosis because -1 carries none.
     val errors = scala.collection.mutable.Map.empty[String, String]
+
+    // Box-era calibration, before any Spark work (see [[boxCal]]).
+    val cal = boxCal()
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache() // persisted subtrees must not carry over
@@ -209,7 +243,8 @@ object Bench {
           val n = mapper.readTree(l)
           val recSf = Option(n.get("sf")).map(_.asText()).getOrElse("")
           val recCpus = Option(n.get("cpus")).map(_.asText()).getOrElse("")
-          if (recSf == sfDir && recCpus == cpus) {
+          val recCal = Option(n.get("box_cal")).map(_.asDouble())
+          if (recSf == sfDir && recCpus == cpus && sameEra(recCal, cal)) {
             val qm = n.get("queries_min")
             if (qm != null) qm.properties().asScala.foreach { e =>
               val (q, v) = (e.getKey, e.getValue.asDouble())
@@ -373,7 +408,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"value_min":${ms(totalMin)},"unit":"sec","queries":$qs,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax,"floor_prev":$floorPrevJson,"floor_best":$floorBestJson,"floor_drift":$floorDriftJson,"fixtures":${fixtureStats()}}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"spread":$spread,"contended":$contended,"n_errors":${errors.size},"errors":$errorsFull,"runs_per_query":3,"sf":"$sfDir","cpus":$cpus,"box_cal":${ms(cal)},"pipeline_rows_per_sec":$mps,"pipeline_rows_per_sec_max":$mpsMax,"floor_prev":$floorPrevJson,"floor_best":$floorBestJson,"floor_drift":$floorDriftJson,"fixtures":${fixtureStats()}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // Self-maintaining floor history: FULL runs append their mins (the
@@ -390,7 +425,7 @@ object Bench {
     if (args.isEmpty && contendedGate) {
       val stamp = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
       val histLine =
-        s"""{"round":"$stamp","sf":"$sfDir","cpus":$cpus,"n_contended":${contendedQs.size},"total_min":$totalMin,"queries_min":$mins}"""
+        s"""{"round":"$stamp","sf":"$sfDir","cpus":$cpus,"box_cal":${ms(cal)},"n_contended":${contendedQs.size},"total_min":$totalMin,"queries_min":$mins}"""
       Files.writeString(Paths.get("BENCH_FLOORS.jsonl"), histLine + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

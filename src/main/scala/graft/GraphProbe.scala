@@ -33,12 +33,23 @@ object GraphProbe {
 
     def probe(name: String)(edges: org.apache.spark.sql.DataFrame)(
         validate: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      // localFinishMaxEdges = 0: this probe exists to exercise the
+      // DISTRIBUTED round machinery at adversarial shapes — the one-task
+      // union-find finish would short-circuit every shape below.
       val t0 = System.nanoTime()
-      val (labels, rounds) = GraphOps.connectedComponentsWithRounds(edges)
+      val (labels, rounds) = GraphOps.connectedComponentsWithRounds(
+        edges, localFinishMaxEdges = 0L)
       val n = labels.count()
       val secs = (System.nanoTime() - t0) / 1e9
       validate(labels)
-      println(f"[graph-probe] $name%-28s $n%9d nodes  $rounds%2d rounds  $secs%7.2f s")
+      // Parity leg: the default path (union-find local finish at this
+      // scale) must produce the identical labelling.
+      val t1 = System.nanoTime()
+      val (lf, _) = GraphOps.connectedComponentsWithRounds(edges)
+      val diff = lf.unionAll(labels).except(lf.intersect(labels)).count()
+      val secsLf = (System.nanoTime() - t1) / 1e9
+      assert(diff == 0, s"$name: local-finish labels differ ($diff rows)")
+      println(f"[graph-probe] $name%-28s $n%9d nodes  $rounds%2d rounds  $secs%7.2f s  (local-finish parity ok, $secsLf%7.2f s)")
     }
 
     // 1) the min-label killer: a single chain, diameter = chainLen - 1

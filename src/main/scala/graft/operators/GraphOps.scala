@@ -1,8 +1,12 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components via alternating large-star/small-star
   * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -89,112 +93,44 @@ object GraphOps {
   def connectedComponents(edgesIn: DataFrame): DataFrame =
     connectedComponentsWithRounds(edgesIn)._1
 
+  /** Edge-count bound under which the RDD path finishes a component
+    * computation in ONE executor task (min-root union-find) instead of
+    * distributed star rounds. 4M edges is the same ~100 MB-class
+    * partition bound the loop derives its shuffle width from: a graph at
+    * or under it would run its rounds 1-wide anyway, so the distributed
+    * form degenerates to one task per stage PLUS a driver barrier per
+    * round — strictly worse than one task total. Env-overridable for
+    * cluster tuning; 0 forces the distributed loop (GraphProbe uses this
+    * to exercise the round machinery at probe scale). */
+  private[graft] val LocalFinishMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES")
+      .flatMap(_.toLongOption).getOrElse(4000000L)
+
   /** As [[connectedComponents]], also returning the number of star rounds
     * it took to converge (exposed so tests can assert the O(log n) bound —
     * the round-6 defect was exactly an unbounded round count). */
   def connectedComponentsWithRounds(
-      edgesIn: DataFrame, maxRounds: Int = 60): (DataFrame, Int) = {
+      edgesIn: DataFrame, maxRounds: Int = 60,
+      localFinishMaxEdges: Long = LocalFinishMaxEdges): (DataFrame, Int) = {
     val Array(ua, va) = edgesIn.columns.take(2)
-    val sess = edgesIn.sparkSession
     // Canonical working form: strictly big→small, no self-loops, distinct.
     // Materialized UNDER THE SESSION DEFAULT conf (AQE on): `edgesIn` is
     // typically an expensive candidate-generation plan (band joins, cell
-    // assignment) whose join planning wants AQE — only the star rounds
-    // below, which operate on the materialized LogicalRDD, run with it
-    // off. Each round MUST truncate lineage, not just cache: the stars
-    // union their input with itself, so the logical plan grows
-    // several-fold per round and a persist-only loop stack-overflows
-    // Catalyst within ~8 rounds. localCheckpoint materializes the round to
-    // RDD blocks and replaces the plan with a LogicalRDD — the canonical
-    // Spark shape for iterative graph algorithms.
-    var edges = edgesIn
+    // assignment) whose join planning wants AQE — only the star rounds,
+    // which operate on the materialized blocks, bypass it.
+    val canon = edgesIn
       .filter(col(ua) =!= col(va))
       .select(greatest(col(ua), col(va)).as("u"),
         least(col(ua), col(va)).as("v"))
       .distinct()
-      .localCheckpoint(true)
-    var rounds = 0
-    val nEdges = edges.count() // one tiny job over the cached blocks
-    var converged = nEdges == 0L
-    // Loop execution conf, restored below (the caller's consumption of the
-    // returned labels runs under the session defaults). Two coupled
-    // choices, both from optimization-round measurement (guide §1, §2):
-    //
-    //  - AQE OFF for the rounds: a round is two windows + one aggregate
-    //    over the previous round's materialized blocks — no joins, so
-    //    AQE's real levers (skew-join splitting, join-strategy switching;
-    //    it cannot split window or aggregation partitions) can never fire
-    //    here. What it DID contribute was materializing each round's 3
-    //    exchanges as separately scheduled jobs with a driver re-planning
-    //    gap between them — q_neardup_groups spent 31 jobs / ~2.2 s on a
-    //    graph whose total task time is ~0.3 s. With the static plan plus
-    //    the LAZY per-round checkpoint (eager = false: the fixpoint
-    //    aggregate is the action that materializes the round's blocks) a
-    //    round is ONE job.
-    //  - Loop shuffle partitions DERIVED FROM THE MEASURED EDGE COUNT
-    //    (guide §2.2: scale-adaptive, never a constant), clamped to the
-    //    session setting: ⌈|E| / 4M⌉ keeps round partitions in the
-    //    ~100 MB class at any corpus size, while a fixture-scale graph
-    //    runs its rounds 1-wide — the static-plan equivalent of what AQE
-    //    coalescing chose, without its per-exchange job cascade. The
-    //    session value stays the cap so a cluster's own sizing is never
-    //    exceeded... and never silently under-parallelized either: |E|/4M
-    //    rows per partition is the BOUND per round (star rounds never
-    //    grow the deduped edge set), so a partition can only shrink as
-    //    rounds contract.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val aqeWas = sess.conf.get(aqeKey, "true")
-    val partWas = sess.conf.get(partKey)
-    val loopParts = math.max(1L,
-      math.min(partWas.toLongOption.getOrElse(200L),
-        nEdges / 4000000L + 1L)).toString
-    try {
-      sess.conf.set(aqeKey, "false")
-      sess.conf.set(partKey, loopParts)
-      while (!converged && rounds < maxRounds) {
-        rounds += 1
-        // Dedup + flag-merge share ONE shuffle: the round is fixpoint iff
-        // no surviving (u, v) saw any relabelled source row.
-        val next = smallStarRows(largeStarRows(edges))
-          .groupBy("u", "v").agg(max("chg").as("chg"))
-          .localCheckpoint(false)
-        // One action per round: computes the round, persists its blocks
-        // (the lazy checkpoint materializes under this job), and folds
-        // the fixpoint probe over them.
-        val moved = next.agg(max("chg")).head.getBoolean(0)
-        converged = !moved
-        // The previous round's checkpoint blocks are released by the
-        // ContextCleaner once this Dataset reference drops (Dataset.rdd
-        // would be a NEW derived RDD — unpersisting it is a silent no-op,
-        // and the real block-holder RDD is private to the LogicalRDD
-        // node).
-        edges = next.select("u", "v")
-      }
-    } finally {
-      sess.conf.set(aqeKey, aqeWas)
-      sess.conf.set(partKey, partWas)
-    }
-    // No silent caps (round-6 principle): an unconverged edge set means
-    // some component is still multi-level and its members would get
-    // inconsistent labels, so this throws rather than returning. The
-    // PROVEN bound for the alternating algorithm is O(log² n) rounds
-    // (Kiveris et al. SoCC'14, Thm 4); the O(log n) behavior is their
-    // empirical result (and GraphProbe's, ≤ ~12 rounds on adversarial
-    // shapes at 10⁶ nodes), so 60 is generous headroom, not a theorem —
-    // a graph legitimately needing more is cured by raising maxRounds.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: star contraction did not converge in " +
-          s"$maxRounds rounds; labels would be inconsistent if returned. " +
-          "Raise maxRounds (proven bound is O(log^2 n); the default " +
-          "covers the empirical O(log n) behavior with slack)")
-    // Fixpoint edges are stars (member → component min): members label
-    // from their one edge, roots label themselves (a root never appears
-    // as the big endpoint at fixpoint).
-    val ccLabels = edges.select(col("u").as("id"), col("v").as("component"))
-      .union(edges.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+    // Every production caller keys its edges by long ids (doc_id, vec_id),
+    // which takes the RDD fast path below; exotic-but-orderable endpoint
+    // types keep the DataFrame loop.
+    val longTyped = edgesIn.schema(ua).dataType == LongType &&
+      edgesIn.schema(va).dataType == LongType
+    val (ccLabels, rounds) =
+      if (longTyped) rddStarLoop(canon, maxRounds, localFinishMaxEdges)
+      else dfStarLoop(canon, maxRounds)
     // Self-loop-only nodes: (x, x) rows are dropped by the canonical
     // filter, so a node with no distinct neighbor would otherwise vanish
     // from the output in violation of the every-node-labeled contract —
@@ -205,4 +141,188 @@ object GraphOps {
       .select(col("id"), col("id").as("component"))
     (ccLabels.union(selfOnly), rounds)
   }
+
+  /** The star loop on plain RDDs (r22 optimization, guide §1.2 item 1 —
+    * the per-round DRIVER work was the cost). The DataFrame loop built,
+    * analyzed, optimized, planned and codegen'd a fresh 3-exchange plan
+    * EVERY round: ProfileProbe measured q_cluster_dedup at 30 scheduled
+    * jobs with more wall in the between-job Catalyst/scheduling gaps than
+    * in the jobs themselves — pure sequential driver latency, paid on a
+    * cluster exactly as in local mode because every round is a barrier.
+    * The RDD form runs the identical algorithm (same per-node minima, same
+    * relabel flags, same fixpoint rule — labels are deterministic minima,
+    * so the output is bit-identical) with zero per-round Catalyst work and
+    * one job per round. It also ends the session-conf mutation the r21
+    * loop needed (AQE off / loop-width shuffle partitions): RDD shuffles
+    * read their partitioner directly, so concurrent queries on the same
+    * session are untouched (r21 verdict "what's wrong" #2).
+    *
+    * Shuffle/memory shape per round is the DataFrame loop's: 3 hash
+    * shuffles (large-star neighborhoods, small-star neighborhoods, edge
+    * dedup+flag merge), groupByKey buffers one node's neighborhood per
+    * key exactly as WindowExec buffered one partition-by-u group, and
+    * reduceByKey map-side-combines the dedup the way the groupBy partial
+    * aggregate did. Width is derived from the measured edge count
+    * (⌈|E|/4M⌉ ≈ 100 MB-class partitions), capped at the session's
+    * shuffle-partition setting — scale-adaptive, never a local constant:
+    * a fixture graph runs 1-wide, a 100 TB graph gets the cluster conf. */
+  private def rddStarLoop(canon: DataFrame, maxRounds: Int,
+      localFinishMaxEdges: Long): (DataFrame, Int) = {
+    val sess = canon.sparkSession
+    import sess.implicits._
+    var edges: RDD[(Long, Long)] = canon.as[(Long, Long)].rdd
+    var persisted: RDD[_] = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // materializes canon into the cached blocks
+    val sessParts = sess.conf.get("spark.sql.shuffle.partitions")
+      .toLongOption.getOrElse(200L)
+    val loopParts = math.max(1L,
+      math.min(sessParts, nEdges / 4000000L + 1L)).toInt
+    val part = new HashPartitioner(loopParts)
+    var rounds = 0
+    var remaining = nEdges
+    var converged = nEdges == 0L
+    // Distributed star rounds contract the edge set; once it fits the
+    // one-partition bound ([[LocalFinishMaxEdges]]) a single union-find
+    // task finishes the job — zero shuffles and zero driver barriers
+    // where each further round costs three stages plus a barrier. A
+    // fixture-scale graph skips the loop entirely. The labels are
+    // provably the star fixpoint's: both are (node → component minimum),
+    // which is a property of the GRAPH, not of the algorithm.
+    while (!converged && remaining > localFinishMaxEdges
+        && rounds < maxRounds) {
+      rounds += 1
+      // Large star: every node u connects its LARGER neighbors to
+      // m(u) = min(Γ(u) ∪ {u}); row (v, m) is a relabel iff m ≠ u
+      // (mirrors [[largeStarRows]] row for row).
+      val sym = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val large = sym.groupByKey(part).flatMap { case (u, nbrs) =>
+        var m = u
+        val it = nbrs.iterator
+        while (it.hasNext) { val v = it.next(); if (v < m) m = v }
+        val mm = m
+        val chg = mm != u
+        nbrs.iterator.filter(_ > u).map(v => (v, (mm, chg)))
+      }
+      // Small star over the big→small rows: bridge (v, m) when v ≠ m
+      // (always a relabel), main row (u, m) inherits or raises the flag
+      // (mirrors [[smallStarRows]]).
+      val smallKeyed = large.groupByKey(part).flatMap { case (u, vs) =>
+        var m = Long.MaxValue
+        val it = vs.iterator
+        while (it.hasNext) { val x = it.next()._1; if (x < m) m = x }
+        val mm = m
+        vs.iterator.flatMap { case (v, chg) =>
+          val main = Iterator(((u, mm), chg || (v != mm)))
+          if (v != mm) Iterator(((v, mm), true)) ++ main else main
+        }
+      }
+      // Dedup + flag-merge share one shuffle (map-side combined); the
+      // fixpoint-and-count fold is the action that materializes the
+      // round's blocks — one job per round.
+      val next = smallKeyed.reduceByKey(part, _ || _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (moved, cnt) = next.aggregate((false, 0L))(
+        (acc, kv) => (acc._1 || kv._2, acc._2 + 1L),
+        (a, b) => (a._1 || b._1, a._2 + b._2))
+      converged = !moved
+      remaining = cnt
+      persisted.unpersist(blocking = false)
+      persisted = next
+      edges = next.map { case ((u, v), _) => (u, v) }
+    }
+    if (!converged && remaining > localFinishMaxEdges)
+      requireConverged(converged = false, maxRounds)
+    // The final blocks stay persisted — the labels RDD references them,
+    // and the ContextCleaner releases them when the caller drops the
+    // frame.
+    val labels =
+      if (converged)
+        // Fixpoint edges are stars (member → component min): members
+        // label from their one edge, roots label themselves.
+        edges.flatMap { case (u, v) => Iterator((u, v), (v, v)) }
+          .distinct(loopParts)
+      else
+        // ≤ localFinishMaxEdges survivors: one task, exact same labels.
+        edges.coalesce(1).mapPartitions(unionFindLabels)
+    (labels.toDF("id", "component"), rounds)
+  }
+
+  /** Min-root union-find over one partition's edge list, emitting
+    * (node, component-min) for every node that appears. Union attaches
+    * the larger root under the smaller, so every root is its component's
+    * minimum by induction; path-halving keeps find amortized ~O(α). */
+  private def unionFindLabels(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    val nodes = new scala.collection.mutable.LongMap[Unit]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    it.foreach { case (u, v) =>
+      nodes.update(u, ()); nodes.update(v, ())
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.update(rv, ru) else parent.update(ru, rv)
+      }
+    }
+    nodes.keysIterator.map(n => (n, find(n)))
+  }
+
+  /** The pre-r22 DataFrame star loop, kept for non-long endpoint types
+    * (no production caller — every registry/streaming edge set is
+    * long-keyed). Runs under the session conf unchanged: the r21 AQE-off/
+    * narrow-partitions override was session-global mutation, unsafe under
+    * concurrent queries (r21 verdict "what's wrong" #2), and the RDD path
+    * above made it obsolete where it mattered. Each round MUST truncate
+    * lineage, not just cache: the stars union their input with itself, so
+    * the logical plan grows several-fold per round and a persist-only
+    * loop stack-overflows Catalyst within ~8 rounds. */
+  private def dfStarLoop(
+      canon: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var edges = canon.localCheckpoint(true)
+    var rounds = 0
+    var converged = edges.count() == 0L
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val next = smallStarRows(largeStarRows(edges))
+        .groupBy("u", "v").agg(max("chg").as("chg"))
+        .localCheckpoint(false)
+      // coalesce, not bare getBoolean: max over an empty round is NULL,
+      // and a degenerate edge set must read as converged, not NPE
+      // (r21 ADVICE #4).
+      val moved = next.agg(coalesce(max("chg"), lit(false)))
+        .head.getBoolean(0)
+      converged = !moved
+      edges = next.select("u", "v")
+    }
+    requireConverged(converged, maxRounds)
+    val ccLabels = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    (ccLabels, rounds)
+  }
+
+  /** No silent caps (round-6 principle): an unconverged edge set means
+    * some component is still multi-level and its members would get
+    * inconsistent labels, so this throws rather than returning. The
+    * PROVEN bound for the alternating algorithm is O(log² n) rounds
+    * (Kiveris et al. SoCC'14, Thm 4); the O(log n) behavior is their
+    * empirical result (and GraphProbe's, ≤ ~12 rounds on adversarial
+    * shapes at 10⁶ nodes), so 60 is generous headroom, not a theorem —
+    * a graph legitimately needing more is cured by raising maxRounds. */
+  private def requireConverged(converged: Boolean, maxRounds: Int): Unit =
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: star contraction did not converge in " +
+          s"$maxRounds rounds; labels would be inconsistent if returned. " +
+          "Raise maxRounds (proven bound is O(log^2 n); the default " +
+          "covers the empirical O(log n) behavior with slack)")
 }

@@ -1805,25 +1805,53 @@ object SimilarityOps {
     *
     * Partial-agg merge order (and hence the last ulp of the sums) is
     * task-arrival nondeterministic under ANY partition count — the 1e-4
-    * rounding contract on every trained mean absorbs it, unchanged. */
-  private def trainConf[T](s: SparkSession, groups: Int)(body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val pKey = "spark.sql.shuffle.partitions"
-    val aqeWas = s.conf.get(aqeKey, "true")
-    val pWas = s.conf.get(pKey)
-    try {
-      s.conf.set(aqeKey, "false")
-      s.conf.set(pKey, math.max(1,
-        math.min(pWas.toIntOption.getOrElse(200), groups)).toString)
-      body
-    } finally {
-      s.conf.set(aqeKey, aqeWas)
-      s.conf.set(pKey, pWas)
+    * rounding contract on every trained mean absorbs it, unchanged.
+    *
+    * Scoping (r22, r21 verdict "what's wrong" #2): the body runs on a
+    * SESSION CLONE (`newSession()` — same SparkContext, SharedState,
+    * cache manager and extensions; its own SessionState/conf) that
+    * carries the override permanently, with the input frame re-bound to
+    * it plan-for-plan (GraftSqlBridge.rebind — no RDD round-trip, so
+    * column pruning and codegen fusion survive). The r21 form mutated
+    * the SHARED session conf and restored it in `finally` — correct
+    * serially, but a concurrent query planning on the same session
+    * mid-training silently ran with AQE off and clamped partitions.
+    * (A thread-local `SQLConf.withExistingConf` clone was tried first
+    * and rejected by measurement: Spark 4.1's AQE insertion reads the
+    * session conf, not the thread-local, so the override's main lever
+    * never engaged.) Clones are cached per (parent session, groups) —
+    * SessionState construction is not free, and the groups clamp keys
+    * the conf. TrainConfScopeSpec pins reach and isolation. */
+  private val trainSessions =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[Int, SparkSession]]()
+
+  private def trainSession(s: SparkSession, groups: Int): SparkSession =
+    trainSessions.synchronized {
+      var perGroups = trainSessions.get(s)
+      if (perGroups == null) {
+        perGroups = scala.collection.mutable.Map.empty[Int, SparkSession]
+        trainSessions.put(s, perGroups)
+      }
+      perGroups.getOrElseUpdate(groups, {
+        val parts = math.max(1, math.min(
+          s.conf.get("spark.sql.shuffle.partitions")
+            .toIntOption.getOrElse(200), groups))
+        val t = s.newSession()
+        t.conf.set("spark.sql.adaptive.enabled", "false")
+        t.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        t
+      })
     }
-  }
+
+  private[graft] def trainConf[T](e: DataFrame, groups: Int)(
+      body: DataFrame => T): T =
+    if (sys.env.get("SPARK_GRAFT_TRAINCONF").contains("off")) body(e)
+    else body(org.apache.spark.sql.GraftSqlBridge.rebind(
+      e, trainSession(e.sparkSession, groups)))
 
   private[graft] def kmCentroids(
-      e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = trainConf(e.sparkSession, k) {
+      eIn: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = trainConf(eIn, k) { e =>
     val spark = e.sparkSession
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = e
@@ -1972,8 +2000,8 @@ object SimilarityOps {
     * builds emit bit-identical centroids before trusting the fast one.
     */
   private[graft] def ivfCentroids(
-      e: DataFrame, k: Int, iters: Int,
-      forceBrute: Boolean = false): Array[(Int, Array[Double])] = trainConf(e.sparkSession, k) {
+      eIn: DataFrame, k: Int, iters: Int,
+      forceBrute: Boolean = false): Array[(Int, Array[Double])] = trainConf(eIn, k) { e =>
     val spark = e.sparkSession
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = e
@@ -2344,8 +2372,8 @@ object SimilarityOps {
     * noise, so the trained rotation is bit-deterministic across runs —
     * OpqSpec pins it). */
   private[graft] def opqGram(
-      e: DataFrame, r0: Array[Array[Double]],
-      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = trainConf(e.sparkSession, Dim) {
+      eIn: DataFrame, r0: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = trainConf(eIn, Dim) { e =>
     val spark = e.sparkSession
     import spark.implicits._
     val bcR = spark.sparkContext.broadcast(r0)
@@ -2545,7 +2573,7 @@ object SimilarityOps {
     * (the iterative-float family contract — here it only pins determinism
     * across reruns, since no SQL oracle replays PQ). */
   private[graft] def pqTrain(
-      e: DataFrame, nSub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = trainConf(e.sparkSession, nSub * ksub) {
+      eIn: DataFrame, nSub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = trainConf(eIn, nSub * ksub) { e =>
     val spark = e.sparkSession
     import spark.implicits._
     val dsub = Dim / nSub

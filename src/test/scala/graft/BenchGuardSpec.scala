@@ -75,6 +75,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.eraRef(0.5 +: h).contains(2.0))
   }
 
+  test("box-era gate: cross-era floors are invisible, same-era compare") {
+    // r21 verdict #4: floors from a ~1.3x-slower box era made drift
+    // flags uninterpretable. Same era = single-core calibration within
+    // ±25%; uncalibrated (pre-r22) lines never match — the requested
+    // re-base.
+    assert(Bench.sameEra(Some(0.100), 0.100))
+    assert(Bench.sameEra(Some(0.100), 0.110), "few-% jitter is same era")
+    assert(Bench.sameEra(Some(0.100), 0.124))
+    assert(!Bench.sameEra(Some(0.100), 0.130),
+      "the observed ~1.3x inter-era gap must separate eras")
+    assert(!Bench.sameEra(Some(0.130), 0.100), "symmetric")
+    assert(!Bench.sameEra(None, 0.100),
+      "uncalibrated history lines must not calibrate the detector")
+  }
+
   test("contended runs do not enter the floor history") {
     assert(!Bench.historyGate(nContended = 49, nQueries = 118),
       "the r16 driver run (49/118) must be refused")

@@ -28,11 +28,23 @@ class GraphOpsSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  /** Runs BOTH execution paths — the default (which finishes a
+    * fixture-scale graph in one union-find task) and the distributed
+    * star loop (localFinishMaxEdges = 0) — asserts their labellings are
+    * identical, and returns the labels plus the DISTRIBUTED round count
+    * (the O(log n) bound under test is a property of the loop). */
   private def run(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
     import spark.implicits._
-    val (labels, rounds) =
-      GraphOps.connectedComponentsWithRounds(edges.toDF("a", "b"))
-    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    val df = edges.toDF("a", "b")
+    val (labels, _) = GraphOps.connectedComponentsWithRounds(df)
+    val (labelsDist, rounds) =
+      GraphOps.connectedComponentsWithRounds(df, localFinishMaxEdges = 0L)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotDist =
+      labelsDist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotDist,
+      "local-finish and distributed star labels must be identical")
+    (got, rounds)
   }
 
   test("diameter-200 chain converges in O(log n) rounds, labels = min") {
@@ -70,6 +82,20 @@ class GraphOpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"))
     assert(labels.isEmpty)
     assert(rounds == 0)
+  }
+
+  test("mid-loop switch to the union-find finish keeps labels exact") {
+    // Start above the local-finish bound so distributed rounds run, then
+    // contract under it so the union-find takes over mid-computation —
+    // the hybrid must match both pure paths (and the oracle).
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val df = chain.toDF("a", "b")
+    val (hybrid, roundsH) = GraphOps.connectedComponentsWithRounds(
+      df, localFinishMaxEdges = 50L)
+    val got = hybrid.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roundsH >= 1, "a 200-edge chain above the bound must iterate")
+    assert(got.size == 201 && got.values.forall(_ == 0L))
   }
 
   test("self-loops label their node instead of erasing it") {
