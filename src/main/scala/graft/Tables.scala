@@ -30,15 +30,17 @@ object Tables {
     * still computes from the inputs. Keyed per SparkSession (weakly — a
     * stopped session's entries are collectable) because a schema belongs
     * to the session whose confs inferred it (e.g. the nanosAsLong branch
-    * below). A path rewritten with a DIFFERENT schema inside one session
-    * would read through stale metadata — fixture dirs are immutable for a
-    * session's lifetime and every spec writes to a fresh temp dir, so the
-    * corner is unreachable; it would surface as a loud analysis/read
-    * error, not silent rows. */
+    * below). Entries are keyed on the path's MODIFICATION TIME (r22,
+    * r21 ADVICE #3): a parquet read under a user-supplied schema resolves
+    * columns BY NAME and yields nulls for columns absent from a rewritten
+    * file — silent wrong rows, not a loud error — so a path regenerated
+    * in-session (a probe rewriting its corpus) must re-infer. The stat is
+    * one FileSystem.getFileStatus per table() call, microseconds against
+    * the ~20 ms footer job it replaces. */
   private val schemaCatalog =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[
-        String, org.apache.spark.sql.types.StructType]]()
+        String, (Long, org.apache.spark.sql.types.StructType)]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -46,8 +48,17 @@ object Tables {
       schemaCatalog.computeIfAbsent(
         spark, _ => scala.collection.concurrent.TrieMap.empty)
     }
-    val schema =
-      perSession.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val mtime = hPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath).getModificationTime
+    val schema = perSession.get(path) match {
+      case Some((t, s)) if t == mtime => s
+      case _ =>
+        val s = spark.read.parquet(path).schema
+        perSession.put(path, (mtime, s))
+        s
+    }
     spark.read.schema(schema).parquet(path)
   }
 

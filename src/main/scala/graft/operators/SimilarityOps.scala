@@ -2771,6 +2771,49 @@ object SimilarityOps {
       .withColumn("code", col("code").cast("array<tinyint>"))
   }
 
+  /** Caller-owned trained quantizer handle (r22, the honest Lloyd's-chain
+    * cut — r21 "not yet optimized" #2): a long-lived pipeline trains ONCE
+    * per corpus via [[trainQuantizer]] and reuses the handle across every
+    * [[encodeWith]] call in the process, instead of re-running the
+    * 3-collect training chain per operation. EXPLICITLY NOT a
+    * module-level memo: nothing is cached engine-side — the caller owns
+    * the handle's lifetime, and every registry query keeps training
+    * inside its own plan, so the bench/oracle per-query cold contract is
+    * untouched (that is the point). The streaming twin is
+    * [[graft.streaming.IvfPqIngest.GenStructs]], whose members this
+    * mirrors; QuantizerHandleSpec pins handle-encode ≡ inline-encode bit
+    * for bit and that re-encoding under one handle runs zero training
+    * jobs. */
+  final case class TrainedQuantizer(
+      cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]],
+      rot: Option[Array[Array[Double]]] = None) {
+    def nlist: Int = cents.length
+  }
+
+  /** Train coarse centroids + residual PQ codebooks once (optionally in
+    * a rotated space) and hand them to the caller. Same training path
+    * the registry queries run inline — [[kmCentroids]] then [[pqTrain]]
+    * on [[ivfPqResiduals]] — so the handle is bit-identical to what any
+    * single query would have trained on the same frame. */
+  def trainQuantizer(
+      e: DataFrame, nlist: Int, nSub: Int, ksub: Int,
+      kmIters: Int = 2, pqIters: Int = 2,
+      rot: Option[Array[Array[Double]]] = None): TrainedQuantizer = {
+    val base = rot.map(rotateBy(e, _)).getOrElse(e)
+    val cents = kmCentroids(base, nlist, kmIters)
+    val resid = ivfPqResiduals(base, cents)
+      .select(col("vec_id"), col("r").as("v"))
+    TrainedQuantizer(cents, pqTrain(resid, nSub, ksub, pqIters), rot)
+  }
+
+  /** The [[ivfPqEncode]] corpus pass under a caller-owned handle —
+    * encode-only, zero training jobs. */
+  def encodeWith(e: DataFrame, q: TrainedQuantizer): DataFrame = {
+    val base = q.rot.map(rotateBy(e, _)).getOrElse(e)
+    ivfPqEncode(base, q.cents, q.cb)
+  }
+
   /** (vec_id, cid, qerr): the [[ivfPqEncode]] pass emitting the per-row
     * QUANTIZATION ERROR instead of the code — qerr = Σ_m (ascending) of
     * the argmin entry's distance, each the ascending-j Σ(r−c)² fold.

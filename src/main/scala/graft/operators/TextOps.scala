@@ -107,9 +107,15 @@ object TextOps {
     // placed the quadratic Levenshtein DP INSIDE the probe-side SCAN
     // stage, whose parallelism is the file-split count (the single-row-
     // group fixture runs it ~1-wide, measured as two ~950 ms scan-stage
-    // jobs); post-exchange it runs at the session's shuffle width. Block
-    // membership is capped at FuzzyMaxBlock, so per-key build sides are
-    // bounded — the SHJ OOM caveat cannot bite.
+    // jobs); post-exchange it runs at the session's shuffle width. On the
+    // SHJ OOM caveat (r21 ADVICE #2): the hash map is built over the
+    // whole build-side PARTITION (all keys landing in it), not per key —
+    // FuzzyMaxBlock bounds per-key fan-out, not partition size. What
+    // sizes the build side is shuffle WIDTH, which scales with input
+    // (the session/cluster conf at 100 TB), keeping per-partition build
+    // bytes bounded the same way any production SHJ is sized; a cluster
+    // that can't guarantee that prefers removing the hint (sort-merge
+    // spills gracefully) over shrinking the block cap.
     a.hint("shuffle_hash").join(b, col("al") === col("bl") && col("ab") === col("bb")
         && col("doc_a") < col("doc_b")
         && abs(length(col("ka")) - length(col("kb"))) <= 20)

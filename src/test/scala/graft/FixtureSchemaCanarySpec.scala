@@ -196,6 +196,30 @@ class FixtureSchemaCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("a path rewritten with a different schema re-infers (mtime key)") {
+    // r21 ADVICE #3: a user-supplied schema resolves columns by name and
+    // nulls out missing ones — a rewritten path read through a stale
+    // catalog entry would return silent wrong rows. The catalog keys on
+    // the path's mtime, so a rewrite invalidates it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("schema_canary").toString
+    try {
+      Seq((1L, "a")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val first = Tables.table(spark, dir, "t")
+      assert(first.schema.fieldNames.sameElements(Array("id", "s")))
+      Thread.sleep(1100) // distinct mtime even on 1s-resolution filesystems
+      Seq((2L, 3.5, "b")).toDF("id", "x", "s2")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val second = Tables.table(spark, dir, "t")
+      assert(second.schema.fieldNames.sameElements(Array("id", "x", "s2")),
+        s"stale catalog schema served after rewrite: ${second.schema}")
+      assert(second.count() == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("real fixture loads and is micro-exact between ts and ts_ns") {
     val df = Tables.events(spark, TestSpark.sf)
       .select(expr("sum(case when unix_micros(ts) * 1000 != ts_ns - pmod(ts_ns, 1000) then 1 else 0 end)").as("bad"),
