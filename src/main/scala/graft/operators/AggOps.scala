@@ -234,11 +234,16 @@ object AggOps {
       // `cum`, so those passes are plain scans of the cached partitions,
       // not re-sorts). The previous spelling re-scanned lineitem for the
       // sizes and the clip — three parquet passes where one suffices.
-      val cs = graft.operators.TextOps.distributedCumsum(
+      // The split form (r22): `base` is the bare checkpointed frame —
+      // the sizes and the final clip pass never reference `cum`, so they
+      // skip the sorted cum pass entirely (the old window-based cum let
+      // ColumnPruning do this; the shuffle-free mapPartitions cum is
+      // opaque to it).
+      val (base, cs) = graft.operators.TextOps.distributedCumsumSplit(
         li.withColumn("one", lit(1L)), "one", "cum", col("g"), col("x"))
       // per-group sizes and rank offsets: a group-cardinality-bounded
       // frame (3 rows), so its single-partition window is trivial
-      val sizes = cs.groupBy("g").agg(count(lit(1)).as("n"))
+      val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
         .withColumn("off", coalesce(
           sum("n").over(org.apache.spark.sql.expressions.Window
             .orderBy("g").rowsBetween(
@@ -253,7 +258,7 @@ object AggOps {
         .filter(col("r") === expr("(n + 99) div 100") ||
           col("r") === expr("(n * 99 + 99) div 100"))
         .groupBy("g").agg(min("x").as("lo"), max("x").as("hi"))
-      cs.join(broadcast(bounds), "g")
+      base.join(broadcast(bounds), "g")
         .select(col("g"),
           least(greatest(col("x"), col("lo")), col("hi")).as("wx"),
           (col("x") < col("lo")).cast("long").as("below"),

@@ -299,8 +299,19 @@ object TextOps {
     * q_token_budget (quality order) and q_pack_sequences (corpus order).
     */
   def distributedCumsum(df: org.apache.spark.sql.DataFrame, valueCol: String,
-      cumName: String, order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      cumName: String, order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    distributedCumsumSplit(df, valueCol, cumName, order: _*)._2
+
+  /** As [[distributedCumsum]], also exposing the bare checkpointed
+    * range-partitioned frame (`__pid` dropped, no cum column). Consumers
+    * that never reference the cum — q_winsorize's group sizes and its
+    * final clip pass — read THAT frame and skip the sorted cum pass
+    * entirely; under the old one-frame shape Catalyst pruned the window
+    * for them, but the r22 mapPartitions cum (below) is opaque to
+    * ColumnPruning, so the split keeps the pruning explicit. */
+  def distributedCumsumSplit(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      cumName: String, order: org.apache.spark.sql.Column*)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // Persist the input across the range exchange's TWO executions of it
     // (boundary sampling + the real pass) — for callers whose frame is an
     // expensive projection (full-document tokenization in token_budget /
@@ -326,18 +337,46 @@ object TextOps {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       finally in.unpersist()
     val offsets = partTotals.map(_._1)
-      .zip(partTotals.scanLeft(0L)(_ + _._2).dropRight(1))
-    val offCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("__pid")), lit(0L))
-    val win = Window.partitionBy("__pid")
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn(cumName, sum(valueCol).over(win) + offCol)
-      .drop("__pid")
+      .zip(partTotals.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    // The cum pass (r22, guide §2.4 "remove shuffles outright"): the old
+    // form spelled it `sum over Window.partitionBy("__pid")`, and because
+    // a checkpointed LogicalRDD reports UnknownPartitioning, Catalyst
+    // planned a FULL HASH RE-EXCHANGE of the corpus by __pid (plus the
+    // window sort) just to group rows that were ALREADY physically
+    // grouped — each checkpoint block is exactly one __pid by
+    // construction. sortWithinPartitions + one streaming per-partition
+    // fold computes the identical running sum with ZERO exchanges; the
+    // per-partition offset folds into the fold's seed (broadcast,
+    // partition-count-bounded). Tie order within equal `order` keys is
+    // whatever the sort emits — same class as the window's ROWS frame;
+    // callers either carry a unique tie-breaker (token_budget,
+    // pack_sequences) or consume rank-boundary VALUES that are
+    // tie-invariant (winsorize).
+    val spark = ranged.sparkSession
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val sorted = ranged.sortWithinPartitions(order: _*)
+    val pidIdx = sorted.schema.fieldIndex("__pid")
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val keepIdx = sorted.schema.indices.filter(_ != pidIdx)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keepIdx.map(sorted.schema(_)) :+
+        org.apache.spark.sql.types.StructField(cumName,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val cum = sorted.mapPartitions { it =>
+      var acc = 0L
+      var init = false
+      it.map { r =>
+        if (!init) { acc = bcOff.value.getOrElse(r.getInt(pidIdx), 0L); init = true }
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        val vals = new Array[Any](keepIdx.length + 1)
+        var i = 0
+        while (i < keepIdx.length) { vals(i) = r.get(keepIdx(i)); i += 1 }
+        vals(keepIdx.length) = acc
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    (ranged.drop("__pid"), cum)
   }
 
   val queries: Map[String, Q] = Map(
