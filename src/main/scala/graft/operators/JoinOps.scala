@@ -63,6 +63,13 @@ object JoinOps {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
+      // Bare orderBy, NOT orderedOnce (r22 A/B): the sort's range
+      // sampling does re-execute the scans and both broadcast joins
+      // (nothing between scan and sort is an exchange at fixture scale),
+      // but persisting the 600k-row join output cost MORE than the saved
+      // pass — measured 1.58 -> 2.31 s min; the columnar cache build is
+      // the same trap q_scalar_math's r21 rework removed. At cluster
+      // scale the joins shuffle and sampling reuses shuffle files anyway.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .select(
