@@ -26,6 +26,24 @@ object SimilarityOps {
 
   private[graft] val Dim = 64
 
+  // Hoisted tuple encoders (r22, guide §1.2 per-task/driver work):
+  // `.as[T]` / `mapPartitions[U]` under `import spark.implicits._` derive
+  // an ExpressionEncoder through Scala runtime reflection ON EVERY CALL
+  // (global reflection lock + tree construction, ~10-30 ms each) — the
+  // quantizer training loops make dozens of such calls per query, all
+  // over the same handful of tuple shapes, and the derivations showed up
+  // as pure sequential driver gap between training collects. One
+  // module-level derivation per shape; call sites pass these explicitly
+  // (a method-local spark.implicits import would otherwise shadow them).
+  private val EncIV =
+    org.apache.spark.sql.Encoders.product[(Int, Array[Double])]
+  private val EncLV =
+    org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
+  private val EncIIV =
+    org.apache.spark.sql.Encoders.product[(Int, Int, Array[Double])]
+  private val EncIDV =
+    org.apache.spark.sql.Encoders.product[(Int, Double, Array[Double])]
+
   /** embeddings as (vec_id, v: array<double>). Cast once: float32→double
     * widening must happen before any arithmetic so both engines (and any
     * future SIMD path) see identical operands. */
@@ -1865,7 +1883,7 @@ object SimilarityOps {
     var centroids: Array[(Int, Array[Double])] = e
       .filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("v"))
-      .as[(Int, Array[Double])].collect().sortBy(_._1)
+      .as[(Int, Array[Double])](EncIV).collect().sortBy(_._1)
     for (_ <- 1 to iters) {
       val sums = (0 until Dim).map(j =>
         sum(element_at(col("v"), j + 1)).as(s"s$j"))
@@ -1875,7 +1893,7 @@ object SimilarityOps {
         .select(col("cid"),
           array((0 until Dim).map(j =>
             round(col(s"s$j") / col("n") * 10000) / 10000): _*).as("c"))
-        .as[(Int, Array[Double])].collect().toMap
+        .as[(Int, Array[Double])](EncIV).collect().toMap
       centroids = centroids.map { case (cid, old) =>
         cid -> updated.getOrElse(cid, old)
       }
@@ -2015,7 +2033,7 @@ object SimilarityOps {
     var centroids: Array[(Int, Array[Double])] = e
       .filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("v"))
-      .as[(Int, Array[Double])].collect().sortBy(_._1)
+      .as[(Int, Array[Double])](EncIV).collect().sortBy(_._1)
     for (_ <- 1 to iters) {
       // the forced reference arm dispatches on k too: below PruneK the
       // literal Column plan (the oracle shape under test), above it the
@@ -2039,7 +2057,7 @@ object SimilarityOps {
         .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
         .select(col("cid"),
           array((0 until Dim).map(j => col(s"s$j") / col("n")): _*).as("c"))
-        .as[(Int, Array[Double])].collect().toMap
+        .as[(Int, Array[Double])](EncIV).collect().toMap
       // a cluster that attracted no vectors keeps its previous centroid —
       // otherwise the array shrinks below k and every later element_at /
       // array_position cell id misaligns (review finding)
@@ -2387,7 +2405,7 @@ object SimilarityOps {
     val bcR = spark.sparkContext.broadcast(r0)
     val bcCb = spark.sparkContext.broadcast(cb)
     val rows = e.select(col("vec_id").cast("long"), col("v"))
-      .as[(Long, Array[Double])]
+      .as[(Long, Array[Double])](EncLV)
       .mapPartitions { it =>
         val rm = bcR.value
         val books = bcCb.value
@@ -2413,7 +2431,7 @@ object SimilarityOps {
           }
           Iterator.tabulate(Dim)(a => (a, yh(a), x))
         }
-      }
+      }(EncIDV)
       .toDF("a", "yh", "x")
     val sums = (0 until Dim).map(b =>
       (round(sum(element_at(col("x"), b + 1) * col("yh")) * 10000) / 10000)
@@ -2589,7 +2607,7 @@ object SimilarityOps {
     var cb: Array[Array[Array[Double]]] = {
       val seed = e.filter(col("vec_id") < ksub)
         .select(col("vec_id").cast("int"), col("v"))
-        .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+        .as[(Int, Array[Double])](EncIV).collect().sortBy(_._1).map(_._2)
       require(seed.length == ksub,
         s"PQ init needs vec_ids 0..${ksub - 1} present (got ${seed.length})")
       Array.tabulate(nSub)(m => seed.map(_.slice(m * dsub, m * dsub + dsub)))
@@ -2597,7 +2615,7 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cb)
       val assigned = e.select(col("vec_id").cast("long"), col("v"))
-        .as[(Long, Array[Double])]
+        .as[(Long, Array[Double])](EncLV)
         .mapPartitions { it =>
           val books = bc.value
           val n = books.length
@@ -2608,7 +2626,7 @@ object SimilarityOps {
                 v.slice(m * ds, m * ds + ds))
             }
           }
-        }
+        }(EncIIV)
         .toDF("m", "cid", "sub")
       val sums = (0 until dsub).map(j =>
         sum(element_at(col("sub"), j + 1)).as(s"s$j"))
@@ -2617,7 +2635,7 @@ object SimilarityOps {
         .select(col("m"), col("cid"),
           array((0 until dsub).map(j =>
             round(col(s"s$j") / col("n") * 10000) / 10000): _*).as("c"))
-        .as[(Int, Int, Array[Double])].collect()
+        .as[(Int, Int, Array[Double])](EncIIV).collect()
         .map { case (m, c, arr) => (m, c) -> arr }.toMap
       cb = Array.tabulate(nSub)(m => Array.tabulate(ksub)(c =>
         updated.getOrElse((m, c), cb(m)(c))))
