@@ -15,8 +15,11 @@ object Explain {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val mode = if (args.length > 2) args(2) else "formatted"
     val spark = Sessions.local()
+    // comma-separated names batch one JVM/session over several captures
+    // (r22: plan-dump tooling only; each query still builds fresh).
     val names =
-      if (name == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(name)
+      if (name == "all") SparkEntry.queries.keys.toSeq.sorted
+      else name.split(',').toSeq.filter(_.nonEmpty)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"===== $n =====")
